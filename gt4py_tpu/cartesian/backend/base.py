@@ -1,0 +1,56 @@
+"""Backend ABC and registry (reference: cartesian/backend/base.py:35,129).
+
+A backend turns an :class:`AnalyzedStencil` into a runnable computation.
+Unlike the reference — which generates source code, compiles extension
+modules and imports them — TPU backends build Python callables around the
+GTIR trace; XLA is the code generator and its persistent compilation cache
+plays the role of the reference's ``.gt_cache`` (see caching.py).
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any, Type
+
+from gt4py_tpu.cartesian.passes.pipeline import AnalyzedStencil
+
+REGISTRY: dict[str, Type["Backend"]] = {}
+
+
+def register(cls: Type["Backend"]) -> Type["Backend"]:
+    REGISTRY[cls.name] = cls
+    return cls
+
+
+def from_name(name: str) -> Type["Backend"]:
+    if name not in REGISTRY:
+        raise ValueError(
+            f"Unknown backend '{name}'. Registered backends: {sorted(REGISTRY)}"
+        )
+    return REGISTRY[name]
+
+
+class Backend(abc.ABC):
+    """One compiled stencil on one backend."""
+
+    #: registry name, e.g. "jax", "numpy", "debug", "tpu:pallas"
+    name: str = ""
+    #: which array type the backend consumes: "jax" or "numpy"
+    array_kind: str = "jax"
+    #: storage/layout info for the storage layer (API parity with
+    #: reference Backend.storage_info)
+    storage_info: dict = {"alignment": 1, "device": "tpu"}
+
+    def __init__(self, analyzed: AnalyzedStencil, options: dict):
+        self.analyzed = analyzed
+        self.options = options
+
+    @abc.abstractmethod
+    def run(
+        self,
+        arrays: dict[str, Any],
+        scalars: dict[str, Any],
+        domain: tuple[int, int, int],
+        origins: dict[str, tuple[int, int, int]],
+    ) -> dict[str, Any]:
+        """Execute; return {written_field_name: updated_array}."""

@@ -1,0 +1,146 @@
+"""Analysis pipeline: parsed GTIR → fully annotated, backend-ready stencil.
+
+Counterpart of the reference's ``GtirPipeline`` + ``OirPipeline``
+(/root/reference/src/gt4py/cartesian/gtc/passes/gtir_pipeline.py:24,
+oir_pipeline.py:40). The reference's OIR optimization passes (horizontal
+execution merging, on-the-fly merging, temporaries-to-scalars, IJ/K cache
+detection) exist to schedule generated C++/CUDA loop nests; on TPU those jobs
+belong to XLA (fusion, scalar promotion) and the Pallas backend (VMEM
+residency), so the pipeline here is: definitive assignment → control-flow
+lowering → dtype inference → extent analysis → runtime metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+
+from gt4py_tpu import eve
+from gt4py_tpu.cartesian import frontend, gtir
+from gt4py_tpu.cartesian.definitions import (
+    AccessKind,
+    Boundary,
+    DomainInfo,
+    Extent,
+    FieldInfo,
+    ParameterInfo,
+)
+from gt4py_tpu.cartesian.passes.definitive_assignment import check_definitive_assignment
+from gt4py_tpu.cartesian.passes.extents import (
+    ExtentAnalysis,
+    compute_min_k_size,
+    iter_writes,
+)
+from gt4py_tpu.cartesian.passes.lowering import lower_control_flow
+from gt4py_tpu.cartesian.passes.type_inference import infer_dtypes
+
+
+@dataclasses.dataclass
+class AnalyzedStencil:
+    stencil: gtir.Stencil
+    stmt_extents: dict[gtir.Stmt, Extent]
+    field_extents: dict[str, Extent]
+    field_infos: dict[str, FieldInfo]
+    parameter_infos: dict[str, ParameterInfo]
+    domain_info: DomainInfo
+
+    @property
+    def name(self) -> str:
+        return self.stencil.name
+
+    def written_fields(self) -> list[str]:
+        """API fields written by the stencil, in parameter order."""
+        return [
+            name
+            for name, info in self.field_infos.items()
+            if info.access & AccessKind.WRITE
+        ]
+
+
+def analyze(definition: Callable, options: dict) -> AnalyzedStencil:
+    stencil = frontend.parse_stencil(definition, options)
+    check_definitive_assignment(stencil)
+    stencil = lower_control_flow(stencil)
+    infer_dtypes(stencil)
+    extents = ExtentAnalysis(stencil)
+
+    access: dict[str, AccessKind] = {p.name: AccessKind.NONE for p in stencil.params}
+    for _, _, stmt in stencil.walk_stmts():
+        for w in iter_writes(stmt):
+            if w.name in access:
+                access[w.name] |= AccessKind.WRITE
+        for node in _all_reads(stmt):
+            if node.name in access:
+                access[node.name] |= AccessKind.READ
+        for node in _all_scalar_reads(stmt):
+            if node.name in access:
+                access[node.name] |= AccessKind.READ
+
+    field_infos: dict[str, FieldInfo] = {}
+    parameter_infos: dict[str, ParameterInfo] = {}
+    for p in stencil.params:
+        if isinstance(p, gtir.FieldDecl):
+            ext = extents.field_extents.get(p.name, Extent.zeros())
+            axes = tuple(ax for ax, m in zip("IJK", p.dimensions) if m)
+            boundary = _mask_boundary(ext.boundary, p.dimensions)
+            field_infos[p.name] = FieldInfo(
+                access=access[p.name],
+                boundary=boundary,
+                axes=axes,
+                data_dims=p.data_dims,
+                dtype=p.dtype,
+            )
+        elif isinstance(p, gtir.GlobalTableDecl):
+            field_infos[p.name] = FieldInfo(
+                access=access[p.name],
+                boundary=Boundary(),
+                axes=(),
+                data_dims=p.shape,
+                dtype=p.dtype,
+            )
+        elif isinstance(p, gtir.ScalarDecl):
+            parameter_infos[p.name] = ParameterInfo(access=access[p.name], dtype=p.dtype)
+
+    domain_info = DomainInfo(min_sequential_axis_size=compute_min_k_size(stencil))
+    return AnalyzedStencil(
+        stencil=stencil,
+        stmt_extents=extents.stmt_extents,
+        field_extents=extents.field_extents,
+        field_infos=field_infos,
+        parameter_infos=parameter_infos,
+        domain_info=domain_info,
+    )
+
+
+def _all_reads(stmt: gtir.Stmt):
+    if isinstance(stmt, gtir.Assign):
+        yield from eve.walk_type(stmt.value, gtir.FieldAccess)
+        if stmt.mask is not None:
+            yield from eve.walk_type(stmt.mask, gtir.FieldAccess)
+        for idx in stmt.target.data_index:
+            yield from eve.walk_type(idx, gtir.FieldAccess)
+    elif isinstance(stmt, gtir.While):
+        yield from eve.walk_type(stmt.cond, gtir.FieldAccess)
+        if stmt.mask is not None:
+            yield from eve.walk_type(stmt.mask, gtir.FieldAccess)
+        for s in stmt.body:
+            yield from _all_reads(s)
+
+
+def _all_scalar_reads(stmt: gtir.Stmt):
+    if isinstance(stmt, gtir.Assign):
+        yield from eve.walk_type(stmt.value, gtir.ScalarAccess)
+        if stmt.mask is not None:
+            yield from eve.walk_type(stmt.mask, gtir.ScalarAccess)
+    elif isinstance(stmt, gtir.While):
+        yield from eve.walk_type(stmt.cond, gtir.ScalarAccess)
+        for s in stmt.body:
+            yield from _all_scalar_reads(s)
+
+
+def _mask_boundary(boundary: Boundary, mask: tuple[bool, bool, bool]) -> Boundary:
+    lower = tuple(b if m else 0 for b, m in zip(boundary.lower, mask))
+    upper = tuple(b if m else 0 for b, m in zip(boundary.upper, mask))
+    return Boundary(lower=lower, upper=upper)  # type: ignore[arg-type]

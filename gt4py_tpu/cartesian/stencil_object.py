@@ -1,0 +1,391 @@
+"""Runtime stencil callable.
+
+Counterpart of the reference's ``StencilObject``
+(/root/reference/src/gt4py/cartesian/stencil_object.py:146): argument
+binding, origin normalization (:489), max-domain computation (:288),
+validation (:334), the domain/origin call cache (:568-582) and ``freeze()``
+(:596). The execution step dispatches to a TPU/JAX backend instead of a
+generated extension module; written fields are rebound on the passed
+storages (JAX arrays are immutable, see storage/storage.py).
+"""
+
+from __future__ import annotations
+
+import collections.abc
+import inspect
+import sys
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+from gt4py_tpu.cartesian.definitions import AccessKind, FieldInfo
+from gt4py_tpu.storage.storage import Storage
+
+
+class ArgsInfo:
+    __slots__ = ("array", "original", "origin", "dimensions")
+
+    def __init__(self, array, original, origin, dimensions):
+        self.array = array
+        self.original = original
+        self.origin = origin
+        self.dimensions = dimensions
+
+
+def _extract_array(value: Any):
+    if isinstance(value, Storage):
+        return value.array
+    return value
+
+
+def _arg_info(value: Any) -> ArgsInfo:
+    array = _extract_array(value)
+    return ArgsInfo(
+        array=array,
+        original=value,
+        origin=getattr(value, "__gt_origin__", None),
+        dimensions=getattr(value, "__gt_dims__", None),
+    )
+
+
+class StencilObject:
+    """Callable stencil implementation (one per definition+backend+options)."""
+
+    def __init__(self, analyzed, backend, options: dict, definition):
+        self._analyzed = analyzed
+        self._backend = backend
+        self.options = options
+        self.definition_func = definition
+        self.backend = backend.name
+        self.field_info: dict[str, FieldInfo] = analyzed.field_infos
+        self.parameter_info = analyzed.parameter_infos
+        self.domain_info = analyzed.domain_info
+        self._signature = inspect.signature(definition)
+        self.__doc__ = analyzed.stencil.docstring
+
+    @property
+    def name(self) -> str:
+        return self._analyzed.name
+
+    # -- origin/domain machinery (parity with reference :263-530) -----------
+
+    @staticmethod
+    def _make_origin_dict(origin) -> dict[str, tuple[int, ...]]:
+        if isinstance(origin, dict):
+            return {str(k): tuple(v) for k, v in origin.items()}
+        if origin is None:
+            return {}
+        if isinstance(origin, collections.abc.Iterable):
+            return {"_all_": tuple(int(i) for i in origin)}
+        if isinstance(origin, int):
+            return {"_all_": (0, 0, int(origin))}
+        raise ValueError(f"Invalid 'origin' value ({origin})")
+
+    def _normalize_origins(
+        self, arg_infos: dict[str, Optional[ArgsInfo]], origin
+    ) -> dict[str, tuple[int, ...]]:
+        origin = self._make_origin_dict(origin)
+        all_origin = origin.get("_all_", None)
+        for name, field_info in self.field_info.items():
+            field_origin = origin.get(name, None)
+            if field_origin is not None:
+                if len(field_origin) == field_info.domain_ndim:
+                    origin[name] = (*field_origin, *((0,) * len(field_info.data_dims)))
+                elif len(field_origin) != field_info.ndim:
+                    raise ValueError(
+                        f"Invalid origin specification ({field_origin}) for '{name}' field."
+                    )
+            elif all_origin is not None:
+                masked = tuple(
+                    o for o, m in zip(all_origin, field_info.domain_mask) if m
+                )
+                origin[name] = (*masked, *((0,) * len(field_info.data_dims)))
+            elif (info := arg_infos.get(name)) is not None and info.origin is not None:
+                origin[name] = tuple(info.origin)
+            else:
+                origin[name] = (0,) * field_info.ndim
+        origin.pop("_all_", None)
+        return origin
+
+    def _get_max_domain(
+        self,
+        arg_infos: dict[str, Optional[ArgsInfo]],
+        origin: dict[str, tuple[int, ...]],
+        *,
+        squeeze: bool = True,
+    ) -> tuple[int, ...]:
+        max_size = sys.maxsize
+        max_domain = [max_size] * 3
+        for name, field_info in self.field_info.items():
+            if field_info.access == AccessKind.NONE or not field_info.axes:
+                continue
+            info = arg_infos.get(name)
+            if info is None:
+                raise ValueError(f"Missing value for '{name}' field.")
+            mask = field_info.domain_mask
+            upper = tuple(u for u, m in zip(field_info.boundary.upper, mask) if m)
+            field_origin = origin[name]
+            pos = 0
+            for ax_idx, present in enumerate(mask):
+                if not present:
+                    continue
+                size = info.array.shape[pos] - field_origin[pos] - upper[pos]
+                max_domain[ax_idx] = min(max_domain[ax_idx], size)
+                pos += 1
+        if squeeze:
+            return tuple(d if d != max_size else 1 for d in max_domain)
+        return tuple(max_domain)
+
+    def _validate_args(self, arg_infos, param_args, domain, origin) -> None:
+        if len(domain) != 3:
+            raise ValueError(f"Invalid 'domain' value '{domain}'")
+        if not all(d > 0 for d in domain):
+            raise ValueError(f"Compute domain contains zero sizes '{domain}')")
+        max_domain = self._get_max_domain(arg_infos, origin, squeeze=False)
+        if not all(d <= m for d, m in zip(domain, max_domain)):
+            raise ValueError(
+                f"Compute domain too large for stencil {self.name}: domain {domain} "
+                f"exceeds max domain {tuple(max_domain)} given the passed fields/origins."
+            )
+        if domain[2] < self.domain_info.min_sequential_axis_size:
+            raise ValueError(
+                f"Compute domain too small. Sequential axis is {domain[2]}, but must "
+                f"be at least {self.domain_info.min_sequential_axis_size}."
+            )
+
+        for name, field_info in self.field_info.items():
+            if field_info.access == AccessKind.NONE:
+                continue
+            info = arg_infos.get(name)
+            if info is None:
+                raise ValueError(f"Missing value for '{name}' field.")
+            array = info.array
+            if np.dtype(array.dtype) != field_info.dtype:
+                raise TypeError(
+                    f"The dtype of field '{name}' is '{array.dtype}' instead of "
+                    f"'{field_info.dtype}'"
+                )
+            expected_ndim = field_info.domain_ndim + len(field_info.data_dims)
+            if array.ndim != expected_ndim:
+                raise ValueError(
+                    f"Storage for '{name}' has {array.ndim} dimensions but the API "
+                    f"signature expects {expected_ndim}"
+                )
+            if field_info.data_dims:
+                if tuple(array.shape[field_info.domain_ndim:]) != field_info.data_dims:
+                    raise ValueError(
+                        f"Field '{name}' expects data dimensions {field_info.data_dims} "
+                        f"but got {tuple(array.shape[field_info.domain_ndim:])}"
+                    )
+            mask = field_info.domain_mask
+            lower = tuple(b for b, m in zip(field_info.boundary.lower, mask) if m)
+            upper = tuple(b for b, m in zip(field_info.boundary.upper, mask) if m)
+            spatial_domain = tuple(d for d, m in zip(domain, mask) if m)
+            field_origin = origin[name][: field_info.domain_ndim]
+            if any(o < lo for o, lo in zip(field_origin, lower)):
+                raise ValueError(
+                    f"Origin for field {name} too small. Must be at least {lower}, "
+                    f"is {field_origin}"
+                )
+            min_shape = tuple(
+                lb + d + ub for lb, d, ub in zip(lower, spatial_domain, upper)
+            )
+            spatial_shape = array.shape[: field_info.domain_ndim]
+            if any(s < m for s, m in zip(spatial_shape, min_shape)):
+                raise ValueError(
+                    f"Shape of field {name} is {tuple(array.shape)} but must be at "
+                    f"least {min_shape} for given domain and origin."
+                )
+
+        for name, parameter_info in self.parameter_info.items():
+            if parameter_info.access == AccessKind.NONE:
+                continue
+            if name not in param_args or param_args[name] is None:
+                raise ValueError(f"Missing value for '{name}' parameter.")
+            value = param_args[name]
+            if np.dtype(type(value)) != parameter_info.dtype:
+                raise TypeError(
+                    f"The type of parameter '{name}' is '{type(value)}' instead of "
+                    f"'{parameter_info.dtype}'"
+                )
+
+    # -- call path ----------------------------------------------------------
+
+    def __call__(
+        self,
+        *args,
+        domain=None,
+        origin=None,
+        validate_args: bool = True,
+        exec_info: Optional[dict] = None,
+        **kwargs,
+    ) -> None:
+        if exec_info is not None:
+            exec_info["call_start_time"] = time.perf_counter()
+        bound = self._signature.bind(*args, **kwargs)
+        bound.apply_defaults()
+        field_args = {
+            name: bound.arguments.get(name) for name in self.field_info
+        }
+        param_args = {
+            name: bound.arguments.get(name) for name in self.parameter_info
+        }
+        self._call_run(
+            field_args,
+            param_args,
+            domain,
+            origin,
+            validate_args=validate_args,
+            exec_info=exec_info,
+        )
+
+    def _call_run(
+        self,
+        field_args,
+        param_args,
+        domain,
+        origin,
+        *,
+        validate_args: bool = True,
+        exec_info: Optional[dict] = None,
+    ) -> None:
+        if exec_info is not None:
+            exec_info["call_run_start_time"] = time.perf_counter()
+
+        arg_infos = {
+            name: (_arg_info(v) if v is not None else None)
+            for name, v in field_args.items()
+        }
+        used_infos = {
+            n: i
+            for n, i in arg_infos.items()
+            if self.field_info[n].access != AccessKind.NONE and i is not None
+        }
+        origins = self._normalize_origins(used_infos, origin)
+        if domain is None:
+            domain = self._get_max_domain(used_infos, origins)
+        domain = tuple(int(d) for d in domain)
+
+        if validate_args:
+            self._validate_args(used_infos, param_args, domain, origins)
+
+        self._run_backend(used_infos, param_args, domain, origins, exec_info)
+
+        if exec_info is not None:
+            exec_info["call_run_end_time"] = time.perf_counter()
+
+    def _run_backend(self, used_infos, param_args, domain, origins, exec_info) -> None:
+        import jax.numpy as jnp
+
+        kind = self._backend.array_kind
+        arrays = {}
+        for name, info in used_infos.items():
+            if kind == "jax":
+                arrays[name] = (
+                    info.array
+                    if not isinstance(info.array, np.ndarray)
+                    else jnp.asarray(info.array)
+                )
+            else:
+                arr = np.asarray(info.array)
+                if not arr.flags.writeable:
+                    arr = arr.copy()  # JAX buffers are read-only views
+                arrays[name] = arr
+
+        scalars = {}
+        for name, pinfo in self.parameter_info.items():
+            if pinfo.access == AccessKind.NONE:
+                continue
+            value = param_args.get(name)
+            scalars[name] = np.asarray(value, dtype=pinfo.dtype)[()]
+
+        origins3: dict[str, tuple[int, int, int]] = {}
+        for name, info in used_infos.items():
+            finfo = self.field_info[name]
+            mask = finfo.domain_mask
+            o = list(origins[name][: finfo.domain_ndim])
+            full = [0, 0, 0]
+            pos = 0
+            for ax in range(3):
+                if mask[ax]:
+                    full[ax] = o[pos]
+                    pos += 1
+            origins3[name] = tuple(full)
+
+        if exec_info is not None:
+            exec_info["run_start_time"] = time.perf_counter()
+        results = self._backend.run(arrays, scalars, domain, origins3)
+        if exec_info is not None:
+            exec_info["run_end_time"] = time.perf_counter()
+
+        # Write results back into the passed objects.
+        for name, new_array in results.items():
+            info = used_infos[name]
+            original = info.original
+            if isinstance(original, Storage):
+                import jax.numpy as jnp
+
+                original.array = (
+                    jnp.asarray(new_array)
+                    if isinstance(new_array, np.ndarray)
+                    else new_array
+                )
+            elif isinstance(original, np.ndarray):
+                np.copyto(original, np.asarray(new_array))
+            else:
+                raise TypeError(
+                    f"Field '{name}' is written by stencil '{self.name}' but was "
+                    f"passed as an immutable {type(original).__name__}; pass a "
+                    "gt4py_tpu.storage Storage (or a NumPy array) instead."
+                )
+
+    def run(self, *, _domain_, _origin_, exec_info=None, **kwargs) -> None:
+        """Low-level entry point (reference generated-module contract,
+        backend/python_common.py:34-37): no validation, explicit domain and
+        per-field origins."""
+        field_args = {name: kwargs.get(name) for name in self.field_info}
+        param_args = {name: kwargs.get(name) for name in self.parameter_info}
+        self._call_run(
+            field_args,
+            param_args,
+            _domain_,
+            _origin_,
+            validate_args=False,
+            exec_info=exec_info,
+        )
+
+    def freeze(self, *, origin, domain) -> "FrozenStencil":
+        return FrozenStencil(self, origin, domain)
+
+    def __repr__(self) -> str:
+        return f"<StencilObject {self.name} backend={self.backend}>"
+
+
+class FrozenStencil:
+    """Stencil with pre-validated origin/domain: skips all per-call
+    normalization (reference stencil_object.py:95)."""
+
+    def __init__(self, stencil_object: StencilObject, origin, domain):
+        self.stencil_object = stencil_object
+        self.origin = (
+            origin
+            if isinstance(origin, dict)
+            else {name: tuple(origin) for name in stencil_object.field_info}
+        )
+        self.domain = tuple(domain)
+
+    def __call__(self, **kwargs) -> None:
+        field_args = {
+            name: kwargs.get(name) for name in self.stencil_object.field_info
+        }
+        param_args = {
+            name: kwargs.get(name) for name in self.stencil_object.parameter_info
+        }
+        self.stencil_object._call_run(
+            field_args,
+            param_args,
+            self.domain,
+            self.origin,
+            validate_args=False,
+        )

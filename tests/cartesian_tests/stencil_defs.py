@@ -1,0 +1,308 @@
+"""Canonical stencil definitions + NumPy validation oracles.
+
+Mirrors the reference's registry pattern
+(/root/reference/tests/cartesian_tests/integration_tests/multi_feature_tests/
+stencil_definitions.py): each stencil has a matching hand-written NumPy
+``validate_*`` function used as the independent correctness oracle.
+"""
+
+import numpy as np
+
+from gt4py_tpu.cartesian import gtscript
+from gt4py_tpu.cartesian.gtscript import (
+    BACKWARD,
+    FORWARD,
+    PARALLEL,
+    computation,
+    interval,
+    sqrt,
+)
+
+Field3D = gtscript.Field[np.float64]
+Field2D = gtscript.Field[gtscript.IJ, np.float64]
+
+
+def copy_stencil(field_a: Field3D, field_b: Field3D):
+    with computation(PARALLEL), interval(...):
+        field_b = field_a[0, 0, 0]
+
+
+def arithmetic_ops(field_a: Field3D, field_b: Field3D):
+    with computation(PARALLEL), interval(...):
+        field_a = (((((field_b + 42.0) - 42.0) * +42.0) / -42.0) % 42.0) ** 2
+
+
+def validate_arithmetic_ops(field_b):
+    return (((((field_b + 42.0) - 42.0) * +42.0) / -42.0) % 42.0) ** 2
+
+
+def scalar_inputs(field_a: Field3D, scalar_in: float):
+    with computation(PARALLEL), interval(...):
+        field_a = field_a * scalar_in
+
+
+@gtscript.function
+def _fn_sqrt_abs(b):
+    return sqrt(abs(b[0, 0, 0]))
+
+
+def function_call(field_a: Field3D, field_b: Field3D):
+    with computation(PARALLEL), interval(...):
+        field_b = _fn_sqrt_abs(field_a) + 1.0
+
+
+def validate_function_call(field_a):
+    return np.sqrt(np.abs(field_a)) + 1.0
+
+
+def temporary_stencil(field_a: Field3D, field_b: Field2D, scalar_in: float):
+    with computation(PARALLEL), interval(...):
+        tmp = field_a * scalar_in
+
+    with computation(FORWARD), interval(0, 1):
+        field_b += tmp
+
+
+def runtime_if(field_a: Field3D, field_b: Field3D):
+    with computation(BACKWARD), interval(...):
+        if field_a > 0.0:
+            field_b = -1
+            field_a = -field_a
+        else:
+            field_b = 1
+            field_a = field_a
+
+
+def validate_runtime_if(field_a):
+    field_b = np.where(field_a > 0.0, -1.0, 1.0)
+    new_a = np.where(field_a > 0.0, -field_a, field_a)
+    return new_a, field_b
+
+
+def while_stencil(field_a: Field3D, field_b: Field3D):
+    with computation(BACKWARD), interval(...):
+        while field_a > 2.0:
+            field_b = -1
+            field_a = -field_b
+
+
+def validate_while(field_a, field_b):
+    a = field_a.copy()
+    b = field_b.copy()
+    mask = a > 2.0
+    while mask.any():
+        b[mask] = -1
+        a[mask] = 1.0
+        mask = a > 2.0
+    return a, b
+
+
+def horizontal_diffusion(in_field: Field3D, out_field: Field3D, coeff: Field3D):
+    with computation(PARALLEL), interval(...):
+        lap_field = 4.0 * in_field[0, 0, 0] - (
+            in_field[1, 0, 0] + in_field[-1, 0, 0] + in_field[0, 1, 0] + in_field[0, -1, 0]
+        )
+        res = lap_field[1, 0, 0] - lap_field[0, 0, 0]
+        flx_field = 0 if (res * (in_field[1, 0, 0] - in_field[0, 0, 0])) > 0 else res
+        res = lap_field[0, 1, 0] - lap_field[0, 0, 0]
+        fly_field = 0 if (res * (in_field[0, 1, 0] - in_field[0, 0, 0])) > 0 else res
+        out_field = in_field[0, 0, 0] - coeff[0, 0, 0] * (
+            flx_field[0, 0, 0] - flx_field[-1, 0, 0] + fly_field[0, 0, 0] - fly_field[0, -1, 0]
+        )
+
+
+def validate_horizontal_diffusion(in_field, coeff):
+    """NumPy oracle for hdiff over the interior [2:-2, 2:-2]."""
+    lap = 4.0 * in_field[1:-1, 1:-1] - (
+        in_field[2:, 1:-1] + in_field[:-2, 1:-1] + in_field[1:-1, 2:] + in_field[1:-1, :-2]
+    )
+    res1 = lap[1:, 1:-1] - lap[:-1, 1:-1]
+    flx = np.where(res1 * (in_field[2:-1, 2:-2] - in_field[1:-2, 2:-2]) > 0, 0.0, res1)
+    res2 = lap[1:-1, 1:] - lap[1:-1, :-1]
+    fly = np.where(res2 * (in_field[2:-2, 2:-1] - in_field[2:-2, 1:-2]) > 0, 0.0, res2)
+    return in_field[2:-2, 2:-2] - coeff[2:-2, 2:-2] * (
+        flx[1:, :] - flx[:-1, :] + fly[:, 1:] - fly[:, :-1]
+    )
+
+
+def tridiagonal_solver(inf: Field3D, diag: Field3D, sup: Field3D, rhs: Field3D, out: Field3D):
+    with computation(FORWARD):
+        with interval(0, 1):
+            sup = sup / diag
+            rhs = rhs / diag
+        with interval(1, None):
+            sup = sup / (diag - sup[0, 0, -1] * inf)
+            rhs = (rhs - inf * rhs[0, 0, -1]) / (diag - sup[0, 0, -1] * inf)
+    with computation(BACKWARD):
+        with interval(-1, None):
+            out = rhs
+        with interval(0, -1):
+            out = rhs - sup * out[0, 0, 1]
+
+
+def validate_tridiagonal_solver(inf, diag, sup, rhs):
+    """Thomas algorithm column-by-column (oracle)."""
+    ni, nj, nk = inf.shape
+    out = np.zeros_like(rhs)
+    for i in range(ni):
+        for j in range(nj):
+            a, b, c, d = inf[i, j], diag[i, j].copy(), sup[i, j].copy(), rhs[i, j].copy()
+            c[0] = c[0] / b[0]
+            d[0] = d[0] / b[0]
+            for k in range(1, nk):
+                m = b[k] - c[k - 1] * a[k]
+                c[k] = c[k] / m
+                d[k] = (d[k] - a[k] * d[k - 1]) / m
+            out[i, j, nk - 1] = d[nk - 1]
+            for k in range(nk - 2, -1, -1):
+                out[i, j, k] = d[k] - c[k] * out[i, j, k + 1]
+    return out
+
+
+def vertical_advection_dycore(
+    utens_stage: Field3D,
+    u_stage: Field3D,
+    wcon: Field3D,
+    u_pos: Field3D,
+    utens: Field3D,
+    *,
+    dtr_stage: float,
+):
+    from __externals__ import BET_M, BET_P
+
+    with computation(FORWARD):
+        with interval(0, 1):
+            gcv = 0.25 * (wcon[1, 0, 1] + wcon[0, 0, 1])
+            cs = gcv * BET_M
+
+            ccol = gcv * BET_P
+            bcol = dtr_stage - ccol[0, 0, 0]
+
+            correction_term = -cs * (u_stage[0, 0, 1] - u_stage[0, 0, 0])
+            dcol = (
+                dtr_stage * u_pos[0, 0, 0] + utens[0, 0, 0] + utens_stage[0, 0, 0] + correction_term
+            )
+
+            divided = 1.0 / bcol[0, 0, 0]
+            ccol = ccol[0, 0, 0] * divided
+            dcol = dcol[0, 0, 0] * divided
+
+        with interval(1, -1):
+            gav = -0.25 * (wcon[1, 0, 0] + wcon[0, 0, 0])
+            gcv = 0.25 * (wcon[1, 0, 1] + wcon[0, 0, 1])
+
+            as_ = gav * BET_M
+            cs = gcv * BET_M
+
+            acol = gav * BET_P
+            ccol = gcv * BET_P
+            bcol = dtr_stage - acol[0, 0, 0] - ccol[0, 0, 0]
+
+            correction_term = -as_ * (u_stage[0, 0, -1] - u_stage[0, 0, 0]) - cs * (
+                u_stage[0, 0, 1] - u_stage[0, 0, 0]
+            )
+            dcol = (
+                dtr_stage * u_pos[0, 0, 0] + utens[0, 0, 0] + utens_stage[0, 0, 0] + correction_term
+            )
+
+            divided = 1.0 / (bcol[0, 0, 0] - ccol[0, 0, -1] * acol[0, 0, 0])
+            ccol = ccol[0, 0, 0] * divided
+            dcol = (dcol[0, 0, 0] - (dcol[0, 0, -1]) * acol[0, 0, 0]) * divided
+
+        with interval(-1, None):
+            gav = -0.25 * (wcon[1, 0, 0] + wcon[0, 0, 0])
+            as_ = gav * BET_M
+            acol = gav * BET_P
+            bcol = dtr_stage - acol[0, 0, 0]
+
+            correction_term = -as_ * (u_stage[0, 0, -1] - u_stage[0, 0, 0])
+            dcol = (
+                dtr_stage * u_pos[0, 0, 0] + utens[0, 0, 0] + utens_stage[0, 0, 0] + correction_term
+            )
+
+            divided = 1.0 / (bcol[0, 0, 0] - ccol[0, 0, -1] * acol[0, 0, 0])
+            dcol = (dcol[0, 0, 0] - (dcol[0, 0, -1]) * acol[0, 0, 0]) * divided
+
+    with computation(BACKWARD):
+        with interval(-1, None):
+            datacol = dcol[0, 0, 0]
+            utens_stage = dtr_stage * (datacol - u_pos[0, 0, 0])
+
+        with interval(0, -1):
+            datacol = dcol[0, 0, 0] - ccol[0, 0, 0] * datacol[0, 0, 1]
+            utens_stage = dtr_stage * (datacol - u_pos[0, 0, 0])
+
+
+VADV_EXTERNALS = {"BET_M": 0.5, "BET_P": 0.5}
+
+
+def validate_vertical_advection_dycore(utens_stage, u_stage, wcon, u_pos, utens, dtr_stage):
+    """NumPy column-wise oracle for the vadv Thomas solve (domain excludes
+    the last I row: wcon is read at [1, 0, *])."""
+    BET_M, BET_P = 0.5, 0.5
+    ni, nj, nk = u_stage.shape
+    ni_d = ni - 1
+    out = utens_stage.copy()
+    for i in range(ni_d):
+        for j in range(nj):
+            ccol = np.zeros(nk)
+            dcol = np.zeros(nk)
+            # k = 0
+            gcv = 0.25 * (wcon[i + 1, j, 1] + wcon[i, j, 1])
+            cs = gcv * BET_M
+            ccol[0] = gcv * BET_P
+            bcol = dtr_stage - ccol[0]
+            corr = -cs * (u_stage[i, j, 1] - u_stage[i, j, 0])
+            dcol[0] = (
+                dtr_stage * u_pos[i, j, 0] + utens[i, j, 0] + utens_stage[i, j, 0] + corr
+            )
+            divided = 1.0 / bcol
+            ccol[0] *= divided
+            dcol[0] *= divided
+            # interior
+            for k in range(1, nk - 1):
+                gav = -0.25 * (wcon[i + 1, j, k] + wcon[i, j, k])
+                gcv = 0.25 * (wcon[i + 1, j, k + 1] + wcon[i, j, k + 1])
+                as_ = gav * BET_M
+                cs = gcv * BET_M
+                acol = gav * BET_P
+                ccol[k] = gcv * BET_P
+                bcol = dtr_stage - acol - ccol[k]
+                corr = -as_ * (u_stage[i, j, k - 1] - u_stage[i, j, k]) - cs * (
+                    u_stage[i, j, k + 1] - u_stage[i, j, k]
+                )
+                dcol[k] = (
+                    dtr_stage * u_pos[i, j, k] + utens[i, j, k] + utens_stage[i, j, k] + corr
+                )
+                divided = 1.0 / (bcol - ccol[k - 1] * acol)
+                ccol[k] *= divided
+                dcol[k] = (dcol[k] - dcol[k - 1] * acol) * divided
+            # k = nk-1
+            k = nk - 1
+            gav = -0.25 * (wcon[i + 1, j, k] + wcon[i, j, k])
+            as_ = gav * BET_M
+            acol = gav * BET_P
+            bcol = dtr_stage - acol
+            corr = -as_ * (u_stage[i, j, k - 1] - u_stage[i, j, k])
+            dcol[k] = (
+                dtr_stage * u_pos[i, j, k] + utens[i, j, k] + utens_stage[i, j, k] + corr
+            )
+            divided = 1.0 / (bcol - ccol[k - 1] * acol)
+            dcol[k] = (dcol[k] - dcol[k - 1] * acol) * divided
+            # backward
+            datacol = dcol[nk - 1]
+            out[i, j, nk - 1] = dtr_stage * (datacol - u_pos[i, j, nk - 1])
+            for k in range(nk - 2, -1, -1):
+                datacol = dcol[k] - ccol[k] * datacol
+                out[i, j, k] = dtr_stage * (datacol - u_pos[i, j, k])
+    return out[:ni_d]
+
+
+def large_k_interval(in_field: Field3D, out_field: Field3D):
+    with computation(PARALLEL):
+        with interval(0, 6):
+            out_field = in_field
+        with interval(6, -10):
+            out_field = in_field + 1
+        with interval(-10, None):
+            out_field = in_field

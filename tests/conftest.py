@@ -1,0 +1,10 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so the
+multi-chip sharding paths are testable without TPU hardware (the driver
+separately dry-runs the multi-chip path; benches run on the real chip)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
