@@ -977,12 +977,21 @@ def _collect_annotations(definition: Callable, fn_ast: ast.FunctionDef, env: dic
     for name, ann in raw.items():
         if name == "return":
             continue
-        if isinstance(ann, str):
+        # With `from __future__ import annotations` every annotation is a
+        # string; a doubly-quoted one ('"name"') evaluates to a string that
+        # must be resolved once more (unless it is a dtypes-dict key).
+        for _ in range(2):
+            if not isinstance(ann, str):
+                break
             try:
-                ann = eval(ann, {"__builtins__": __builtins__}, dict(env))
+                value = eval(ann, {"__builtins__": __builtins__}, dict(env))
             except Exception as ex:
                 raise GTScriptDefinitionError(
                     f"Cannot resolve annotation '{ann}' for parameter '{name}': {ex}"
                 ) from ex
+            if isinstance(value, str) and value not in env:
+                ann = value
+                continue
+            ann = value
         resolved[name] = ann
     return resolved

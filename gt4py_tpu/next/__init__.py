@@ -1,0 +1,43 @@
+"""gt4py_tpu.next — declarative field-view DSL on JAX.
+
+TPU-native counterpart of ``gt4py.next`` (reference
+/root/reference/src/gt4py/next/): Dimension/Domain/Field model,
+@field_operator / @scan_operator / @program entry points, neighbor
+reductions over connectivities. The embedded JAX execution path is primary
+(fields are pytrees; operators jit-compile whole), replacing the
+reference's FOAST→ITIR→C++/DaCe toolchain with XLA.
+"""
+
+from gt4py_tpu.next.common import (  # noqa: F401
+    Connectivity,
+    Dimension,
+    DimensionKind,
+    Domain,
+    FieldOffset,
+    GridType,
+    NamedRange,
+    UnitRange,
+    domain,
+)
+from gt4py_tpu.next.constructors import (  # noqa: F401
+    as_connectivity,
+    as_field,
+    empty,
+    full,
+    ones,
+    zeros,
+)
+from gt4py_tpu.next.decorators import (  # noqa: F401
+    field_operator,
+    program,
+    scan_operator,
+)
+from gt4py_tpu.next.embedded import Field  # noqa: F401
+from gt4py_tpu.next.fbuiltins import (  # noqa: F401
+    astype,
+    broadcast,
+    max_over,
+    min_over,
+    neighbor_sum,
+    where,
+)

@@ -1,0 +1,244 @@
+"""Field-view core model: dimensions, ranges, domains, connectivities.
+
+TPU-native counterpart of the reference's ``gt4py.next.common``
+(/root/reference/src/gt4py/next/common.py:79,197,433,749,991): the same
+concepts — ``Dimension`` (HORIZONTAL/VERTICAL/LOCAL), ``UnitRange``,
+``Domain``, ``Field``, ``Connectivity`` — with the single concrete field
+implementation living on JAX arrays (embedded/field.py). The reference's
+own JAX field (nd_array_field.py:1062) validates this choice; here it is
+the primary (not alternative) implementation, and whole field-operator
+programs jit-compile because fields are pytrees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Iterator, Optional, Sequence, Union
+
+
+class DimensionKind(enum.Enum):
+    HORIZONTAL = "horizontal"
+    VERTICAL = "vertical"
+    LOCAL = "local"
+
+
+@dataclasses.dataclass(frozen=True)
+class Dimension:
+    value: str
+    kind: DimensionKind = DimensionKind.HORIZONTAL
+
+    def __str__(self) -> str:
+        return f"{self.value}[{self.kind.value}]"
+
+    # Convenience for building domains: IDim(10) or IDim(range)
+    def __call__(self, rng: Union[int, "UnitRange", range, tuple]) -> "NamedRange":
+        return NamedRange(self, UnitRange.from_value(rng))
+
+
+# Sentinel bounds for unbounded ranges (reference common.py:159 Infinity).
+_NEG_INF = -(2**62)
+_POS_INF = 2**62
+
+
+@dataclasses.dataclass(frozen=True)
+class UnitRange:
+    """Half-open integer range [start, stop) (reference common.py:197);
+    may be unbounded on either side (broadcast placeholder ranges)."""
+
+    start: int
+    stop: int
+
+    def __post_init__(self):
+        if self.stop < self.start:
+            object.__setattr__(self, "stop", self.start)
+
+    @classmethod
+    def infinite(cls) -> "UnitRange":
+        return cls(_NEG_INF, _POS_INF)
+
+    @property
+    def is_finite(self) -> bool:
+        return self.start > _NEG_INF and self.stop < _POS_INF
+
+    @classmethod
+    def from_value(cls, value: Union[int, "UnitRange", range, tuple]) -> "UnitRange":
+        if isinstance(value, UnitRange):
+            return value
+        if isinstance(value, int):
+            return cls(0, value)
+        if isinstance(value, range):
+            if value.step != 1:
+                raise ValueError("UnitRange requires step 1")
+            return cls(value.start, value.stop)
+        if isinstance(value, tuple) and len(value) == 2:
+            return cls(int(value[0]), int(value[1]))
+        raise TypeError(f"Cannot build UnitRange from {value!r}")
+
+    def __len__(self) -> int:
+        return max(0, self.stop - self.start)
+
+    def __contains__(self, value: int) -> bool:
+        return self.start <= value < self.stop
+
+    def intersection(self, other: "UnitRange") -> "UnitRange":
+        return UnitRange(max(self.start, other.start), min(self.stop, other.stop))
+
+    def shifted(self, offset: int) -> "UnitRange":
+        return UnitRange(self.start + offset, self.stop + offset)
+
+    def __str__(self) -> str:
+        return f"({self.start}:{self.stop})"
+
+
+@dataclasses.dataclass(frozen=True)
+class NamedRange:
+    dim: Dimension
+    unit_range: UnitRange
+
+    def __str__(self) -> str:
+        return f"{self.dim.value}={self.unit_range}"
+
+
+@dataclasses.dataclass(frozen=True)
+class Domain:
+    """Ordered set of named ranges (reference common.py:433)."""
+
+    ranges: tuple[NamedRange, ...] = ()
+
+    @classmethod
+    def from_sizes(cls, **sizes: Any) -> "Domain":
+        raise TypeError("Use domain(dim=size, ...) helper with Dimension objects")
+
+    @property
+    def dims(self) -> tuple[Dimension, ...]:
+        return tuple(r.dim for r in self.ranges)
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return tuple(len(r.unit_range) for r in self.ranges)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.ranges)
+
+    def __iter__(self) -> Iterator[NamedRange]:
+        return iter(self.ranges)
+
+    def __getitem__(self, dim: Union[int, Dimension]) -> NamedRange:
+        if isinstance(dim, int):
+            return self.ranges[dim]
+        for r in self.ranges:
+            if r.dim == dim:
+                return r
+        raise KeyError(f"Dimension {dim} not in domain {self}")
+
+    def index(self, dim: Dimension) -> int:
+        for i, r in enumerate(self.ranges):
+            if r.dim == dim:
+                return i
+        raise KeyError(f"Dimension {dim} not in domain {self}")
+
+    def __contains__(self, dim: Dimension) -> bool:
+        return any(r.dim == dim for r in self.ranges)
+
+    def intersection(self, other: "Domain") -> "Domain":
+        """Promote to the union of dims; intersect ranges of shared dims
+        (reference broadcast/intersection semantics, common.py:1367)."""
+        ranges = []
+        for r in self.ranges:
+            if r.dim in other:
+                o = other[r.dim]
+                ranges.append(NamedRange(r.dim, r.unit_range.intersection(o.unit_range)))
+            else:
+                ranges.append(r)
+        for o in other.ranges:
+            if o.dim not in self:
+                ranges.append(o)
+        return Domain(tuple(ranges))
+
+    def replace(self, dim: Dimension, *new: NamedRange) -> "Domain":
+        idx = self.index(dim)
+        return Domain(self.ranges[:idx] + tuple(new) + self.ranges[idx + 1:])
+
+    def __str__(self) -> str:
+        return "Domain(" + ", ".join(str(r) for r in self.ranges) + ")"
+
+
+def domain(spec: Union[dict, Sequence[NamedRange], Domain]) -> Domain:
+    """Build a Domain from {dim: size-or-(start, stop)} or NamedRanges
+    (reference common.py domain constructor)."""
+    if isinstance(spec, Domain):
+        return spec
+    if isinstance(spec, dict):
+        return Domain(
+            tuple(NamedRange(d, UnitRange.from_value(v)) for d, v in spec.items())
+        )
+    return Domain(tuple(spec))
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldOffset:
+    """Named offset usable in field-operator shifts (reference
+    fbuiltins.py:466): cartesian (``Ioff[1]``) when source dim == target
+    dim, unstructured (``E2V``) when it maps via a connectivity."""
+
+    value: str
+    source: Dimension
+    target: tuple[Dimension, ...]
+
+    def __getitem__(self, index: int) -> "OffsetIndex":
+        return OffsetIndex(self, index)
+
+    def __str__(self) -> str:
+        return self.value
+
+
+@dataclasses.dataclass(frozen=True)
+class OffsetIndex:
+    offset: FieldOffset
+    index: int
+
+
+class Connectivity:
+    """Neighbor table: for each element of ``source_dim`` up to
+    ``max_neighbors`` indices into ``codomain`` (reference common.py:991).
+    ``skip_value`` marks missing neighbors."""
+
+    def __init__(
+        self,
+        table: Any,
+        *,
+        domain_dims: tuple[Dimension, Dimension],
+        codomain: Dimension,
+        skip_value: Optional[int] = None,
+    ):
+        import jax.numpy as jnp
+
+        self.table = jnp.asarray(table)
+        self.domain_dims = domain_dims  # (source dim, local neighbor dim)
+        self.codomain = codomain
+        self.skip_value = skip_value
+
+    @property
+    def source_dim(self) -> Dimension:
+        return self.domain_dims[0]
+
+    @property
+    def neighbor_dim(self) -> Dimension:
+        return self.domain_dims[1]
+
+    @property
+    def max_neighbors(self) -> int:
+        return self.table.shape[1]
+
+    def __repr__(self) -> str:
+        return (
+            f"Connectivity({self.source_dim.value}->{self.codomain.value}, "
+            f"shape={tuple(self.table.shape)}, skip_value={self.skip_value})"
+        )
+
+
+class GridType(enum.Enum):
+    CARTESIAN = "cartesian"
+    UNSTRUCTURED = "unstructured"

@@ -1,0 +1,252 @@
+"""Field-view entry points: @field_operator, @scan_operator, @program.
+
+Counterpart of the reference's ``gt4py.next.ffront.decorator``
+(/root/reference/src/gt4py/next/ffront/decorator.py:749,825,515). The
+reference parses these functions into FOAST/PAST and compiles via ITIR to
+C++/DaCe; here the embedded JAX path *is* the compiled path: the definition
+executes on pytree Fields, optionally under ``jax.jit`` (``backend="jax"``,
+the default), so XLA sees the whole program. ``backend=None`` runs eagerly
+for debugging — same numerics, no compilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Sequence, Union
+
+import numpy as np
+
+from gt4py_tpu.next.common import Dimension, Domain, NamedRange, UnitRange
+from gt4py_tpu.next.embedded import Field, offset_provider_context
+
+
+def _write_out(result: Any, out: Any, domain: Optional[Domain]) -> None:
+    """Write an operator result into the ``out`` field(s) (functional
+    rebind of the underlying array, restricted to the out/result domain
+    intersection, or to ``domain`` if given)."""
+    if isinstance(result, tuple):
+        if not isinstance(out, tuple) or len(out) != len(result):
+            raise ValueError("Mismatched tuple outputs")
+        for r, o in zip(result, out):
+            _write_out(r, o, domain)
+        return
+    assert isinstance(result, Field) and isinstance(out, Field)
+    import jax.numpy as jnp
+
+    target = out.domain
+    if domain is not None:
+        target = domain
+    # Restrict the result to the target domain.
+    slices = []
+    for nr in target.ranges:
+        if nr.dim not in result.domain:
+            raise ValueError(
+                f"Output dimension {nr.dim} missing from result {result.domain}"
+            )
+        rr = result.domain[nr.dim].unit_range
+        slices.append(slice(nr.unit_range.start - rr.start, nr.unit_range.stop - rr.start))
+    perm = [result.domain.index(nr.dim) for nr in target.ranges]
+    arr = result.ndarray
+    if perm != sorted(perm):
+        arr = arr.transpose(perm)
+        arr = arr[tuple(slices[i] for i in range(len(slices)))]
+    else:
+        arr = arr[tuple(slices)]
+    value = arr.astype(out.dtype)
+    if domain is not None and target is not out.domain:
+        # Partial write: update the sub-block of out.
+        out_slices = tuple(
+            slice(
+                nr.unit_range.start - out.domain[nr.dim].unit_range.start,
+                nr.unit_range.stop - out.domain[nr.dim].unit_range.start,
+            )
+            for nr in target.ranges
+        )
+        out.ndarray = jnp.asarray(out.ndarray).at[out_slices].set(value)
+    else:
+        out.ndarray = jnp.asarray(value)
+
+
+@dataclasses.dataclass
+class FieldOperator:
+    """Callable field operator (reference decorator.py:561)."""
+
+    definition: Callable
+    backend: Optional[str] = "jax"
+    _jitted: Optional[Callable] = None
+
+    def with_backend(self, backend: Optional[str]) -> "FieldOperator":
+        return FieldOperator(self.definition, backend)
+
+    def __call__(
+        self,
+        *args,
+        out: Any = None,
+        offset_provider: Optional[dict] = None,
+        domain: Optional[Union[Domain, dict]] = None,
+        **kwargs,
+    ):
+        if out is None:
+            # Called from inside another field operator: plain application.
+            return self.definition(*args, **kwargs)
+        from gt4py_tpu.next.common import domain as make_domain
+
+        dom = make_domain(domain) if domain is not None else None
+        with offset_provider_context(offset_provider):
+            if self.backend == "jax":
+                if self._jitted is None:
+                    import jax
+
+                    self._jitted = jax.jit(
+                        functools.partial(self.definition, **kwargs)
+                        if kwargs
+                        else self.definition
+                    )
+                result = self._jitted(*args)
+            else:
+                result = self.definition(*args, **kwargs)
+            _write_out(result, out, dom)
+
+    def __get__(self, obj, objtype=None):
+        return self
+
+
+def field_operator(definition: Optional[Callable] = None, *, backend: str | None = "jax"):
+    """Declare a field operator (reference decorator.py:749)."""
+
+    def wrap(fn):
+        return functools.wraps(fn)(FieldOperator(fn, backend))
+
+    return wrap(definition) if definition is not None else wrap
+
+
+@dataclasses.dataclass
+class ScanOperator:
+    """Vertical scan operator (reference decorator.py:825): the definition
+    is a per-level function ``f(carry, *args) -> carry`` (or tuple carry),
+    executed along ``axis`` with ``lax.scan``, vectorized over all other
+    dimensions."""
+
+    definition: Callable
+    axis: Dimension
+    forward: bool
+    init: Any
+    backend: Optional[str] = "jax"
+
+    def with_backend(self, backend: Optional[str]) -> "ScanOperator":
+        return ScanOperator(self.definition, self.axis, self.forward, self.init, backend)
+
+    def __call__(
+        self,
+        *args,
+        out: Any = None,
+        offset_provider: Optional[dict] = None,
+        domain: Optional[Union[Domain, dict]] = None,
+        **kwargs,
+    ):
+        with offset_provider_context(offset_provider):
+            result = self._apply(args, kwargs)
+        if out is None:
+            return result
+        from gt4py_tpu.next.common import domain as make_domain
+
+        dom = make_domain(domain) if domain is not None else None
+        _write_out(result, out, dom)
+        return None
+
+    def _apply(self, args, kwargs):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        field_args = [a for a in args if isinstance(a, Field)]
+        if not field_args:
+            raise ValueError("scan operator requires at least one Field argument")
+        # Common domain: promote all field args.
+        from gt4py_tpu.next.embedded import _promote_dims
+
+        dims = field_args[0].dims
+        for f in field_args[1:]:
+            dims = _promote_dims(dims, f.dims)
+        if self.axis not in dims:
+            raise ValueError(f"scan axis {self.axis} not present in arguments")
+        ref = field_args[0]
+        aligned = []
+        dom = None
+        for a in args:
+            if isinstance(a, Field):
+                d, arr = a._aligned(dims, ref)
+                dom = d if dom is None else dom.intersection(d)
+                aligned.append(arr)
+            else:
+                aligned.append(a)
+        k_axis = dims.index(self.axis)
+        nk = dom.shape[k_axis]
+        non_k_shape = tuple(s for i, s in enumerate(dom.shape) if i != k_axis)
+
+        def body(carry, per_level):
+            new = self.definition(carry, *per_level, **kwargs)
+            return new, new
+
+        def broadcast_init(value):
+            return jnp.broadcast_to(jnp.asarray(value), non_k_shape)
+
+        init = jax.tree_util.tree_map(broadcast_init, self.init)
+
+        scan_xs = tuple(
+            jnp.moveaxis(a, k_axis, 0) if hasattr(a, "ndim") and a.ndim == len(dims) else
+            jnp.broadcast_to(a, (nk,) + non_k_shape)
+            for a in aligned
+        )
+        _, stacked = lax.scan(body, init, scan_xs, reverse=not self.forward)
+        # stacked: pytree of (nk, *non_k_shape)
+
+        def to_field(arr):
+            out = jnp.moveaxis(arr, 0, k_axis)
+            return Field(dom, out)
+
+        return jax.tree_util.tree_map(to_field, stacked)
+
+    def __get__(self, obj, objtype=None):
+        return self
+
+
+def scan_operator(
+    definition: Optional[Callable] = None,
+    *,
+    axis: Dimension,
+    forward: bool = True,
+    init: Any = 0.0,
+    backend: str | None = "jax",
+):
+    """Declare a column scan operator (reference decorator.py:825)."""
+
+    def wrap(fn):
+        return functools.wraps(fn)(ScanOperator(fn, axis, forward, init, backend))
+
+    return wrap(definition) if definition is not None else wrap
+
+
+@dataclasses.dataclass
+class Program:
+    """Declarative program: a function whose body calls field operators
+    with ``out=`` arguments (reference decorator.py:226). Embedded: the
+    body executes directly; operators handle their own jit."""
+
+    definition: Callable
+    backend: Optional[str] = "jax"
+
+    def with_backend(self, backend: Optional[str]) -> "Program":
+        return Program(self.definition, backend)
+
+    def __call__(self, *args, offset_provider: Optional[dict] = None, **kwargs):
+        with offset_provider_context(offset_provider):
+            self.definition(*args, **kwargs)
+
+
+def program(definition: Optional[Callable] = None, *, backend: str | None = "jax"):
+    def wrap(fn):
+        return functools.wraps(fn)(Program(fn, backend))
+
+    return wrap(definition) if definition is not None else wrap

@@ -1,0 +1,427 @@
+"""Embedded field implementation on JAX arrays.
+
+Counterpart of the reference's ``gt4py.next.embedded`` +
+``nd_array_field.py`` (NumPy/CuPy/JAX fields,
+/root/reference/src/gt4py/next/embedded/nd_array_field.py:136,1062).
+Differences by design:
+
+- JAX is the *only* array backend (the reference's ``JaxArrayField`` is a
+  secondary backend there; here it is the implementation),
+- ``Field`` is a registered pytree, so whole field-operator calls compile
+  under ``jax.jit`` — embedded execution is simultaneously the semantic
+  oracle and a fast path (the reference's embedded path is eager
+  NumPy and is orders of magnitude slower than its compiled backends),
+- domain alignment (intersection) and dim promotion happen at trace time
+  (Python), producing pure jnp ops for XLA to fuse.
+"""
+
+from __future__ import annotations
+
+import contextvars
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Union
+
+import numpy as np
+
+from gt4py_tpu.next.common import (
+    Connectivity,
+    Dimension,
+    Domain,
+    FieldOffset,
+    NamedRange,
+    OffsetIndex,
+    UnitRange,
+)
+
+# offset_provider for the current field-operator call (reference:
+# embedded/context.py).
+_OFFSET_PROVIDER: contextvars.ContextVar[Optional[dict]] = contextvars.ContextVar(
+    "offset_provider", default=None
+)
+
+
+def current_offset_provider() -> dict:
+    value = _OFFSET_PROVIDER.get()
+    if value is None:
+        raise RuntimeError(
+            "No offset_provider in context — pass offset_provider={...} to the "
+            "field operator / program call"
+        )
+    return value
+
+
+class offset_provider_context:
+    def __init__(self, provider: Optional[dict]):
+        self.provider = provider or {}
+
+    def __enter__(self):
+        self._token = _OFFSET_PROVIDER.set(self.provider)
+        return self
+
+    def __exit__(self, *args):
+        _OFFSET_PROVIDER.reset(self._token)
+        return False
+
+
+def _promote_dims(a: tuple[Dimension, ...], b: tuple[Dimension, ...]) -> tuple[Dimension, ...]:
+    """Union of dims preserving relative order (reference common.py:1367)."""
+    result = list(a)
+    for d in b:
+        if d not in result:
+            # Insert respecting b's order relative to dims already present.
+            later = [x for x in b[b.index(d) + 1:] if x in result]
+            if later:
+                idx = min(result.index(x) for x in later)
+                result.insert(idx, d)
+            else:
+                result.append(d)
+    return tuple(result)
+
+
+@dataclasses.dataclass
+class Field:
+    """Discrete field over a Domain, backed by a jnp array (one axis per
+    domain dimension). Supports arithmetic, comparison, shifts via
+    ``field(offset)``, and reductions via fbuiltins."""
+
+    domain: Domain
+    ndarray: Any
+    # Validity mask for gathered neighbor values (skip_value handling);
+    # None = all valid. Same shape as ndarray.
+    mask: Any = None
+
+    def __post_init__(self):
+        expected = tuple(
+            1 if not r.unit_range.is_finite else len(r.unit_range)
+            for r in self.domain.ranges
+        )
+        if tuple(self.ndarray.shape) != expected:
+            raise ValueError(
+                f"Array shape {tuple(self.ndarray.shape)} does not match domain "
+                f"{self.domain} shape {expected}"
+            )
+
+    # -- interface ---------------------------------------------------------
+
+    @property
+    def dtype(self):
+        return np.dtype(self.ndarray.dtype)
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return tuple(self.ndarray.shape)
+
+    @property
+    def dims(self) -> tuple[Dimension, ...]:
+        return self.domain.dims
+
+    def asnumpy(self) -> np.ndarray:
+        return np.asarray(self.ndarray)
+
+    def as_scalar(self):
+        if self.domain.ndim != 0:
+            raise ValueError("as_scalar requires a zero-dimensional field")
+        return self.ndarray[()]
+
+    # -- shifts ------------------------------------------------------------
+
+    def __call__(self, offset: Union[OffsetIndex, FieldOffset, "Connectivity"]) -> "Field":
+        """Shift/remap (reference NdArrayField.premap, nd_array_field.py:240)."""
+        if isinstance(offset, OffsetIndex):
+            provider = _OFFSET_PROVIDER.get()
+            mapped = (provider or {}).get(offset.offset.value)
+            if isinstance(mapped, Connectivity):
+                gathered = self._remap_connectivity(mapped)
+                # Partial shift: select the index-th neighbor.
+                return gathered._reduce_index(mapped.neighbor_dim, offset.index)
+            fo = offset.offset
+            is_cartesian = isinstance(mapped, Dimension) or (
+                mapped is None and fo.target == (fo.source,)
+            )
+            if not is_cartesian:
+                raise RuntimeError(
+                    f"Offset '{fo.value}' is unstructured; pass its Connectivity "
+                    "via offset_provider"
+                )
+            return self._shift_cartesian(fo.source, offset.index)
+        if isinstance(offset, FieldOffset):
+            provider = _OFFSET_PROVIDER.get()
+            mapped = (provider or {}).get(offset.value)
+            if mapped is None:
+                raise RuntimeError(
+                    f"Offset '{offset.value}' not found in offset_provider"
+                )
+            if isinstance(mapped, Dimension):
+                raise ValueError(
+                    f"Cartesian offset '{offset.value}' requires an index: use "
+                    f"{offset.value}[n]"
+                )
+            return self._remap_connectivity(mapped)
+        if isinstance(offset, Connectivity):
+            return self._remap_connectivity(offset)
+        raise TypeError(f"Cannot shift by {offset!r}")
+
+    def _shift_cartesian(self, dim: Dimension, index: int) -> "Field":
+        """out(i) = self(i + index)  ⇔ domain range shifted by -index."""
+        nr = self.domain[dim]
+        new_range = NamedRange(dim, nr.unit_range.shifted(-index))
+        return Field(self.domain.replace(dim, new_range), self.ndarray, self.mask)
+
+    def _remap_connectivity(self, conn: Connectivity) -> "Field":
+        import jax.numpy as jnp
+
+        if self.domain.ndim == 0 or conn.codomain not in self.domain:
+            raise ValueError(
+                f"Field over {self.domain} cannot be remapped via {conn!r}"
+            )
+        axis = self.domain.index(conn.codomain)
+        table = conn.table
+        own_start = self.domain[conn.codomain].unit_range.start
+        idx = table - own_start
+        safe_idx = jnp.clip(idx, 0, self.ndarray.shape[axis] - 1)
+        gathered = jnp.take(self.ndarray, safe_idx, axis=axis)
+        # gathered axes: dims[:axis] + (source, neighbor) + dims[axis+1:]
+        new_ranges = (
+            self.domain.ranges[:axis]
+            + (
+                NamedRange(conn.source_dim, UnitRange(0, table.shape[0])),
+                NamedRange(conn.neighbor_dim, UnitRange(0, table.shape[1])),
+            )
+            + self.domain.ranges[axis + 1:]
+        )
+        mask = None
+        if conn.skip_value is not None:
+            valid = (table != conn.skip_value).reshape(
+                (1,) * axis + table.shape + (1,) * (self.ndarray.ndim - axis - 1)
+            )
+            mask = jnp.broadcast_to(valid, gathered.shape)
+        # Move the (source, neighbor) axes to the front (reference puts the
+        # new source dim where the codomain dim was; keep in place).
+        return Field(Domain(new_ranges), gathered, mask)
+
+    def _reduce_index(self, dim: Dimension, index: int) -> "Field":
+        axis = self.domain.index(dim)
+        taken = self.ndarray.take(index, axis=axis)
+        mask = self.mask.take(index, axis=axis) if self.mask is not None else None
+        return Field(
+            Domain(self.domain.ranges[:axis] + self.domain.ranges[axis + 1:]),
+            taken,
+            mask,
+        )
+
+    # -- restriction -------------------------------------------------------
+
+    def __getitem__(self, item) -> "Field":
+        """Domain restriction (reference NdArrayField.restrict :378)."""
+        if not isinstance(item, tuple):
+            item = (item,)
+        ranges = list(self.domain.ranges)
+        slices = [slice(None)] * self.domain.ndim
+        for entry in item:
+            if isinstance(entry, NamedRange):
+                axis = self.domain.index(entry.dim)
+                own = self.domain.ranges[axis].unit_range
+                rel = slice(
+                    entry.unit_range.start - own.start,
+                    entry.unit_range.stop - own.start,
+                )
+                slices[axis] = rel
+                ranges[axis] = entry
+            else:
+                raise TypeError(f"Invalid restriction: {entry!r}")
+        return Field(
+            Domain(tuple(ranges)),
+            self.ndarray[tuple(slices)],
+            self.mask[tuple(slices)] if self.mask is not None else None,
+        )
+
+    # -- arithmetic --------------------------------------------------------
+
+    def _binary(self, other, op) -> "Field":
+        import jax.numpy as jnp
+
+        if isinstance(other, Field):
+            dims = _promote_dims(self.dims, other.dims)
+            dom, a = self._aligned(dims, other)
+            _, b = other._aligned(dims, self)
+            result = op(a, b)
+            mask = _combine_masks(jnp, self, other, dims)
+            return Field(dom, result, mask)
+        result = op(self.ndarray, other)
+        return Field(self.domain, result, self.mask)
+
+    def _rbinary(self, other, op) -> "Field":
+        result = op(other, self.ndarray)
+        return Field(self.domain, result, self.mask)
+
+    def _aligned(self, dims: tuple[Dimension, ...], other: "Field"):
+        """Slice to the intersected domain over ``dims`` and broadcast-insert
+        missing axes; returns (target domain, array)."""
+        target_ranges = []
+        for d in dims:
+            if d in self.domain and d in other.domain:
+                r = self.domain[d].unit_range.intersection(other.domain[d].unit_range)
+            elif d in self.domain:
+                r = self.domain[d].unit_range
+            else:
+                r = other.domain[d].unit_range
+            target_ranges.append(NamedRange(d, r))
+        dom = Domain(tuple(target_ranges))
+
+        arr = self.ndarray
+        # Slice own dims to target ranges (in own axis order); axes with
+        # unbounded ranges are broadcast placeholders (size 1) — no slicing.
+        slices = []
+        for nr in self.domain.ranges:
+            t = dom[nr.dim].unit_range
+            own = nr.unit_range
+            if not own.is_finite:
+                slices.append(slice(None))
+            else:
+                slices.append(slice(t.start - own.start, t.stop - own.start))
+        arr = arr[tuple(slices)]
+        # Transpose own dims into target order and insert missing axes.
+        own_dims = [d for d in dims if d in self.domain]
+        perm = [self.domain.index(d) for d in own_dims]
+        if perm != sorted(perm):
+            arr = arr.transpose(perm)
+        import jax.numpy as jnp
+
+        shape = []
+        expand = []
+        for i, d in enumerate(dims):
+            size = (
+                len(dom[d].unit_range) if dom[d].unit_range.is_finite else 1
+            )
+            if d not in self.domain:
+                expand.append(i)
+            shape.append(size)
+        for i in expand:
+            arr = jnp.expand_dims(arr, i)
+        arr = jnp.broadcast_to(arr, tuple(shape))
+        return dom, arr
+
+    def __add__(self, o):
+        return self._binary(o, lambda a, b: a + b)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self._binary(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._rbinary(o, lambda a, b: a - b)
+
+    def __mul__(self, o):
+        return self._binary(o, lambda a, b: a * b)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        return self._binary(o, lambda a, b: a / b)
+
+    def __rtruediv__(self, o):
+        return self._rbinary(o, lambda a, b: a / b)
+
+    def __pow__(self, o):
+        return self._binary(o, lambda a, b: a**b)
+
+    def __mod__(self, o):
+        return self._binary(o, lambda a, b: a % b)
+
+    def __neg__(self):
+        return Field(self.domain, -self.ndarray, self.mask)
+
+    def __pos__(self):
+        return self
+
+    def __abs__(self):
+        import jax.numpy as jnp
+
+        return Field(self.domain, jnp.abs(self.ndarray), self.mask)
+
+    def __invert__(self):
+        import jax.numpy as jnp
+
+        return Field(self.domain, jnp.logical_not(self.ndarray), self.mask)
+
+    def __and__(self, o):
+        import jax.numpy as jnp
+
+        return self._binary(o, jnp.logical_and)
+
+    def __or__(self, o):
+        import jax.numpy as jnp
+
+        return self._binary(o, jnp.logical_or)
+
+    def __xor__(self, o):
+        import jax.numpy as jnp
+
+        return self._binary(o, jnp.logical_xor)
+
+    def __eq__(self, o):  # type: ignore[override]
+        return self._binary(o, lambda a, b: a == b)
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._binary(o, lambda a, b: a != b)
+
+    def __lt__(self, o):
+        return self._binary(o, lambda a, b: a < b)
+
+    def __le__(self, o):
+        return self._binary(o, lambda a, b: a <= b)
+
+    def __gt__(self, o):
+        return self._binary(o, lambda a, b: a > b)
+
+    def __ge__(self, o):
+        return self._binary(o, lambda a, b: a >= b)
+
+    def __hash__(self):
+        return id(self)
+
+    def __repr__(self) -> str:
+        return f"Field({self.domain}, dtype={self.dtype})"
+
+
+def _combine_masks(jnp, a: Field, b, dims):
+    if a.mask is None and (not isinstance(b, Field) or b.mask is None):
+        return None
+    parts = []
+    for f in (a, b):
+        if isinstance(f, Field) and f.mask is not None:
+            mf = Field(f.domain, f.mask)
+            _, arr = mf._aligned(dims, b if f is a else a)
+            parts.append(arr)
+    out = parts[0]
+    for p in parts[1:]:
+        out = jnp.logical_and(out, p)
+    return out
+
+
+# -- pytree registration (jit over field-operator calls) ----------------------
+
+
+def _field_flatten(f: Field):
+    if f.mask is None:
+        return (f.ndarray,), (f.domain, False)
+    return (f.ndarray, f.mask), (f.domain, True)
+
+
+def _field_unflatten(aux, children):
+    domain, has_mask = aux
+    f = object.__new__(Field)
+    f.domain = domain
+    f.ndarray = children[0]
+    f.mask = children[1] if has_mask else None
+    return f
+
+
+def _register_pytree():
+    import jax.tree_util as jtu
+
+    jtu.register_pytree_node(Field, _field_flatten, _field_unflatten)
+
+
+_register_pytree()

@@ -1,0 +1,178 @@
+"""Field-operator builtins (reference: gt4py.next.ffront.fbuiltins,
+/root/reference/src/gt4py/next/ffront/fbuiltins.py:254-433): neighbor
+reductions, ``broadcast``, ``where``, ``astype`` and the math vocabulary,
+all eagerly executable on embedded JAX fields (and therefore traceable
+under jit)."""
+
+from __future__ import annotations
+
+from typing import Any, Union
+
+import numpy as np
+
+from gt4py_tpu.next.common import Dimension, Domain, NamedRange, UnitRange
+from gt4py_tpu.next.embedded import Field, _promote_dims
+
+
+def _reduce(field: Field, axis: Dimension, op: str, neutral) -> Field:
+    import jax.numpy as jnp
+
+    if not isinstance(field, Field):
+        raise TypeError("neighbor reductions require a Field")
+    ax = field.domain.index(axis)
+    arr = field.ndarray
+    if field.mask is not None:
+        arr = jnp.where(field.mask, arr, np.asarray(neutral, dtype=field.dtype))
+    result = getattr(jnp, op)(arr, axis=ax)
+    new_domain = Domain(field.domain.ranges[:ax] + field.domain.ranges[ax + 1:])
+    return Field(new_domain, result)
+
+
+def neighbor_sum(field: Field, axis: Dimension) -> Field:
+    """Sum over a LOCAL neighbor dimension with skip-value masking
+    (reference fbuiltins.py:255)."""
+    return _reduce(field, axis, "sum", 0)
+
+
+def max_over(field: Field, axis: Dimension) -> Field:
+    return _reduce(field, axis, "max", -np.inf)
+
+
+def min_over(field: Field, axis: Dimension) -> Field:
+    return _reduce(field, axis, "min", np.inf)
+
+
+def broadcast(value: Union[Field, Any], dims: tuple[Dimension, ...]) -> Field:
+    """Mark a value as broadcastable over ``dims`` (reference
+    fbuiltins.py:270). Embedded: zero-size placeholder ranges get resolved
+    by domain intersection in subsequent ops; scalars become 0-d fields
+    carrying the dim set."""
+    import jax.numpy as jnp
+
+    if isinstance(value, Field):
+        new_dims = _promote_dims(value.dims, tuple(dims))
+        ranges = []
+        shape = []
+        arr = value.ndarray
+        for d in new_dims:
+            if d in value.domain:
+                ranges.append(value.domain[d])
+                shape.append(len(value.domain[d].unit_range))
+            else:
+                ranges.append(NamedRange(d, UnitRange.infinite()))
+                shape.append(1)
+        perm = [value.domain.index(d) for d in new_dims if d in value.domain]
+        if perm != sorted(perm):
+            arr = arr.transpose(perm)
+        arr = arr.reshape(shape)
+        f = object.__new__(Field)
+        f.domain = Domain(tuple(ranges))
+        f.ndarray = arr
+        f.mask = None
+        return f
+    arr = jnp.asarray(value).reshape((1,) * len(dims))
+    f = object.__new__(Field)
+    f.domain = Domain(tuple(NamedRange(d, UnitRange.infinite()) for d in dims))
+    f.ndarray = arr
+    f.mask = None
+    return f
+
+
+def where(cond: Field, a: Union[Field, Any], b: Union[Field, Any]) -> Field:
+    """Ternary select (reference fbuiltins.py:281)."""
+    import jax.numpy as jnp
+
+    operands = [x for x in (cond, a, b) if isinstance(x, Field)]
+    dims = operands[0].dims
+    for o in operands[1:]:
+        dims = _promote_dims(dims, o.dims)
+
+    def align(x):
+        if isinstance(x, Field):
+            ref = operands[0] if x is not operands[0] else (
+                operands[1] if len(operands) > 1 else operands[0]
+            )
+            dom, arr = x._aligned(dims, ref)
+            return dom, arr
+        return None, x
+
+    dom_c, arr_c = align(cond)
+    dom_a, arr_a = align(a)
+    dom_b, arr_b = align(b)
+    dom = dom_c or dom_a or dom_b
+    return Field(dom, jnp.where(arr_c, arr_a, arr_b))
+
+
+def astype(field: Union[Field, Any], dtype: Any) -> Field:
+    import jax.numpy as jnp
+
+    np_dtype = np.dtype(dtype if dtype not in (int, float, bool) else {
+        int: np.int64, float: np.float64, bool: np.bool_
+    }[dtype])
+    if isinstance(field, Field):
+        return Field(field.domain, field.ndarray.astype(np_dtype), field.mask)
+    return jnp.asarray(field).astype(np_dtype)
+
+
+def _field_unary(jnp_name: str):
+    def fn(x):
+        import jax.numpy as jnp
+
+        impl = getattr(jnp, jnp_name)
+        if isinstance(x, Field):
+            return Field(x.domain, impl(x.ndarray), x.mask)
+        return impl(x)
+
+    fn.__name__ = jnp_name
+    return fn
+
+
+def _field_binary(jnp_name: str):
+    def fn(x, y):
+        import jax.numpy as jnp
+
+        impl = getattr(jnp, jnp_name)
+        if isinstance(x, Field):
+            return x._binary(y, impl)
+        if isinstance(y, Field):
+            return y._rbinary(x, impl)
+        return impl(x, y)
+
+    fn.__name__ = jnp_name
+    return fn
+
+
+abs = _field_unary("abs")  # noqa: A001
+sin = _field_unary("sin")
+cos = _field_unary("cos")
+tan = _field_unary("tan")
+arcsin = _field_unary("arcsin")
+arccos = _field_unary("arccos")
+arctan = _field_unary("arctan")
+sinh = _field_unary("sinh")
+cosh = _field_unary("cosh")
+tanh = _field_unary("tanh")
+arcsinh = _field_unary("arcsinh")
+arccosh = _field_unary("arccosh")
+arctanh = _field_unary("arctanh")
+sqrt = _field_unary("sqrt")
+cbrt = _field_unary("cbrt")
+exp = _field_unary("exp")
+log = _field_unary("log")
+floor = _field_unary("floor")
+ceil = _field_unary("ceil")
+trunc = _field_unary("trunc")
+isfinite = _field_unary("isfinite")
+isinf = _field_unary("isinf")
+isnan = _field_unary("isnan")
+minimum = _field_binary("minimum")
+maximum = _field_binary("maximum")
+fmod = _field_binary("mod")
+power = _field_binary("power")
+
+MATH_BUILTIN_NAMES = [
+    "abs", "sin", "cos", "tan", "arcsin", "arccos", "arctan", "sinh", "cosh",
+    "tanh", "arcsinh", "arccosh", "arctanh", "sqrt", "cbrt", "exp", "log",
+    "floor", "ceil", "trunc", "isfinite", "isinf", "isnan", "minimum",
+    "maximum", "fmod", "power",
+]

@@ -1,0 +1,3 @@
+from gt4py_tpu.parallel.mesh import CartesianMesh  # noqa: F401
+from gt4py_tpu.parallel.distributed import DistributedStencil  # noqa: F401
+from gt4py_tpu.parallel.halo import exchange_halos_2d  # noqa: F401

@@ -1,0 +1,175 @@
+"""Multi-chip stencil execution: IJ domain decomposition over a device mesh.
+
+NEW functionality relative to the reference (which is single-process,
+SURVEY.md §2.6): a compiled stencil is lifted to SPMD with ``shard_map`` —
+each device owns an (ni/nx, nj/ny, nk) block, halos move over ICI with
+``lax.ppermute`` (halo.py), and the single-chip GTIR evaluator runs
+unchanged on the halo-extended local block. The whole step (exchange +
+compute) is one jitted program, so XLA overlaps the ppermute transfers with
+independent compute where possible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+from gt4py_tpu.cartesian.definitions import AccessKind
+from gt4py_tpu.cartesian.stencil_object import StencilObject
+from gt4py_tpu.parallel.halo import exchange_halos_2d
+from gt4py_tpu.parallel.mesh import CartesianMesh
+from gt4py_tpu.storage.storage import Storage
+
+
+class DistributedStencil:
+    """SPMD wrapper around a compiled stencil.
+
+    Usage::
+
+        mesh = CartesianMesh()
+        dist = DistributedStencil(stencil_obj, mesh)
+        out = dist.apply(field_a=a, field_b=b, scalar=1.0)   # dict of written
+
+    Fields are global (NI, NJ, NK) arrays (or Storages); NI/NJ must be
+    divisible by the mesh shape. Boundary condition of the global domain is
+    periodic (ICI torus wrap) — allocate a global halo and restrict the
+    domain for non-periodic physics, as in single-chip gt4py.
+    """
+
+    def __init__(self, stencil: StencilObject, mesh: Optional[CartesianMesh] = None):
+        self.stencil = stencil
+        self.analyzed = stencil._analyzed
+        self.mesh = mesh if mesh is not None else CartesianMesh()
+        self.field_infos = self.analyzed.field_infos
+        self.parameter_infos = self.analyzed.parameter_infos
+        self.written = [
+            n for n, i in self.field_infos.items() if i.access & AccessKind.WRITE
+        ]
+        self._cache: dict[Any, Any] = {}
+
+    def _halo(self, name: str) -> tuple[int, int, int, int]:
+        b = self.field_infos[name].boundary
+        return (b.lower[0], b.upper[0], b.lower[1], b.upper[1])
+
+    def _build(self, field_names, shapes, nk):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh.mesh
+        analyzed = self.analyzed
+        written = self.written
+        halos = {n: self._halo(n) for n in field_names}
+        infos = self.field_infos
+
+        def spec_for(name):
+            mask = infos[name].domain_mask
+            parts = []
+            if mask[0]:
+                parts.append("x")
+            if mask[1]:
+                parts.append("y")
+            if mask[2]:
+                parts.append(None)
+            parts.extend([None] * len(infos[name].data_dims))
+            return P(*parts)
+
+        in_specs = tuple(spec_for(n) for n in field_names)
+        out_specs = tuple(spec_for(n) for n in written)
+
+        def local_step(*local_arrays):
+            from gt4py_tpu.cartesian.backend.evaluator import Evaluator
+
+            arrays = {}
+            origins = {}
+            local_domain = None
+            for name, arr in zip(field_names, local_arrays):
+                i_lo, i_hi, j_lo, j_hi = halos[name]
+                mask = infos[name].domain_mask
+                if mask[0] and mask[1]:
+                    arr = exchange_halos_2d(arr, (i_lo, i_hi, j_lo, j_hi))
+                    if local_domain is None and mask[2]:
+                        local_domain = (
+                            arr.shape[0] - i_lo - i_hi,
+                            arr.shape[1] - j_lo - j_hi,
+                            nk,
+                        )
+                arrays[name] = arr
+                origins[name] = (
+                    i_lo if mask[0] else 0,
+                    j_lo if mask[1] else 0,
+                    0,
+                )
+            assert local_domain is not None, "Need at least one IJK field"
+            scalars = dict(zip(scalar_names, local_arrays[len(field_names):]))
+            ev = Evaluator(analyzed, local_domain, origins, arrays, scalars, ns="jax")
+            out = ev.run()
+            results = []
+            for name in written:
+                i_lo, i_hi, j_lo, j_hi = halos[name]
+                r = out[name]
+                mask = infos[name].domain_mask
+                sl = []
+                if mask[0]:
+                    sl.append(slice(i_lo, r.shape[len(sl)] - i_hi or None))
+                if mask[1]:
+                    sl.append(slice(j_lo, r.shape[len(sl)] - j_hi or None))
+                results.append(r[tuple(sl)] if sl else r)
+            return tuple(results)
+
+        scalar_names = [
+            n for n, i in self.parameter_infos.items() if i.access != AccessKind.NONE
+        ]
+        scalar_specs = tuple(P() for _ in scalar_names)
+
+        fn = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=in_specs + scalar_specs,
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(fn), scalar_names
+
+    def apply(self, **kwargs) -> dict[str, Any]:
+        """Run one distributed stencil step; returns {name: updated array}
+        for written fields. Storage inputs are rebound in place as well."""
+        import jax.numpy as jnp
+
+        field_args = {}
+        originals = {}
+        for name in self.field_infos:
+            if self.field_infos[name].access == AccessKind.NONE:
+                continue
+            if name not in kwargs:
+                raise ValueError(f"Missing value for '{name}' field.")
+            value = kwargs[name]
+            originals[name] = value
+            field_args[name] = value.array if isinstance(value, Storage) else jnp.asarray(value)
+
+        field_names = tuple(field_args)
+        shapes = tuple(tuple(field_args[n].shape) for n in field_names)
+        nk = None
+        for n in field_names:
+            if self.field_infos[n].domain_mask[2]:
+                nk = field_args[n].shape[self.field_infos[n].domain_ndim - 1]
+                break
+        key = (field_names, shapes)
+        if key not in self._cache:
+            self._cache[key] = self._build(field_names, shapes, nk)
+        fn, scalar_names = self._cache[key]
+
+        scalars = []
+        for name in scalar_names:
+            if name not in kwargs:
+                raise ValueError(f"Missing value for '{name}' parameter.")
+            scalars.append(
+                np.asarray(kwargs[name], dtype=self.parameter_infos[name].dtype)[()]
+            )
+
+        results = fn(*(field_args[n] for n in field_names), *scalars)
+        out = dict(zip(self.written, results))
+        for name, new in out.items():
+            if isinstance(originals.get(name), Storage):
+                originals[name].array = new
+        return out

@@ -1,0 +1,370 @@
+"""DSL feature tests: the GTScript language checklist from the reference
+(/root/reference/src/gt4py/cartesian/gtscript.py and
+docs/user/cartesian/lang_design.rst) exercised feature by feature."""
+
+import numpy as np
+import pytest
+
+from gt4py_tpu.cartesian import gtscript
+from gt4py_tpu.cartesian.frontend import GTScriptDefinitionError, GTScriptSyntaxError
+from gt4py_tpu.cartesian.gtscript import (
+    BACKWARD,
+    FORWARD,
+    I,
+    J,
+    K,
+    PARALLEL,
+    computation,
+    horizontal,
+    interval,
+    region,
+)
+
+Field3D = gtscript.Field[np.float64]
+FieldK = gtscript.Field[gtscript.K, np.float64]
+FieldIJ = gtscript.Field[gtscript.IJ, np.float64]
+
+BACKENDS = ["numpy", "jax"]
+
+
+def build(definition, backend, **kwargs):
+    return gtscript.stencil(backend=backend, definition=definition, rebuild=True, **kwargs)
+
+
+# --- externals / __INLINED / compile_assert ---------------------------------
+
+
+def ext_stencil(a: Field3D):
+    from __externals__ import FACTOR
+
+    with computation(PARALLEL), interval(...):
+        a = a * FACTOR
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_externals(backend):
+    st = build(ext_stencil, backend, externals={"FACTOR": 3.0})
+    a = np.ones((3, 3, 3))
+    st(a)
+    np.testing.assert_allclose(a, 3.0)
+
+
+def test_missing_external():
+    with pytest.raises(GTScriptSyntaxError):
+        build(ext_stencil, "numpy")
+
+
+def inlined_if_stencil(a: Field3D):
+    from __externals__ import FLAG
+
+    with computation(PARALLEL), interval(...):
+        if __INLINED(FLAG):  # noqa: F821
+            a = a + 1.0
+        else:
+            a = a - 1.0
+
+
+from gt4py_tpu.cartesian.gtscript import __INLINED  # noqa: E402,F401
+
+
+@pytest.mark.parametrize("flag,delta", [(True, 1.0), (False, -1.0)])
+def test_inlined_compile_time_if(flag, delta):
+    st = build(inlined_if_stencil, "numpy", externals={"FLAG": flag})
+    a = np.zeros((2, 2, 2))
+    st(a)
+    np.testing.assert_allclose(a, delta)
+    # The pruned branch leaves no runtime conditionals behind:
+    assert not any(
+        s.mask is not None
+        for _, _, s in st._analyzed.stencil.walk_stmts()
+    )
+
+
+def assert_stencil(a: Field3D):
+    from __externals__ import N
+
+    with computation(PARALLEL), interval(...):
+        compile_assert(N > 0)  # noqa: F821
+        a = a + N
+
+
+from gt4py_tpu.cartesian.gtscript import compile_assert  # noqa: E402,F401
+
+
+def test_compile_assert():
+    st = build(assert_stencil, "numpy", externals={"N": 2})
+    a = np.zeros((2, 2, 2))
+    st(a)
+    np.testing.assert_allclose(a, 2.0)
+    with pytest.raises(GTScriptDefinitionError):
+        build(assert_stencil, "numpy", externals={"N": 0})
+
+
+# --- horizontal regions ------------------------------------------------------
+
+
+def region_stencil(a: Field3D):
+    with computation(PARALLEL), interval(...):
+        with horizontal(region[I[0], :]):
+            a = 10.0
+        with horizontal(region[I[-1], J[0]:J[2]]):
+            a = 20.0
+
+
+@pytest.mark.parametrize("backend", BACKENDS + ["debug"])
+def test_horizontal_region(backend):
+    st = build(region_stencil, backend)
+    a = np.zeros((4, 5, 2))
+    st(a)
+    expected = np.zeros((4, 5, 2))
+    expected[0, :, :] = 10.0
+    expected[-1, 0:2, :] = 20.0
+    np.testing.assert_allclose(a, expected)
+
+
+def region_multi(a: Field3D):
+    with computation(PARALLEL), interval(...):
+        with horizontal(region[I[0], :], region[I[-1], :]):
+            a = 7.0
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_horizontal_region_multiple(backend):
+    st = build(region_multi, backend)
+    a = np.zeros((4, 3, 2))
+    st(a)
+    expected = np.zeros((4, 3, 2))
+    expected[0] = expected[-1] = 7.0
+    np.testing.assert_allclose(a, expected)
+
+
+# --- axis-subset fields ------------------------------------------------------
+
+
+def k_field_stencil(a: Field3D, prof: FieldK):
+    with computation(PARALLEL), interval(...):
+        a = a + prof[0]
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_k_only_field(backend):
+    st = build(k_field_stencil, backend)
+    a = np.zeros((3, 3, 5))
+    prof = np.arange(5.0)
+    st(a, prof)
+    np.testing.assert_allclose(a, np.broadcast_to(prof, (3, 3, 5)))
+
+
+def ij_read_stencil(a: Field3D, m2d: FieldIJ):
+    with computation(PARALLEL), interval(...):
+        a = a + m2d[1, 0]
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_ij_field_with_offset(backend):
+    st = build(ij_read_stencil, backend)
+    a = np.zeros((3, 3, 2))
+    m2d = np.arange(16.0).reshape(4, 4)
+    st(a, m2d, domain=(3, 3, 2))
+    expected = np.broadcast_to(m2d[1:4, 0:3, None], (3, 3, 2))
+    np.testing.assert_allclose(a, expected)
+
+
+# --- data dimensions / GlobalTable ------------------------------------------
+
+FieldVec = gtscript.Field[(np.float64, (3,))]
+
+
+def data_dims_stencil(vec: FieldVec, out: Field3D):
+    with computation(PARALLEL), interval(...):
+        out = vec[0, 0, 0][0] + vec[0, 0, 0][1] * 2.0 + vec[0, 0, 0][2] * 3.0
+
+
+@pytest.mark.parametrize("backend", BACKENDS + ["debug"])
+def test_data_dimensions(backend):
+    st = build(data_dims_stencil, backend)
+    rng = np.random.default_rng(0)
+    vec = rng.random((3, 3, 2, 3))
+    out = np.zeros((3, 3, 2))
+    st(vec, out)
+    np.testing.assert_allclose(out, vec[..., 0] + 2 * vec[..., 1] + 3 * vec[..., 2])
+
+
+def data_dims_write(vec: FieldVec, src: Field3D):
+    with computation(PARALLEL), interval(...):
+        vec[0, 0, 0][1] = src * 2.0
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_data_dimension_write(backend):
+    st = build(data_dims_write, backend)
+    rng = np.random.default_rng(0)
+    vec = np.zeros((3, 3, 2, 3))
+    src = rng.random((3, 3, 2))
+    st(vec, src)
+    np.testing.assert_allclose(vec[..., 1], src * 2.0)
+    np.testing.assert_allclose(vec[..., 0], 0.0)
+
+
+Table = gtscript.GlobalTable[(np.float64, (4,))]
+
+
+def table_lookup_plain(idx_field: gtscript.Field[np.int64], out: Field3D, table: Table):
+    with computation(PARALLEL), interval(...):
+        out = table[idx_field]
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_global_table(backend):
+    st = build(table_lookup_plain, backend)
+    table = np.array([10.0, 20.0, 30.0, 40.0])
+    idx = np.random.default_rng(0).integers(0, 4, (3, 3, 2))
+    out = np.zeros((3, 3, 2))
+    st(idx, out, table)
+    np.testing.assert_allclose(out, table[idx])
+
+
+# --- variable & absolute K offsets ------------------------------------------
+
+
+def var_k_stencil(a: Field3D, idx: gtscript.Field[np.int64], out: Field3D):
+    with computation(PARALLEL), interval(...):
+        out = a[0, 0, idx]
+
+
+@pytest.mark.parametrize("backend", BACKENDS + ["debug"])
+def test_variable_k_offset(backend):
+    st = build(var_k_stencil, backend)
+    rng = np.random.default_rng(1)
+    a = rng.random((3, 3, 6))
+    idx = rng.integers(-2, 3, (3, 3, 6))
+    out = np.zeros((3, 3, 6))
+    st(a, idx, out)
+    kk = np.clip(np.arange(6)[None, None, :] + idx, 0, 5)
+    expected = np.take_along_axis(a, kk, axis=2)
+    np.testing.assert_allclose(out, expected)
+
+
+def abs_k_stencil(a: Field3D, out: Field3D):
+    with computation(PARALLEL), interval(...):
+        out = a.at(K=0) + a.at(K=1)
+
+
+@pytest.mark.parametrize("backend", BACKENDS + ["debug"])
+def test_absolute_k_index(backend):
+    st = build(abs_k_stencil, backend)
+    rng = np.random.default_rng(1)
+    a = rng.random((3, 3, 4))
+    out = np.zeros((3, 3, 4))
+    st(a, out)
+    expected = np.broadcast_to((a[:, :, 0] + a[:, :, 1])[:, :, None], (3, 3, 4))
+    np.testing.assert_allclose(out, expected)
+
+
+# --- dtypes option / literal precision ---------------------------------------
+
+
+def generic_dtype_stencil(a: "gtscript.Field['dt']", b: "gtscript.Field['dt']"):  # noqa: F821
+    with computation(PARALLEL), interval(...):
+        b = a + 1
+
+
+def test_dtypes_option():
+    st = build(generic_dtype_stencil, "numpy", dtypes={"dt": np.float32})
+    a = np.ones((2, 2, 2), dtype=np.float32)
+    b = np.zeros((2, 2, 2), dtype=np.float32)
+    st(a, b)
+    np.testing.assert_allclose(b, 2.0)
+    assert st.field_info["a"].dtype == np.float32
+
+
+def int_fields(a: gtscript.Field[np.int32], b: gtscript.Field[np.int32]):
+    with computation(PARALLEL), interval(...):
+        b = a + 1
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_int_field_arithmetic(backend):
+    st = build(int_fields, backend)
+    a = np.full((2, 2, 2), 41, dtype=np.int32)
+    b = np.zeros((2, 2, 2), dtype=np.int32)
+    st(a, b)
+    assert b.dtype == np.int32
+    np.testing.assert_array_equal(b, 42)
+
+
+# --- ternary / min-max folding / scalar if -----------------------------------
+
+
+def ternary_stencil(a: Field3D, b: Field3D, *, t: float):
+    with computation(PARALLEL), interval(...):
+        b = a if a > t else -a
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_ternary_and_scalar_param(backend):
+    st = build(ternary_stencil, backend)
+    a = np.random.default_rng(0).random((3, 3, 3)) - 0.5
+    b = np.zeros_like(a)
+    st(a, b, t=0.0)
+    np.testing.assert_allclose(b, np.where(a > 0.0, a, -a))
+
+
+def scalar_if_stencil(a: Field3D, *, flag: float):
+    with computation(PARALLEL), interval(...):
+        if flag > 0.0:
+            a = a + 1.0
+        else:
+            a = a - 1.0
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_runtime_scalar_if(backend):
+    st = build(scalar_if_stencil, backend)
+    a = np.zeros((2, 2, 2))
+    st(a, flag=1.0)
+    np.testing.assert_allclose(a, 1.0)
+    st(a, flag=-1.0)
+    np.testing.assert_allclose(a, 0.0)
+
+
+# --- error cases -------------------------------------------------------------
+
+
+def test_write_to_scalar_rejected():
+    def bad(a: Field3D, *, s: float):
+        with computation(PARALLEL), interval(...):
+            s = 3.0  # noqa: F841
+
+    with pytest.raises(GTScriptSyntaxError):
+        build(bad, "numpy")
+
+
+def test_offset_write_rejected():
+    def bad(a: Field3D):
+        with computation(PARALLEL), interval(...):
+            a[1, 0, 0] = 3.0
+
+    with pytest.raises(GTScriptSyntaxError):
+        build(bad, "numpy")
+
+
+def test_overlapping_intervals_rejected():
+    def bad(a: Field3D):
+        with computation(FORWARD):
+            with interval(0, 2):
+                a = 1.0
+            with interval(1, 3):
+                a = 2.0
+
+    with pytest.raises(GTScriptSyntaxError):
+        build(bad, "numpy")
+
+
+def test_missing_annotation_rejected():
+    def bad(a):
+        with computation(PARALLEL), interval(...):
+            a = 1.0
+
+    with pytest.raises(GTScriptDefinitionError):
+        build(bad, "numpy")

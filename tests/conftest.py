@@ -1,10 +1,17 @@
 """Test configuration: run everything on CPU with 8 virtual devices so the
 multi-chip sharding paths are testable without TPU hardware (the driver
-separately dry-runs the multi-chip path; benches run on the real chip)."""
+separately dry-runs the multi-chip path; benches run on the real chip).
+
+The environment may pre-register a TPU platform plugin via sitecustomize and
+pin JAX_PLATFORMS — override both the env var and the live config."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
