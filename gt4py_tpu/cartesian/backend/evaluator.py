@@ -6,11 +6,21 @@ or C++/CUDA (gtc/gtcpp/, gtc/dace/), this engine *traces* the lowered GTIR
 directly into array operations:
 
 - with ``ns="numpy"`` it executes eagerly on NumPy arrays (the reference's
-  ``numpy`` backend semantics — the correctness oracle),
-- with ``ns="jax"`` the same trace runs under ``jax.jit``: PARALLEL loops
-  become fused elementwise/shift operations on (I, J, K) blocks, and
-  FORWARD/BACKWARD loops become ``lax.scan`` over K carrying the updated
-  arrays, which XLA compiles to a single fused TPU loop.
+  ``numpy`` backend semantics — the correctness oracle); field *windows* are
+  views, so mutation semantics match the reference exactly,
+- with ``ns="jax"`` the same trace runs under ``jax.jit``:
+
+  * every field gets a *window* — the sub-array the stencil actually
+    touches (domain extended by the field's access extent); temporaries are
+    windows only and never see HBM round-trips XLA can't fuse away,
+  * PARALLEL units trace to shifted-slice arithmetic on windows, which XLA
+    fuses into single kernels,
+  * FORWARD/BACKWARD sections trace to ``lax.scan`` with **plane carries**:
+    the K-offset-read planes of fields written in the section ride the scan
+    carry (depth = max offset — the reference's K-cache analysis,
+    gtc/passes/oir_optimizations/caches.py:92), other fields stream in as
+    stacked xs slices, and outputs stack as ys. No dynamic full-array
+    updates anywhere on the hot path.
 
 Semantics notes (mirroring the reference's generated code):
 - every statement unit executes over the compute domain extended by its
@@ -19,8 +29,9 @@ Semantics notes (mirroring the reference's generated code):
 - conditional writes are masked selects (both branches evaluated), matching
   the reference's OIR mask lowering,
 - in FORWARD/BACKWARD loops, K-offset reads of fields written in the same
-  loop observe already-updated values (basis of tridiagonal solvers,
-  reference gtscript.rst:120-137).
+  section observe already-updated values (basis of tridiagonal solvers,
+  reference gtscript.rst:120-137); positive-offset reads in FORWARD (and
+  negative in BACKWARD) observe pre-section values.
 """
 
 from __future__ import annotations
@@ -32,9 +43,10 @@ import numpy as np
 
 from gt4py_tpu.cartesian import gtir
 from gt4py_tpu.cartesian.definitions import Extent
+from gt4py_tpu.cartesian.passes.extents import iter_writes, _iter_reads
 from gt4py_tpu.cartesian.passes.pipeline import AnalyzedStencil
 
-# Max sequential-section length that is unrolled instead of lax.scan'ed.
+# Max sequential-section length that is unrolled instead of scanned.
 _UNROLL_MAX = 3
 
 
@@ -62,8 +74,6 @@ class _NamespaceOps:
         else:
             self.jax = None
             self.xp = np
-
-    # -- slicing ----------------------------------------------------------
 
     def slice_nd(self, arr, starts, sizes):
         if all(isinstance(s, (int, np.integer)) for s in starts):
@@ -99,14 +109,12 @@ class _NamespaceOps:
         return xp.take_along_axis(arr, idx, axis=2)
 
     def iota(self, n: int, axis: int, shape3) -> Any:
-        xp = self.xp
-        vec = xp.arange(n, dtype=np.int64)
+        vec = self.xp.arange(n, dtype=np.int64)
         reshape = [1, 1, 1]
         reshape[axis] = n
         return vec.reshape(reshape)
 
 
-# Native function implementations per namespace kind.
 def _native_impls(ops: _NamespaceOps) -> dict:
     xp = ops.xp
     if ops.kind == "jax":
@@ -114,7 +122,7 @@ def _native_impls(ops: _NamespaceOps) -> dict:
 
         gamma_fn = getattr(jsp, "gamma", None)
         if gamma_fn is None:
-            def gamma_fn(x):  # Γ(x) via lgamma; correct sign via reflection
+            def gamma_fn(x):
                 return xp.exp(jsp.gammaln(x)) * xp.where(
                     (x < 0) & (xp.floor(x / 2) * 2 != xp.floor(x)), -1.0, 1.0
                 )
@@ -155,7 +163,9 @@ def _native_impls(ops: _NamespaceOps) -> dict:
         F.CEIL: xp.ceil,
         F.TRUNC: xp.trunc,
         F.ROUND: xp.round,
-        F.ROUND_AWAY_FROM_ZERO: lambda x: xp.trunc(x + xp.copysign(xp.asarray(0.5, dtype=_dt(x)), x)),
+        F.ROUND_AWAY_FROM_ZERO: lambda x: xp.trunc(
+            x + xp.copysign(xp.asarray(0.5, dtype=_dt(x)), x)
+        ),
         F.ERF: erf_fn,
         F.ERFC: erfc_fn,
         F.POW: xp.power,
@@ -168,411 +178,6 @@ def _native_impls(ops: _NamespaceOps) -> dict:
 
 def _dt(x):
     return getattr(x, "dtype", np.float64)
-
-
-class Evaluator:
-    """Executes one analyzed stencil for a concrete (domain, origins) set.
-
-    ``arrays`` maps API field names to full arrays (with halo); temporaries
-    are allocated internally. In JAX mode everything here runs inside a
-    traced function; all shape-affecting quantities (domain, origins,
-    extents) are static.
-    """
-
-    def __init__(
-        self,
-        analyzed: AnalyzedStencil,
-        domain: tuple[int, int, int],
-        origins: dict[str, tuple[int, int, int]],
-        arrays: dict[str, Any],
-        scalars: dict[str, Any],
-        ns: str,
-    ):
-        self.analyzed = analyzed
-        self.stencil = analyzed.stencil
-        self.domain = domain
-        self.origins = dict(origins)
-        self.arrays = dict(arrays)
-        self.scalars = scalars
-        self.ops = _NamespaceOps(ns)
-        self.natives = _native_impls(self.ops)
-        self.dims: dict[str, tuple[bool, bool, bool]] = {}
-        self.data_ndims: dict[str, int] = {}
-        for p in self.stencil.params:
-            if isinstance(p, gtir.FieldDecl):
-                self.dims[p.name] = p.dimensions
-                self.data_ndims[p.name] = len(p.data_dims)
-            elif isinstance(p, gtir.GlobalTableDecl):
-                self.dims[p.name] = (False, False, False)
-                self.data_ndims[p.name] = len(p.shape)
-        self._alloc_temporaries()
-
-    # -- setup ------------------------------------------------------------
-
-    def _alloc_temporaries(self) -> None:
-        ni, nj, nk = self.domain
-        xp = self.ops.xp
-        for t in self.stencil.temporaries:
-            ext = self.analyzed.field_extents.get(t.name, Extent.zeros())
-            shape = (
-                ni + ext.i[1] - ext.i[0],
-                nj + ext.j[1] - ext.j[0],
-                nk + ext.k[1] - ext.k[0],
-            )
-            dtype = t.dtype if t.dtype is not None else np.float64
-            self.arrays[t.name] = xp.zeros(shape, dtype=dtype)
-            self.origins[t.name] = (-ext.i[0], -ext.j[0], -ext.k[0])
-            self.dims[t.name] = (True, True, True)
-            self.data_ndims[t.name] = 0
-
-    # -- main entry --------------------------------------------------------
-
-    def run(self) -> dict[str, Any]:
-        for vloop in self.stencil.vertical_loops:
-            if vloop.loop_order == gtir.LoopOrder.PARALLEL:
-                self._run_parallel(vloop)
-            else:
-                self._run_sequential(vloop)
-        return self.arrays
-
-    # -- parallel loops ----------------------------------------------------
-
-    def _run_parallel(self, vloop: gtir.VerticalLoop) -> None:
-        nk = self.domain[2]
-        for section in vloop.sections:
-            ks, ke = section.interval.resolve(nk)
-            if ke <= ks:
-                continue
-            for stmt in section.body:
-                self._exec_unit(stmt, ks, ke, None)
-
-    # -- sequential loops --------------------------------------------------
-
-    def _run_sequential(self, vloop: gtir.VerticalLoop) -> None:
-        nk = self.domain[2]
-        backward = vloop.loop_order == gtir.LoopOrder.BACKWARD
-        sections = vloop.sections
-        for section in sections:
-            ks, ke = section.interval.resolve(nk)
-            if ke <= ks:
-                continue
-            length = ke - ks
-            if self.ops.kind == "jax" and length > _UNROLL_MAX:
-                self._scan_section(section, ks, ke, backward)
-            else:
-                k_range = range(ks, ke)
-                if backward:
-                    k_range = reversed(k_range)
-                for k in k_range:
-                    for stmt in section.body:
-                        self._exec_unit(stmt, k, k + 1, k)
-
-    def _scan_section(self, section: gtir.VerticalSection, ks: int, ke: int, backward: bool) -> None:
-        import jax.lax as lax
-        import jax.numpy as jnp
-
-        written = sorted(
-            {w.name for stmt in section.body for w in _unit_writes(stmt)}
-        )
-        carry0 = tuple(self.arrays[name] for name in written)
-        ks_vals = jnp.arange(ks, ke)
-        if backward:
-            ks_vals = ks_vals[::-1]
-
-        outer_arrays = dict(self.arrays)
-
-        def body(carry, k):
-            self.arrays = dict(outer_arrays)
-            self.arrays.update(zip(written, carry))
-            for stmt in section.body:
-                self._exec_unit(stmt, k, k + 1, k)
-            return tuple(self.arrays[name] for name in written), None
-
-        final, _ = lax.scan(body, carry0, ks_vals)
-        self.arrays = outer_arrays
-        self.arrays.update(zip(written, final))
-
-    # -- unit execution ----------------------------------------------------
-
-    def _exec_unit(self, stmt: gtir.Stmt, ks, ke, k_seq) -> None:
-        """Execute one lowered unit over K window [ks, ke). ``k_seq`` is the
-        current sequential K (possibly traced) or None for PARALLEL."""
-        ext = self.analyzed.stmt_extents[stmt]
-        ctx = _Ctx(self, ext, ks, ke, k_seq)
-        if isinstance(stmt, gtir.Assign):
-            self._exec_assign(stmt, ctx)
-        elif isinstance(stmt, gtir.While):
-            self._exec_while(stmt, ctx)
-        else:
-            raise TypeError(type(stmt).__name__)
-
-    def _full_mask(self, stmt, ctx: "_Ctx") -> Optional[Any]:
-        mask = None
-        if stmt.mask is not None:
-            mask = self._broadcast(self.eval_expr(stmt.mask, ctx), ctx)
-        if stmt.horizontal_masks:
-            rmask = self._region_mask(stmt.horizontal_masks, ctx)
-            mask = rmask if mask is None else self.ops.xp.logical_and(mask, rmask)
-        return mask
-
-    def _exec_assign(self, stmt: gtir.Assign, ctx: "_Ctx") -> None:
-        value = self._broadcast(self.eval_expr(stmt.value, ctx), ctx)
-        mask = self._full_mask(stmt, ctx)
-        self._write(stmt.target, value, mask, ctx)
-
-    def _exec_while(self, stmt: gtir.While, ctx: "_Ctx") -> None:
-        xp = self.ops.xp
-
-        involved = sorted(
-            {w.name for w in _unit_writes(stmt)}
-            | {r.name for r in _unit_reads(stmt) if r.name in self.arrays}
-        )
-
-        def eval_mask() -> Any:
-            cond = self._broadcast(self.eval_expr(stmt.cond, ctx), ctx)
-            extra = self._full_mask(stmt, ctx)
-            return cond if extra is None else xp.logical_and(cond, extra)
-
-        def apply_body(mask) -> None:
-            for s in stmt.body:
-                if isinstance(s, gtir.Assign):
-                    value = self._broadcast(self.eval_expr(s.value, ctx), ctx)
-                    smask = self._full_mask(s, ctx)
-                    total = mask if smask is None else xp.logical_and(mask, smask)
-                    self._write(s.target, value, total, ctx)
-                elif isinstance(s, gtir.While):
-                    raise NotImplementedError("Nested while loops are not supported yet")
-                else:
-                    raise TypeError(type(s).__name__)
-
-        if self.ops.kind == "numpy":
-            mask = eval_mask()
-            while bool(np.any(mask)):
-                apply_body(mask)
-                mask = eval_mask()
-            return
-
-        import jax.lax as lax
-
-        def cond_fn(state):
-            self.arrays.update(zip(involved, state))
-            return self.ops.xp.any(eval_mask())
-
-        def body_fn(state):
-            self.arrays.update(zip(involved, state))
-            apply_body(eval_mask())
-            return tuple(self.arrays[n] for n in involved)
-
-        state0 = tuple(self.arrays[n] for n in involved)
-        final = lax.while_loop(cond_fn, body_fn, state0)
-        self.arrays.update(zip(involved, final))
-
-    # -- reads/writes ------------------------------------------------------
-
-    def _window_shape(self, ctx: "_Ctx") -> tuple[int, int, int]:
-        ni, nj, _ = self.domain
-        ext = ctx.ext
-        return (
-            ni + ext.i[1] - ext.i[0],
-            nj + ext.j[1] - ext.j[0],
-            ctx.nk_static,
-        )
-
-    def _read_field(self, access: gtir.FieldAccess, ctx: "_Ctx") -> Any:
-        name = access.name
-        arr = self.arrays[name]
-        dims = self.dims[name]
-        origin = self.origins.get(name, (0, 0, 0))
-        di, dj, dk = access.offset
-        Ni, Nj, Nk = self._window_shape(ctx)
-
-        if not any(dims):  # GlobalTable: pure data-index lookup
-            idx = tuple(self.eval_expr(e, ctx) for e in access.data_index)
-            return arr[idx]
-
-        starts = []
-        sizes = []
-        k_start = None
-        if dims[0]:
-            starts.append(origin[0] + ctx.ext.i[0] + di)
-            sizes.append(Ni)
-        if dims[1]:
-            starts.append(origin[1] + ctx.ext.j[0] + dj)
-            sizes.append(Nj)
-        if dims[2]:
-            if access.koffset is not None or access.abs_k is not None:
-                k_start = "gather"
-            else:
-                base = ctx.ks if ctx.k_seq is None else ctx.k_seq
-                k_start = origin[2] + base + dk
-                starts.append(k_start)
-                sizes.append(Nk)
-
-        if k_start == "gather":
-            # Slice IJ, keep full K, then gather per-point K indices.
-            window = self.ops.slice_nd(arr, starts, sizes) if starts else arr
-            window = self._expand_missing(window, (dims[0], dims[1], True), Ni, Nj, Nk)
-            if window.ndim > 3:
-                raise NotImplementedError("Variable-K reads of data-dim fields")
-            xp = self.ops.xp
-            if access.abs_k is not None:
-                kidx = xp.asarray(self.eval_expr(access.abs_k, ctx)) + origin[2]
-            else:
-                base = ctx.ks if ctx.k_seq is None else ctx.k_seq
-                k_iota = self.ops.iota(Nk, 2, None) if ctx.k_seq is None else 0
-                koff = self.eval_expr(access.koffset, ctx)
-                kidx = xp.asarray(origin[2] + base + dk + k_iota + koff)
-            kidx = xp.broadcast_to(kidx.astype(np.int64), (Ni, Nj, Nk))
-            value = self.ops.take_along_k(
-                xp.broadcast_to(window, (Ni, Nj, window.shape[2])), kidx
-            )
-        else:
-            value = self.ops.slice_nd(arr, starts, sizes)
-            value = self._expand_missing(value, dims, Ni, Nj, Nk)
-
-        if access.data_index and any(dims):
-            idx = tuple(self._eval_static_index(e, ctx) for e in access.data_index)
-            value = value[(Ellipsis,) + idx]
-        return value
-
-    def _expand_missing(self, value, dims, Ni, Nj, Nk) -> Any:
-        """Insert broadcast axes for absent I/J/K dimensions so every field
-        value is (Ni, Nj, Nk, ...data)."""
-        axis = 0
-        for present in dims:
-            if not present:
-                value = self.ops.xp.expand_dims(value, axis)
-            axis += 1
-        return value
-
-    def _eval_static_index(self, expr: gtir.Expr, ctx: "_Ctx"):
-        value = self.eval_expr(expr, ctx)
-        if isinstance(value, np.ndarray) and value.ndim == 0:
-            return int(value)
-        if isinstance(value, (int, np.integer)):
-            return int(value)
-        if hasattr(value, "ndim") and value.ndim == 0:
-            return value  # traced scalar index
-        raise NotImplementedError("Per-gridpoint data-dimension indices are not supported")
-
-    def _write(self, target: gtir.FieldAccess, value, mask, ctx: "_Ctx") -> None:
-        name = target.name
-        arr = self.arrays[name]
-        dims = self.dims[name]
-        origin = self.origins.get(name, (0, 0, 0))
-        Ni, Nj, Nk = self._window_shape(ctx)
-
-        value = self.ops.xp.broadcast_to(
-            self.ops.xp.asarray(value, dtype=arr.dtype), (Ni, Nj, Nk)
-        )
-
-        starts = []
-        shape_out = []
-        if dims[0]:
-            starts.append(origin[0] + ctx.ext.i[0])
-            shape_out.append(Ni)
-        if dims[1]:
-            starts.append(origin[1] + ctx.ext.j[0])
-            shape_out.append(Nj)
-        if dims[2]:
-            base = ctx.ks if ctx.k_seq is None else ctx.k_seq
-            starts.append(origin[2] + base)
-            shape_out.append(Nk)
-        elif Nk != 1:
-            raise NotImplementedError(
-                f"Writing field '{name}' without K axis over a multi-level section"
-            )
-
-        # Collapse the value to the target's axes.
-        squeeze_axes = tuple(i for i, present in enumerate(dims) if not present)
-        if squeeze_axes:
-            value = self.ops.xp.squeeze(value, axis=squeeze_axes)
-
-        if mask is not None:
-            old = self.ops.slice_nd(arr, starts, shape_out)
-            if target.data_index:
-                idx = tuple(self._eval_static_index(e, ctx) for e in target.data_index)
-                old_elem = old[(Ellipsis,) + idx]
-                sel = self.ops.xp.where(_match(mask, value), value, old_elem)
-                if self.ops.kind == "numpy":
-                    old[(Ellipsis,) + idx] = sel
-                    new = old
-                else:
-                    new = old.at[(Ellipsis,) + idx].set(sel)
-            else:
-                new = self.ops.xp.where(_match(mask, value), value, old)
-            self.arrays[name] = self.ops.update_nd(arr, starts, new)
-        else:
-            if target.data_index:
-                idx = tuple(self._eval_static_index(e, ctx) for e in target.data_index)
-                old = self.ops.slice_nd(arr, starts, shape_out)
-                if self.ops.kind == "numpy":
-                    old[(Ellipsis,) + idx] = value
-                    block = old
-                else:
-                    block = old.at[(Ellipsis,) + idx].set(value)
-                self.arrays[name] = self.ops.update_nd(arr, starts, block)
-            else:
-                self.arrays[name] = self.ops.update_nd(arr, starts, value)
-
-    def _region_mask(self, hmasks, ctx: "_Ctx") -> Any:
-        xp = self.ops.xp
-        ni, nj, _ = self.domain
-        Ni, Nj, Nk = self._window_shape(ctx)
-        i_rel = self.ops.iota(Ni, 0, None) + ctx.ext.i[0]
-        j_rel = self.ops.iota(Nj, 1, None) + ctx.ext.j[0]
-        total = None
-        for hm in hmasks:
-            cond = xp.ones((1, 1, 1), dtype=bool)
-            for rel, interval, size in ((i_rel, hm.i, ni), (j_rel, hm.j, nj)):
-                if interval.start is not None:
-                    cond = xp.logical_and(cond, rel >= interval.start.resolve(size))
-                if interval.end is not None:
-                    cond = xp.logical_and(cond, rel < interval.end.resolve(size))
-            total = cond if total is None else xp.logical_and(total, cond)
-        return xp.broadcast_to(total, (Ni, Nj, Nk))
-
-    def _broadcast(self, value, ctx: "_Ctx") -> Any:
-        shape = self._window_shape(ctx)
-        return self.ops.xp.broadcast_to(self.ops.xp.asarray(value), shape)
-
-    # -- expression evaluation --------------------------------------------
-
-    def eval_expr(self, expr: gtir.Expr, ctx: "_Ctx") -> Any:
-        xp = self.ops.xp
-        if isinstance(expr, gtir.Literal):
-            return np.asarray(expr.value, dtype=expr.dtype)[()]
-        if isinstance(expr, gtir.ScalarAccess):
-            return self.scalars[expr.name]
-        if isinstance(expr, gtir.FieldAccess):
-            return self._read_field(expr, ctx)
-        if isinstance(expr, gtir.UnaryOp):
-            v = self.eval_expr(expr.expr, ctx)
-            if expr.op == gtir.UnaryOperator.NOT:
-                return xp.logical_not(v)
-            if expr.op == gtir.UnaryOperator.NEG:
-                return xp.negative(v)
-            return v
-        if isinstance(expr, gtir.BinaryOp):
-            left = self.eval_expr(expr.left, ctx)
-            right = self.eval_expr(expr.right, ctx)
-            return _apply_binop(xp, expr.op, left, right)
-        if isinstance(expr, gtir.TernaryOp):
-            cond = self.eval_expr(expr.cond, ctx)
-            t = self.eval_expr(expr.true_expr, ctx)
-            f = self.eval_expr(expr.false_expr, ctx)
-            return xp.where(cond, t, f)
-        if isinstance(expr, gtir.NativeFuncCall):
-            args = [self.eval_expr(a, ctx) for a in expr.args]
-            return self.natives[expr.func](*args)
-        if isinstance(expr, gtir.Cast):
-            v = self.eval_expr(expr.expr, ctx)
-            return xp.asarray(v).astype(expr.dtype)
-        raise TypeError(type(expr).__name__)
-
-
-def _match(mask, value):
-    return mask
 
 
 def _apply_binop(xp, op, left, right):
@@ -613,27 +218,670 @@ def _apply_binop(xp, op, left, right):
 
 
 class _Ctx:
-    """Evaluation context for one unit: extent + K window."""
+    """Evaluation context for one unit: extent + K window.
 
-    __slots__ = ("ev", "ext", "ks", "ke", "k_seq", "nk_static")
+    ``plane`` (sequential plane-scan mode) carries the read/write resolver
+    dicts; ``k_seq`` is the current sequential K (Python int or traced)."""
 
-    def __init__(self, ev: Evaluator, ext: Extent, ks, ke, k_seq):
-        self.ev = ev
+    __slots__ = ("ext", "ks", "ke", "k_seq", "nk_static", "plane")
+
+    def __init__(self, ext: Extent, ks, ke, k_seq, plane=None):
         self.ext = ext
         self.ks = ks
         self.ke = ke
         self.k_seq = k_seq
-        # Window length along K: static in both modes (sequential → 1).
         self.nk_static = 1 if k_seq is not None else int(ke - ks)
+        self.plane = plane
 
 
-def _unit_writes(stmt: gtir.Stmt):
-    from gt4py_tpu.cartesian.passes.extents import iter_writes
+class _PlaneCtxData:
+    """Read/write state for one iteration of a plane-carry scan."""
 
-    yield from iter_writes(stmt)
+    __slots__ = ("section_written", "forward", "carry", "xs", "current", "ks")
+
+    def __init__(self, section_written, forward, carry, xs, current, ks):
+        self.section_written = section_written
+        self.forward = forward
+        self.carry = carry
+        self.xs = xs
+        self.current = current
+        self.ks = ks
 
 
-def _unit_reads(stmt: gtir.Stmt):
-    from gt4py_tpu.cartesian.passes.extents import _iter_reads
+class _PlaneUnsupported(Exception):
+    pass
 
-    yield from _iter_reads(stmt)
+
+class Evaluator:
+    """Executes one analyzed stencil for a concrete (domain, origins) set."""
+
+    def __init__(
+        self,
+        analyzed: AnalyzedStencil,
+        domain: tuple[int, int, int],
+        origins: dict[str, tuple[int, int, int]],
+        arrays: dict[str, Any],
+        scalars: dict[str, Any],
+        ns: str,
+    ):
+        self.analyzed = analyzed
+        self.stencil = analyzed.stencil
+        self.domain = domain
+        self.origins = dict(origins)
+        self.arrays = dict(arrays)
+        self.scalars = scalars
+        self.ops = _NamespaceOps(ns)
+        self.natives = _native_impls(self.ops)
+
+        self.dims: dict[str, tuple[bool, bool, bool]] = {}
+        self.data_ndims: dict[str, int] = {}
+        self.f_ext: dict[str, Extent] = {}
+        for p in self.stencil.params:
+            if isinstance(p, gtir.FieldDecl):
+                self.dims[p.name] = p.dimensions
+                self.data_ndims[p.name] = len(p.data_dims)
+            elif isinstance(p, gtir.GlobalTableDecl):
+                self.dims[p.name] = (False, False, False)
+                self.data_ndims[p.name] = len(p.shape)
+        for name in list(self.arrays):
+            self.f_ext[name] = analyzed.field_extents.get(name, Extent.zeros())
+        for t in self.stencil.temporaries:
+            self.f_ext[t.name] = analyzed.field_extents.get(t.name, Extent.zeros())
+            self.dims[t.name] = (True, True, True)
+            self.data_ndims[t.name] = 0
+        self._setup_windows()
+
+    # -- windows -----------------------------------------------------------
+
+    def _win_shape(self, name: str) -> tuple[int, ...]:
+        ni, nj, nk = self.domain
+        ext = self.f_ext[name]
+        dims = self.dims[name]
+        shape = []
+        if dims[0]:
+            shape.append(ni + ext.i[1] - ext.i[0])
+        if dims[1]:
+            shape.append(nj + ext.j[1] - ext.j[0])
+        if dims[2]:
+            shape.append(nk + ext.k[1] - ext.k[0])
+        return tuple(shape)
+
+    def _setup_windows(self) -> None:
+        """Create per-field windows: the sub-arrays the stencil touches.
+        NumPy windows are views (in-place); JAX windows are functional."""
+        self.win: dict[str, Any] = {}
+        self._win_slices: dict[str, tuple] = {}
+        for name, arr in self.arrays.items():
+            dims = self.dims.get(name, (True, True, True))
+            if not any(dims):  # GlobalTable
+                self.win[name] = arr
+                continue
+            ext = self.f_ext[name]
+            origin = self.origins.get(name, (0, 0, 0))
+            sl = []
+            for ax, (present, lo, size) in enumerate(
+                zip(dims, (ext.i[0], ext.j[0], ext.k[0]), self._win_shape(name))
+            ):
+                if present:
+                    start = origin[ax] + lo
+                    sl.append(slice(start, start + size))
+            sl = tuple(sl) + (slice(None),) * self.data_ndims.get(name, 0)
+            self._win_slices[name] = sl
+            self.win[name] = arr[sl]
+        # Temporaries: lazily-allocated windows.
+        for t in self.stencil.temporaries:
+            self.win[t.name] = None
+        self._temp_dtypes = {
+            t.name: (t.dtype if t.dtype is not None else np.float64)
+            for t in self.stencil.temporaries
+        }
+
+    def _get_window(self, name: str):
+        w = self.win[name]
+        if w is None:  # unwritten temporary: undefined values read as zeros
+            w = self.ops.xp.zeros(self._win_shape(name), dtype=self._temp_dtypes[name])
+            self.win[name] = w
+        return w
+
+    # -- main entry --------------------------------------------------------
+
+    def run(self) -> dict[str, Any]:
+        for vloop in self.stencil.vertical_loops:
+            if vloop.loop_order == gtir.LoopOrder.PARALLEL:
+                self._run_parallel(vloop)
+            else:
+                self._run_sequential(vloop)
+        # Write windows back into the full arrays (JAX mode; NumPy windows
+        # are views and already wrote through).
+        if self.ops.kind == "jax":
+            for name, sl in self._win_slices.items():
+                if name in self.arrays and self.win[name] is not None:
+                    self.arrays[name] = self.arrays[name].at[sl].set(self.win[name])
+        return self.arrays
+
+    # -- parallel loops ----------------------------------------------------
+
+    def _run_parallel(self, vloop: gtir.VerticalLoop) -> None:
+        nk = self.domain[2]
+        for section in vloop.sections:
+            ks, ke = section.interval.resolve(nk)
+            if ke <= ks:
+                continue
+            for stmt in section.body:
+                self._exec_unit(stmt, ks, ke, None)
+
+    # -- sequential loops --------------------------------------------------
+
+    def _run_sequential(self, vloop: gtir.VerticalLoop) -> None:
+        nk = self.domain[2]
+        backward = vloop.loop_order == gtir.LoopOrder.BACKWARD
+        for section in vloop.sections:
+            ks, ke = section.interval.resolve(nk)
+            if ke <= ks:
+                continue
+            length = ke - ks
+            if self.ops.kind == "jax" and length > _UNROLL_MAX:
+                try:
+                    self._plane_scan_section(section, ks, ke, backward)
+                    continue
+                except _PlaneUnsupported:
+                    pass
+            k_range = range(ks, ke)
+            if backward:
+                k_range = reversed(k_range)
+            for k in k_range:
+                for stmt in section.body:
+                    self._exec_unit(stmt, k, k + 1, k)
+
+    # -- plane-carry scan --------------------------------------------------
+
+    def _plane_scan_section(self, section, ks: int, ke: int, backward: bool) -> None:
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        xp = self.ops.xp
+        forward = not backward
+        written = sorted({w.name for stmt in section.body for w in iter_writes(stmt)})
+        written_set = set(written)
+
+        def is_updated_read(dk: int) -> bool:
+            return dk < 0 if forward else dk > 0
+
+        # Collect (field, dk) read pairs; reject constructs the plane scan
+        # cannot express.
+        read_pairs: set[tuple[str, int]] = set()
+        for stmt in section.body:
+            if isinstance(stmt, gtir.While):
+                raise _PlaneUnsupported("while in sequential section")
+            for access in _iter_reads(stmt):
+                if not any(self.dims.get(access.name, (True,) * 3)):
+                    continue  # GlobalTable: read directly
+                if access.koffset is not None or access.abs_k is not None:
+                    if access.name in written_set:
+                        raise _PlaneUnsupported("dynamic K read of written field")
+                    raise _PlaneUnsupported("dynamic K read in sequential section")
+                if not self.dims[access.name][2]:
+                    continue  # K-less fields read directly from windows
+                read_pairs.add((access.name, access.offset[2]))
+            for w in iter_writes(stmt):
+                if not self.dims[w.name][2]:
+                    raise _PlaneUnsupported("write to K-less field in scan")
+
+        depth: dict[str, int] = {f: 0 for f in written}
+        xs_keys: set[tuple[str, int]] = {(f, 0) for f in written}
+        for name, dk in read_pairs:
+            if name in written_set and is_updated_read(dk):
+                depth[name] = max(depth[name], abs(dk))
+            else:
+                xs_keys.add((name, dk))
+
+        L = ke - ks
+        nk_win = {}
+
+        def k_rel(name: str, k: int) -> int:
+            return k - self.f_ext[name].k[0]
+
+        def window_k_slab(name: str, k0: int, k1: int):
+            """(NI, NJ, L) K-slab of a field window, clamped to the window
+            (out-of-window reads are undefined-by-spec; clamp keeps shapes)."""
+            w = self._get_window(name)
+            dims = self.dims[name]
+            assert dims[2]
+            kax = sum(dims[:2])
+            z0, z1 = k_rel(name, k0), k_rel(name, k1)
+            pad_lo = max(0, -z0)
+            pad_hi = max(0, z1 - w.shape[kax])
+            z0c, z1c = max(z0, 0), min(z1, w.shape[kax])
+            slab = w[(slice(None),) * kax + (slice(z0c, z1c),)]
+            if pad_lo or pad_hi:
+                edge_lo = w[(slice(None),) * kax + (slice(0, 1),)]
+                edge_hi = w[(slice(None),) * kax + (slice(-1, None),)]
+                parts = [jnp.repeat(edge_lo, pad_lo, axis=kax)] if pad_lo else []
+                parts.append(slab)
+                if pad_hi:
+                    parts.append(jnp.repeat(edge_hi, pad_hi, axis=kax))
+                slab = jnp.concatenate(parts, axis=kax)
+            return slab
+
+        xs = {}
+        for name, dk in xs_keys:
+            slab = window_k_slab(name, ks + dk, ke + dk)
+            kax = sum(self.dims[name][:2])
+            xs[(name, dk)] = jnp.moveaxis(slab, kax, 0)  # (L, ...)
+
+        step = 1 if forward else -1
+        carry0 = {}
+        for name, d in depth.items():
+            if d == 0:
+                continue
+            planes = []
+            first_k = ks if forward else ke - 1
+            for dist in range(1, d + 1):
+                planes.append(
+                    window_k_slab(name, first_k - step * dist, first_k - step * dist + 1)
+                )
+            carry0[name] = tuple(
+                jnp.squeeze(p, axis=sum(self.dims[name][:2])) for p in planes
+            )
+
+        section_body = section.body
+
+        def body(carry, x):
+            plane = _PlaneCtxData(written_set, forward, carry, x, {}, ks)
+            for stmt in section_body:
+                ext = self.analyzed.stmt_extents[stmt]
+                ctx = _Ctx(ext, ks, ks + 1, 0, plane)
+                assert isinstance(stmt, gtir.Assign)
+                value = self._broadcast(self.eval_expr(stmt.value, ctx), ctx)
+                mask = self._full_mask(stmt, ctx)
+                self._plane_write(stmt.target, value, mask, ctx)
+            new_carry = {}
+            for name, planes in carry.items():
+                cur = plane.current.get(name)
+                if cur is None:
+                    cur = x[(name, 0)]
+                new_carry[name] = (cur,) + planes[:-1]
+            ys = {name: plane.current.get(name, x[(name, 0)]) for name in written}
+            return new_carry, ys
+
+        _, ys = lax.scan(body, carry0, xs, reverse=backward)
+
+        for name in written:
+            w = self._get_window(name)
+            dims = self.dims[name]
+            kax = sum(dims[:2])
+            stacked = jnp.moveaxis(ys[name], 0, kax)
+            z0 = k_rel(name, ks)
+            idx = (slice(None),) * kax + (slice(z0, z0 + L),)
+            self.win[name] = w.at[idx].set(stacked.astype(w.dtype))
+
+    def _plane_read(self, access: gtir.FieldAccess, ctx: _Ctx):
+        """Resolve a field read inside a plane-carry scan iteration; returns
+        an IJ plane (2-D) for the field's window."""
+        plane = ctx.plane
+        name = access.name
+        dk = access.offset[2]
+        forward = plane.forward
+        if name in plane.section_written:
+            updated = dk < 0 if forward else dk > 0
+            if updated:
+                return plane.carry[name][abs(dk) - 1]
+            if dk == 0:
+                cur = plane.current.get(name)
+                if cur is not None:
+                    return cur
+                return plane.xs[(name, 0)]
+            return plane.xs[(name, dk)]
+        return plane.xs[(name, dk)]
+
+    def _plane_write(self, target: gtir.FieldAccess, value, mask, ctx: _Ctx) -> None:
+        xp = self.ops.xp
+        plane = ctx.plane
+        name = target.name
+        ext = ctx.ext
+        f_ext = self.f_ext[name]
+        base = plane.current.get(name)
+        if base is None:
+            base = plane.xs[(name, 0)]
+        # value shape: (NI_u, NJ_u, 1) -> 2-D plane
+        value2d = xp.squeeze(value, axis=2).astype(base.dtype)
+        mask2d = xp.squeeze(mask, axis=2) if mask is not None else None
+        NI_u, NJ_u = value2d.shape
+        xi = ext.i[0] - f_ext.i[0]
+        xj = ext.j[0] - f_ext.j[0]
+        full_cover = (
+            mask2d is None
+            and xi == 0
+            and xj == 0
+            and (NI_u, NJ_u) == base.shape[:2]
+        )
+        if full_cover:
+            plane.current[name] = value2d
+            return
+        sub = base[xi : xi + NI_u, xj : xj + NJ_u]
+        if mask2d is not None:
+            value2d = xp.where(mask2d, value2d, sub)
+        plane.current[name] = base.at[xi : xi + NI_u, xj : xj + NJ_u].set(value2d)
+
+    # -- unit execution ----------------------------------------------------
+
+    def _exec_unit(self, stmt: gtir.Stmt, ks, ke, k_seq) -> None:
+        ext = self.analyzed.stmt_extents[stmt]
+        ctx = _Ctx(ext, ks, ke, k_seq)
+        if isinstance(stmt, gtir.Assign):
+            value = self._broadcast(self.eval_expr(stmt.value, ctx), ctx)
+            mask = self._full_mask(stmt, ctx)
+            self._write(stmt.target, value, mask, ctx)
+        elif isinstance(stmt, gtir.While):
+            self._exec_while(stmt, ctx)
+        else:
+            raise TypeError(type(stmt).__name__)
+
+    def _full_mask(self, stmt, ctx: _Ctx) -> Optional[Any]:
+        mask = None
+        if stmt.mask is not None:
+            mask = self._broadcast(self.eval_expr(stmt.mask, ctx), ctx)
+        if stmt.horizontal_masks:
+            rmask = self._region_mask(stmt.horizontal_masks, ctx)
+            mask = rmask if mask is None else self.ops.xp.logical_and(mask, rmask)
+        return mask
+
+    def _exec_while(self, stmt: gtir.While, ctx: _Ctx) -> None:
+        xp = self.ops.xp
+
+        involved = sorted(
+            {w.name for w in iter_writes(stmt)}
+            | {
+                r.name
+                for r in _iter_reads(stmt)
+                if r.name in self.win and any(self.dims.get(r.name, ()))
+            }
+        )
+
+        def eval_mask() -> Any:
+            cond = self._broadcast(self.eval_expr(stmt.cond, ctx), ctx)
+            extra = self._full_mask(stmt, ctx)
+            return cond if extra is None else xp.logical_and(cond, extra)
+
+        def apply_body(mask) -> None:
+            for s in stmt.body:
+                if isinstance(s, gtir.Assign):
+                    value = self._broadcast(self.eval_expr(s.value, ctx), ctx)
+                    smask = self._full_mask(s, ctx)
+                    total = mask if smask is None else xp.logical_and(mask, smask)
+                    self._write(s.target, value, total, ctx)
+                else:
+                    raise NotImplementedError("Nested while loops are not supported yet")
+
+        if self.ops.kind == "numpy":
+            mask = eval_mask()
+            while bool(np.any(mask)):
+                apply_body(mask)
+                mask = eval_mask()
+            return
+
+        import jax.lax as lax
+
+        def cond_fn(state):
+            self.win.update(zip(involved, state))
+            return self.ops.xp.any(eval_mask())
+
+        def body_fn(state):
+            self.win.update(zip(involved, state))
+            apply_body(eval_mask())
+            return tuple(self.win[n] for n in involved)
+
+        state0 = tuple(self._get_window(n) for n in involved)
+        final = lax.while_loop(cond_fn, body_fn, state0)
+        self.win.update(zip(involved, final))
+
+    # -- reads/writes ------------------------------------------------------
+
+    def _window_shape(self, ctx: _Ctx) -> tuple[int, int, int]:
+        ni, nj, _ = self.domain
+        ext = ctx.ext
+        return (
+            ni + ext.i[1] - ext.i[0],
+            nj + ext.j[1] - ext.j[0],
+            ctx.nk_static,
+        )
+
+    def _read_field(self, access: gtir.FieldAccess, ctx: _Ctx) -> Any:
+        name = access.name
+        dims = self.dims[name]
+        Ni, Nj, Nk = self._window_shape(ctx)
+
+        if not any(dims):  # GlobalTable: pure data-index lookup
+            idx = tuple(self.eval_expr(e, ctx) for e in access.data_index)
+            return self.win[name][idx]
+
+        # Plane-scan context: K-ful fields resolve via the plane machinery.
+        if ctx.plane is not None and dims[2]:
+            plane2d = self._plane_read(access, ctx)
+            di, dj, _ = access.offset
+            ext = ctx.ext
+            f_ext = self.f_ext[name]
+            xi = ext.i[0] + di - f_ext.i[0] if dims[0] else None
+            xj = ext.j[0] + dj - f_ext.j[0] if dims[1] else None
+            sl = []
+            if dims[0]:
+                sl.append(slice(xi, xi + Ni))
+            if dims[1]:
+                sl.append(slice(xj, xj + Nj))
+            value = plane2d[tuple(sl)]
+            value = value[..., None]  # re-add K axis (length 1)
+            value = self._expand_missing(value, (dims[0], dims[1], True), Ni, Nj, Nk)
+            if access.data_index:
+                idx = tuple(self._eval_static_index(e, ctx) for e in access.data_index)
+                value = value[(Ellipsis,) + idx]
+            return value
+
+        w = self._get_window(name)
+        ext = ctx.ext
+        f_ext = self.f_ext[name]
+        origin = self.origins.get(name, (0, 0, 0))
+        di, dj, dk = access.offset
+
+        starts = []
+        sizes = []
+        gather = access.koffset is not None or access.abs_k is not None
+        if dims[0]:
+            starts.append(ext.i[0] + di - f_ext.i[0])
+            sizes.append(Ni)
+        if dims[1]:
+            starts.append(ext.j[0] + dj - f_ext.j[0])
+            sizes.append(Nj)
+        if dims[2] and not gather:
+            base = ctx.ks if ctx.k_seq is None else ctx.k_seq
+            starts.append(base + dk - f_ext.k[0])
+            sizes.append(Nk)
+
+        if gather:
+            xp = self.ops.xp
+            window = self.ops.slice_nd(w, starts, sizes) if starts else w
+            window = self._expand_missing(window, (dims[0], dims[1], True), Ni, Nj, Nk)
+            if window.ndim > 3:
+                raise NotImplementedError("Variable-K reads of data-dim fields")
+            if access.abs_k is not None:
+                kidx = xp.asarray(self.eval_expr(access.abs_k, ctx)) - f_ext.k[0]
+            else:
+                base = ctx.ks if ctx.k_seq is None else ctx.k_seq
+                k_iota = self.ops.iota(Nk, 2, None) if ctx.k_seq is None else 0
+                koff = self.eval_expr(access.koffset, ctx)
+                kidx = xp.asarray(base + dk + k_iota + koff - f_ext.k[0])
+            kidx = xp.broadcast_to(kidx.astype(np.int64), (Ni, Nj, Nk))
+            return self.ops.take_along_k(
+                xp.broadcast_to(window, (Ni, Nj, window.shape[2])), kidx
+            )
+
+        value = self.ops.slice_nd(w, starts, sizes)
+        value = self._expand_missing(value, dims, Ni, Nj, Nk)
+        if access.data_index:
+            idx = tuple(self._eval_static_index(e, ctx) for e in access.data_index)
+            value = value[(Ellipsis,) + idx]
+        return value
+
+    def _expand_missing(self, value, dims, Ni, Nj, Nk) -> Any:
+        axis = 0
+        for present in dims:
+            if not present:
+                value = self.ops.xp.expand_dims(value, axis)
+            axis += 1
+        return value
+
+    def _eval_static_index(self, expr: gtir.Expr, ctx: _Ctx):
+        value = self.eval_expr(expr, ctx)
+        if isinstance(value, np.ndarray) and value.ndim == 0:
+            return int(value)
+        if isinstance(value, (int, np.integer)):
+            return int(value)
+        if hasattr(value, "ndim") and value.ndim == 0:
+            return value  # traced scalar index
+        raise NotImplementedError("Per-gridpoint data-dimension indices are not supported")
+
+    def _write(self, target: gtir.FieldAccess, value, mask, ctx: _Ctx) -> None:
+        xp = self.ops.xp
+        name = target.name
+        if ctx.plane is not None:
+            self._plane_write(target, value, mask, ctx)
+            return
+        dims = self.dims[name]
+        ext = ctx.ext
+        f_ext = self.f_ext[name]
+        Ni, Nj, Nk = self._window_shape(ctx)
+        w = self._get_window(name) if (self.win.get(name) is not None or mask is not None or target.data_index) else None
+
+        value = xp.broadcast_to(xp.asarray(value), (Ni, Nj, Nk))
+
+        starts = []
+        shape_out = []
+        if dims[0]:
+            starts.append(ext.i[0] - f_ext.i[0])
+            shape_out.append(Ni)
+        if dims[1]:
+            starts.append(ext.j[0] - f_ext.j[0])
+            shape_out.append(Nj)
+        if dims[2]:
+            base = ctx.ks if ctx.k_seq is None else ctx.k_seq
+            starts.append(base - f_ext.k[0])
+            shape_out.append(Nk)
+        elif Nk != 1:
+            raise NotImplementedError(
+                f"Writing field '{name}' without K axis over a multi-level section"
+            )
+
+        squeeze_axes = tuple(i for i, present in enumerate(dims) if not present)
+        if squeeze_axes:
+            value = xp.squeeze(value, axis=squeeze_axes)
+
+        if w is None:
+            # Unallocated temporary with a plain write.
+            win_shape = self._win_shape(name)
+            dtype = self._temp_dtypes[name]
+            value = xp.asarray(value).astype(dtype)
+            if tuple(shape_out) == win_shape and all(
+                isinstance(s, (int, np.integer)) and s == 0 for s in starts
+            ):
+                self.win[name] = value
+                return
+            w = self._get_window(name)
+
+        value = xp.asarray(value).astype(w.dtype)
+        # Full-window unmasked writes replace the window outright.
+        if (
+            mask is None
+            and not target.data_index
+            and tuple(shape_out) == tuple(w.shape[: len(shape_out)])
+            and not self.data_ndims.get(name, 0)
+            and all(isinstance(s, (int, np.integer)) and s == 0 for s in starts)
+        ):
+            if self.ops.kind == "numpy":
+                w[...] = value
+            else:
+                self.win[name] = value
+            return
+
+        if mask is not None:
+            if squeeze_axes:
+                mask = xp.squeeze(mask, axis=squeeze_axes)
+            old = self.ops.slice_nd(w, starts, shape_out)
+            if target.data_index:
+                idx = tuple(self._eval_static_index(e, ctx) for e in target.data_index)
+                old_elem = old[(Ellipsis,) + idx]
+                sel = xp.where(mask, value, old_elem)
+                if self.ops.kind == "numpy":
+                    old[(Ellipsis,) + idx] = sel
+                    new = old
+                else:
+                    new = old.at[(Ellipsis,) + idx].set(sel)
+            else:
+                new = xp.where(mask, value, old)
+            self.win[name] = self.ops.update_nd(w, starts, new)
+        else:
+            if target.data_index:
+                idx = tuple(self._eval_static_index(e, ctx) for e in target.data_index)
+                old = self.ops.slice_nd(w, starts, shape_out)
+                if self.ops.kind == "numpy":
+                    old[(Ellipsis,) + idx] = value
+                    block = old
+                else:
+                    block = old.at[(Ellipsis,) + idx].set(value)
+                self.win[name] = self.ops.update_nd(w, starts, block)
+            else:
+                self.win[name] = self.ops.update_nd(w, starts, value)
+
+    def _region_mask(self, hmasks, ctx: _Ctx) -> Any:
+        xp = self.ops.xp
+        ni, nj, _ = self.domain
+        Ni, Nj, Nk = self._window_shape(ctx)
+        i_rel = self.ops.iota(Ni, 0, None) + ctx.ext.i[0]
+        j_rel = self.ops.iota(Nj, 1, None) + ctx.ext.j[0]
+        total = None
+        for hm in hmasks:
+            cond = xp.ones((1, 1, 1), dtype=bool)
+            for rel, interval, size in ((i_rel, hm.i, ni), (j_rel, hm.j, nj)):
+                if interval.start is not None:
+                    cond = xp.logical_and(cond, rel >= interval.start.resolve(size))
+                if interval.end is not None:
+                    cond = xp.logical_and(cond, rel < interval.end.resolve(size))
+            total = cond if total is None else xp.logical_and(total, cond)
+        return xp.broadcast_to(total, (Ni, Nj, Nk))
+
+    def _broadcast(self, value, ctx: _Ctx) -> Any:
+        shape = self._window_shape(ctx)
+        return self.ops.xp.broadcast_to(self.ops.xp.asarray(value), shape)
+
+    # -- expression evaluation --------------------------------------------
+
+    def eval_expr(self, expr: gtir.Expr, ctx: _Ctx) -> Any:
+        xp = self.ops.xp
+        if isinstance(expr, gtir.Literal):
+            return np.asarray(expr.value, dtype=expr.dtype)[()]
+        if isinstance(expr, gtir.ScalarAccess):
+            return self.scalars[expr.name]
+        if isinstance(expr, gtir.FieldAccess):
+            return self._read_field(expr, ctx)
+        if isinstance(expr, gtir.UnaryOp):
+            v = self.eval_expr(expr.expr, ctx)
+            if expr.op == gtir.UnaryOperator.NOT:
+                return xp.logical_not(v)
+            if expr.op == gtir.UnaryOperator.NEG:
+                return xp.negative(v)
+            return v
+        if isinstance(expr, gtir.BinaryOp):
+            left = self.eval_expr(expr.left, ctx)
+            right = self.eval_expr(expr.right, ctx)
+            return _apply_binop(xp, expr.op, left, right)
+        if isinstance(expr, gtir.TernaryOp):
+            cond = self.eval_expr(expr.cond, ctx)
+            t = self.eval_expr(expr.true_expr, ctx)
+            f = self.eval_expr(expr.false_expr, ctx)
+            return xp.where(cond, t, f)
+        if isinstance(expr, gtir.NativeFuncCall):
+            args = [self.eval_expr(a, ctx) for a in expr.args]
+            return self.natives[expr.func](*args)
+        if isinstance(expr, gtir.Cast):
+            v = self.eval_expr(expr.expr, ctx)
+            return xp.asarray(v).astype(expr.dtype)
+        raise TypeError(type(expr).__name__)

@@ -313,9 +313,13 @@ class StencilObject:
                     pos += 1
             origins3[name] = tuple(full)
 
+        from gt4py_tpu.instrumentation import MetricsCollector
+        from gt4py_tpu.instrumentation.hooks import stencil_call
+
         if exec_info is not None:
             exec_info["run_start_time"] = time.perf_counter()
-        results = self._backend.run(arrays, scalars, domain, origins3)
+        with stencil_call.wrap(self), MetricsCollector(self.name, "compute"):
+            results = self._backend.run(arrays, scalars, domain, origins3)
         if exec_info is not None:
             exec_info["run_end_time"] = time.perf_counter()
 

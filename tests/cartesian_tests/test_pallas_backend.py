@@ -1,0 +1,128 @@
+"""tpu:pallas backend tests (Pallas interpreter on the CPU test platform;
+the same kernels compile via Mosaic on real TPU — exercised by bench.py).
+
+Runs the canonical stencils through the full StencilObject path with
+backend="tpu:pallas" and compares against the NumPy oracles."""
+
+import numpy as np
+import pytest
+
+from gt4py_tpu.cartesian import gtscript
+
+from . import stencil_defs as defs
+
+
+def build(definition, **kwargs):
+    return gtscript.stencil(
+        backend="tpu:pallas", definition=definition, rebuild=True, **kwargs
+    )
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def test_copy(rng):
+    st = build(defs.copy_stencil)
+    a = rng.random((16, 16, 4))
+    b = np.zeros((16, 16, 4))
+    st(a, b)
+    np.testing.assert_allclose(a, b)
+
+
+def test_hdiff(rng):
+    st = build(defs.horizontal_diffusion)
+    shape = (20, 19, 4)
+    in_field = rng.random(shape)
+    coeff = rng.random(shape)
+    out_field = np.zeros(shape)
+    st(
+        in_field, out_field, coeff,
+        origin=(2, 2, 0), domain=(shape[0] - 4, shape[1] - 4, shape[2]),
+    )
+    np.testing.assert_allclose(
+        out_field[2:-2, 2:-2], defs.validate_horizontal_diffusion(in_field, coeff)
+    )
+
+
+def test_tridiagonal(rng):
+    st = build(defs.tridiagonal_solver)
+    shape = (8, 9, 8)
+    inf = -np.ones(shape)
+    diag = np.full(shape, 4.0)
+    sup = -np.ones(shape)
+    rhs = rng.random(shape)
+    expected = defs.validate_tridiagonal_solver(inf, diag, sup, rhs)
+    out = np.zeros(shape)
+    st(inf.copy(), diag.copy(), sup.copy(), rhs.copy(), out)
+    np.testing.assert_allclose(out, expected, rtol=1e-12)
+
+
+def test_vadv(rng):
+    st = build(defs.vertical_advection_dycore, externals=defs.VADV_EXTERNALS)
+    shape = (6, 5, 9)
+    utens_stage = rng.random(shape)
+    u_stage = rng.random(shape)
+    wcon = rng.random(shape)
+    u_pos = rng.random(shape)
+    utens = rng.random(shape)
+    dtr_stage = 3.0 / 20.0
+    expected = defs.validate_vertical_advection_dycore(
+        utens_stage, u_stage, wcon, u_pos, utens, dtr_stage
+    )
+    result = utens_stage.copy()
+    st(
+        result, u_stage, wcon, u_pos, utens,
+        dtr_stage=dtr_stage, domain=(shape[0] - 1, shape[1], shape[2]),
+    )
+    np.testing.assert_allclose(result[: shape[0] - 1], expected, rtol=1e-8)
+
+
+def test_runtime_if(rng):
+    st = build(defs.runtime_if)
+    a = rng.random((8, 8, 3)) - 0.5
+    b = np.zeros_like(a)
+    exp_a, exp_b = defs.validate_runtime_if(a)
+    st(a, b)
+    np.testing.assert_allclose(a, exp_a)
+    np.testing.assert_allclose(b, exp_b)
+
+
+def test_while(rng):
+    st = build(defs.while_stencil)
+    a = rng.random((6, 6, 2)) * 4.0
+    b = np.zeros_like(a)
+    exp_a, exp_b = defs.validate_while(a, b)
+    # While stencils currently fall back to the XLA path (warned at first
+    # call, when the kernel is built).
+    with pytest.warns(UserWarning, match="falling back"):
+        st(a, b)
+    np.testing.assert_allclose(a, exp_a)
+    np.testing.assert_allclose(b, exp_b)
+
+
+def test_region(rng):
+    from .test_features import region_stencil
+
+    st = build(region_stencil)
+    a = np.zeros((9, 7, 2))
+    st(a)
+    expected = np.zeros_like(a)
+    expected[0, :, :] = 10.0
+    expected[-1, 0:2, :] = 20.0
+    np.testing.assert_allclose(a, expected)
+
+
+def test_fallback_for_unsupported(rng):
+    """Variable K offsets fall back to the XLA path with a warning."""
+    from .test_features import var_k_stencil
+
+    with pytest.warns(UserWarning, match="falling back"):
+        st = build(var_k_stencil)
+        a = rng.random((4, 4, 6))
+        idx = rng.integers(-2, 3, (4, 4, 6))
+        out = np.zeros((4, 4, 6))
+        st(a, idx, out)
+    kk = np.clip(np.arange(6)[None, None, :] + idx, 0, 5)
+    np.testing.assert_allclose(out, np.take_along_axis(a, kk, axis=2))

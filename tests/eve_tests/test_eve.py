@@ -1,0 +1,75 @@
+"""Unit tests for the eve IR kit (reference: tests/eve_tests/)."""
+
+from gt4py_tpu import eve
+from gt4py_tpu.eve import Node, NodeTranslator, NodeVisitor, datamodel, field
+
+
+@datamodel
+class Leaf(Node):
+    value: int = 0
+
+
+@datamodel
+class Branch(Node):
+    left: Node = None
+    right: Node = None
+    tag: str = ""
+
+
+def make_tree():
+    return Branch(left=Leaf(value=1), right=Branch(left=Leaf(value=2), right=Leaf(value=3)))
+
+
+def test_structural_equality_identity_hash():
+    a, b = make_tree(), make_tree()
+    assert a == b
+    assert hash(a) != hash(b)  # identity hash: usable as analysis keys
+    assert a != Branch(left=Leaf(value=9), right=None)
+
+
+def test_walk():
+    tree = make_tree()
+    leaves = [n.value for n in eve.walk_type(tree, Leaf)]
+    assert leaves == [1, 2, 3]
+
+
+def test_visitor_dispatch_with_mro_fallback():
+    visited = []
+
+    class V(NodeVisitor):
+        def visit_Leaf(self, node, **kwargs):
+            visited.append(node.value)
+
+    V().visit(make_tree())
+    assert visited == [1, 2, 3]
+
+    # MRO fallback: a subclass of Leaf dispatches to visit_Leaf.
+    @datamodel
+    class SpecialLeaf(Leaf):
+        pass
+
+    visited.clear()
+    V().visit(Branch(left=SpecialLeaf(value=7), right=Leaf(value=8)))
+    assert visited == [7, 8]
+
+
+def test_translator_rebuilds():
+    class Doubler(NodeTranslator):
+        def visit_Leaf(self, node, **kwargs):
+            return Leaf(value=node.value * 2)
+
+    tree = make_tree()
+    new = Doubler().visit(tree)
+    assert [n.value for n in eve.walk_type(new, Leaf)] == [2, 4, 6]
+    assert [n.value for n in eve.walk_type(tree, Leaf)] == [1, 2, 3]  # original intact
+
+
+def test_copy_with_overrides():
+    leaf = Leaf(value=5)
+    assert leaf.copy(value=6).value == 6
+    assert leaf.value == 5
+
+
+def test_source_location_str():
+    loc = eve.SourceLocation(line=3, column=7, filename="x.py")
+    assert "x.py:3:7" == str(loc)
