@@ -7,16 +7,18 @@ vertical loops, all statement units, all temporaries — executes as ONE
 Pallas kernel per tile:
 
 - internal layout is K-leading ``(K, I, J)``: J rides the 128-wide lanes,
-  I the sublanes, and sequential-K iteration walks the major axis (cheap
-  dynamic slices); the public (I, J, K) arrays are transposed and padded at
-  the jit boundary (adjacent transposes cancel under XLA when stencils are
-  chained or composed under one jit),
-- the grid tiles the I axis; J stays whole (TPU DMA slices must be
-  (8, 128)-tile aligned — J is padded to a lane multiple and copied in full
-  rows, I windows are 8-aligned via per-field front padding),
+  I the sublanes, sequential-K iteration walks the major axis; the public
+  (I, J, K) arrays are transposed and padded at the jit boundary (adjacent
+  transposes cancel under XLA when stencils are chained under one jit),
+- the grid tiles I (sublane-aligned), J (lane-aligned: halos are quantized
+  to whole 128-lane tiles — TPU DMA offsets/shapes must respect (8, 128)
+  memref tiling), and, for stencils without sequential loops, K as well
+  (K is the unconstrained major axis; K-interval sections are handled by
+  masking rows against the block's global K range),
 - each grid instance DMAs halo-extended field windows HBM→VMEM (manual
   async copies — halo overlap is not expressible with automatic BlockSpec
-  blocking), computes every unit in VMEM, and DMAs written tiles back,
+  blocking), computes every unit in VMEM, and DMAs written tiles back
+  (aliased outputs, disjoint interiors),
 - temporaries never touch HBM: they are VMEM scratch blocks sized by their
   access extents (the role of the reference's IJ-cache OIR pass,
   oir_optimizations/caches.py:44),
@@ -24,7 +26,7 @@ Pallas kernel per tile:
   with all state in VMEM (the K-cache role, caches.py:92).
 
 Unsupported features (variable/absolute K offsets, data dimensions,
-GlobalTables, non-IJK fields, 64-bit dtypes on hardware) raise
+GlobalTables, non-IJK fields, while loops, 64-bit dtypes on hardware) raise
 ``PallasUnsupported``; the backend falls back to the XLA-traced path.
 """
 
@@ -86,13 +88,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-class _Plan:
-    """Static kernel plan for one (domain, origins, shapes) specialization."""
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
-    def __init__(self, analyzed: AnalyzedStencil, domain, origins, array_k: dict[str, int]):
+
+class _Plan:
+    """Static kernel plan for one (domain, origins) specialization."""
+
+    def __init__(self, analyzed: AnalyzedStencil, domain, origins):
         self.analyzed = analyzed
         self.stencil = analyzed.stencil
         self.domain = domain
+        self.origins = dict(origins)
         ni, nj, nk = domain
 
         self.field_ext: dict[str, Extent] = {}
@@ -109,47 +116,92 @@ class _Plan:
         for t in self.stencil.temporaries:
             self.field_ext[t.name] = analyzed.field_extents.get(t.name, Extent.zeros())
 
-        # Per-field paddings: aligned origins in I, lane-padded J.
-        self.pad_i_front: dict[str, int] = {}
-        self.nj_pad = _round_up(nj + max(
-            (origins[n][1] + self.field_ext[n].j[1] for n in self.reads), default=0
-        ) + max((-self.field_ext[n].j[0] for n in self.reads), default=0), _LANE)
-        self.origins = dict(origins)
-        for name in self.reads:
-            oi = origins[name][0]
-            self.pad_i_front[name] = (-oi) % _SUBLANE
+        self.sequential = any(
+            vl.loop_order != gtir.LoopOrder.PARALLEL for vl in self.stencil.vertical_loops
+        )
+        # Multi-section loops need row masking under K blocking; supported.
 
-        # J-block width: full padded rows.
-        self.njb = self.nj_pad
+        # Per-field paddings so DMA offsets/shapes are (8, 128)-aligned.
+        self.pad_i_front = {n: (-origins[n][0]) % _SUBLANE for n in self.reads}
 
-        # I tile: multiple of sublane; grow while VMEM allows.
-        ti = _SUBLANE
-        while ti * 2 <= _round_up(ni, _SUBLANE) and self._vmem_bytes(ti * 2, nk) <= _VMEM_BUDGET:
-            ti *= 2
-        if self._vmem_bytes(ti, nk) > _VMEM_BUDGET:
+        # J handling: halo quantization to 128-lane tiles is expensive, so
+        # prefer "full rows" (one J tile spanning the whole padded J extent,
+        # DMA start 0) whenever VMEM allows; fall back to lane-tiled J.
+        self.njb_full = _round_up(
+            max(
+                (origins[n][1] + nj + self.field_ext[n].j[1] for n in self.reads),
+                default=nj,
+            ),
+            _LANE,
+        )
+        tk_full = self.sequential or nk <= 8
+        ti0 = _SUBLANE
+        tk0 = nk if tk_full else min(nk, 8)
+
+        self.j_full = True
+        self.pad_j_front = {n: 0 for n in self.reads}
+        if self._vmem_bytes(ti0, self.njb_full, tk0) > _VMEM_BUDGET:
+            self.j_full = False
+            for n in self.reads:
+                ext = self.field_ext[n]
+                n_lo = _cdiv(max(0, -ext.j[0]), _LANE)
+                self.pad_j_front[n] = (-origins[n][1]) % _LANE + _LANE * n_lo
+
+        tj0 = self.njb_full if self.j_full else min(_round_up(nj, _LANE), _LANE)
+        if self._vmem_bytes(ti0, tj0, tk0) > _VMEM_BUDGET:
             raise PallasUnsupported("VMEM budget exceeded for minimal tile")
-        self.ti = ti
-        self.grid = (-(-ni // ti),)
-        self.array_k = array_k
+        ti, tj, tk = ti0, tj0, tk0
+        # Greedy growth: I (cheap sublane halos), then K, then J.
+        while ti * 2 <= _round_up(ni, _SUBLANE) and self._vmem_bytes(ti * 2, tj, tk) <= _VMEM_BUDGET:
+            ti *= 2
+        if not tk_full:
+            while tk * 2 <= nk and self._vmem_bytes(ti, tj, tk * 2) <= _VMEM_BUDGET:
+                tk *= 2
+        if not self.j_full:
+            while tj * 2 <= _round_up(nj, _LANE) and self._vmem_bytes(ti, tj * 2, tk) <= _VMEM_BUDGET:
+                tj *= 2
+        self.ti, self.tj, self.tk = ti, tj, tk
+        self.k_blocked = tk < nk
+        grid_j = 1 if self.j_full else _cdiv(nj, tj)
+        self.grid = (
+            (_cdiv(nk, tk), _cdiv(ni, ti), grid_j)
+            if self.k_blocked
+            else (_cdiv(ni, ti), grid_j)
+        )
+
+    # window helpers ------------------------------------------------------
 
     def _i_window(self, name: str, ti: int) -> tuple[int, int]:
-        """(misalignment m, window size) for a field's I DMA window; the
-        window start i0 + oi' + ext.lo - m is 8-aligned because oi' is."""
+        """(m, size): block row of unit-extent origin shift and window size."""
         ext = self.field_ext.get(name, Extent.zeros())
-        m = ext.i[0] % _SUBLANE  # == (ext.lo mod 8), start shift
+        m = ext.i[0] % _SUBLANE
         size = _round_up(ti + ext.i[1] - ext.i[0] + m, _SUBLANE)
         return m, size
 
-    def _block_shape(self, name: str, ti: int, nk: int):
+    def _j_window(self, name: str, tj: int) -> tuple[int, int, int]:
+        """(n_lo tiles, n_hi tiles, window size) for the J axis."""
+        if getattr(self, "j_full", False):
+            return 0, 0, tj
         ext = self.field_ext.get(name, Extent.zeros())
-        _, isize = self._i_window(name, ti)
-        wk = ext.k[1] - ext.k[0]
-        return (nk + wk, isize, self.njb)
+        n_lo = _cdiv(max(0, -ext.j[0]), _LANE)
+        n_hi = _cdiv(max(0, ext.j[1]), _LANE)
+        return n_lo, n_hi, tj + _LANE * (n_lo + n_hi)
 
-    def _vmem_bytes(self, ti: int, nk: int) -> int:
+    def _k_window(self, name: str, tk: int) -> tuple[int, int]:
+        """(lo halo, window size) for the K axis (unconstrained alignment)."""
+        ext = self.field_ext.get(name, Extent.zeros())
+        return -ext.k[0], tk + ext.k[1] - ext.k[0]
+
+    def _block_shape(self, name: str, ti: int, tj: int, tk: int):
+        _, isize = self._i_window(name, ti)
+        _, _, jsize = self._j_window(name, tj)
+        _, ksize = self._k_window(name, tk)
+        return (ksize, isize, jsize)
+
+    def _vmem_bytes(self, ti: int, tj: int, tk: int) -> int:
         total = 0
         for name in list(self.field_ext):
-            shape = self._block_shape(name, ti, nk)
+            shape = self._block_shape(name, ti, tj, tk)
             if name in self.temps:
                 dtype = self.temps[name].dtype or np.float64
             else:
@@ -174,122 +226,132 @@ def build_pallas_fn(
 
     _check_supported(analyzed, interpret=interpret)
     ni, nj, nk = domain
-
-    reads_order = [
-        n for n, i in analyzed.field_infos.items() if i.access != AccessKind.NONE
-    ]
+    plan = _Plan(analyzed, domain, origins)
+    TI, TJ, TK = plan.ti, plan.tj, plan.tk
+    reads = plan.reads
+    writes = plan.writes
     scalar_names = [
         n for n, i in analyzed.parameter_infos.items() if i.access != AccessKind.NONE
     ]
+    dtypes = {
+        n: (
+            analyzed.field_infos[n].dtype
+            if n in analyzed.field_infos
+            else (plan.temps[n].dtype or np.float64)
+        )
+        for n in plan.field_ext
+    }
 
-    # array_k filled at call time; plan built lazily per call shapes.
-    plan_holder: dict[str, Any] = {}
+    def kernel(*refs):
+        pos = 0
+        sref = {n: refs[pos + i] for i, n in enumerate(scalar_names)}
+        pos += len(scalar_names)
+        in_refs = {n: refs[pos + i] for i, n in enumerate(reads)}
+        pos += len(reads)
+        out_refs = {n: refs[pos + i] for i, n in enumerate(writes)}
+        pos += len(writes)
+        blocks = {n: refs[pos + i] for i, n in enumerate(plan.field_ext)}
+        pos += len(plan.field_ext)
+        in_sems = refs[pos]
+        out_sems = refs[pos + 1]
 
-    def make_plan(array_shapes: dict[str, tuple[int, ...]]) -> _Plan:
-        key = tuple(sorted(array_shapes.items()))
-        if plan_holder.get("key") != key:
-            array_k = {n: s[2] for n, s in array_shapes.items()}
-            plan_holder["plan"] = _Plan(analyzed, domain, origins, array_k)
-            plan_holder["key"] = key
-        return plan_holder["plan"]
+        if plan.k_blocked:
+            k0 = pl.program_id(0) * TK
+            i0 = pl.program_id(1) * TI
+            j0 = pl.program_id(2) * TJ
+        else:
+            k0 = 0
+            i0 = pl.program_id(0) * TI
+            j0 = pl.program_id(1) * TJ
+
+        dmas = []
+        for idx, name in enumerate(reads):
+            oi, oj, ok = plan.origins[name]
+            oi_p = oi + plan.pad_i_front[name]
+            oj_p = oj + plan.pad_j_front[name]
+            m, iwin = plan._i_window(name, TI)
+            n_lo, _, jwin = plan._j_window(name, TJ)
+            k_lo, kwin = plan._k_window(name, TK)
+            ext = plan.field_ext[name]
+            j_start = 0 if plan.j_full else j0 + oj_p - _LANE * n_lo
+            src = in_refs[name].at[
+                pl.ds(ok + k0 + ext.k[0], kwin),
+                pl.ds(i0 + oi_p + ext.i[0] - m, iwin),
+                pl.ds(j_start, jwin),
+            ]
+            dma = pltpu.make_async_copy(src, blocks[name], in_sems.at[np.int32(idx)])
+            dma.start()
+            dmas.append(dma)
+        for dma in dmas:
+            dma.wait()
+
+        ev = _BlockEvaluator(plan, blocks, sref, k0, i0, j0)
+        ev.run()
+
+        out_dmas = []
+        for idx, name in enumerate(writes):
+            oi, oj, ok = plan.origins[name]
+            oi_p = oi + plan.pad_i_front[name]
+            oj_p = oj + plan.pad_j_front[name]
+            m, _ = plan._i_window(name, TI)
+            n_lo, _, _ = plan._j_window(name, TJ)
+            k_lo, kwin = plan._k_window(name, TK)
+            ext = plan.field_ext[name]
+            # Tile interior: K rows of the block's domain range, I rows at
+            # m - ext.i[0] (8-aligned: m ≡ ext.i[0] mod 8), J cols at the
+            # lane-tile boundary.
+            if plan.j_full:
+                # Single J tile: write whole rows (non-domain columns hold
+                # the DMA'd-in original values).
+                j_src, j_dst, j_len = 0, 0, TJ
+            else:
+                j_src, j_dst, j_len = _LANE * n_lo, j0 + oj_p, TJ
+            src = blocks[name].at[
+                pl.ds(0, kwin),
+                pl.ds(m - ext.i[0], TI),
+                pl.ds(j_src, j_len),
+            ]
+            dst = out_refs[name].at[
+                pl.ds(ok + k0 + ext.k[0], kwin),
+                pl.ds(i0 + oi_p, TI),
+                pl.ds(j_dst, j_len),
+            ]
+            dma = pltpu.make_async_copy(src, dst, out_sems.at[np.int32(idx)])
+            dma.start()
+            out_dmas.append(dma)
+        for dma in out_dmas:
+            dma.wait()
 
     def fn(arrays: dict[str, Any], scalars: dict[str, Any]) -> dict[str, Any]:
-        plan = make_plan({n: tuple(arrays[n].shape) for n in reads_order})
-        TI = plan.ti
-        reads = plan.reads
-        writes = plan.writes
-        dtypes = {
-            n: (
-                analyzed.field_infos[n].dtype
-                if n in analyzed.field_infos
-                else (plan.temps[n].dtype or np.float64)
-            )
-            for n in plan.field_ext
-        }
-
-        # ---- pad + transpose to (K, I, J) --------------------------------
+        # ---- transpose + pad to aligned (K, I, J) ------------------------
         padded = {}
-        ni_pad = {}
+        grid_i = plan.grid[1] if plan.k_blocked else plan.grid[0]
+        grid_j = plan.grid[2] if plan.k_blocked else plan.grid[1]
+        grid_k = plan.grid[0] if plan.k_blocked else 1
         for n in reads:
             a = arrays[n]
             kf = jnp.transpose(a, (2, 0, 1))
-            front = plan.pad_i_front[n]
-            _, iwin = plan._i_window(n, TI)
-            # capacity: last tile start + window must fit
-            need_i = (plan.grid[0] - 1) * TI + iwin + front
-            back = max(0, _round_up(max(need_i, kf.shape[1] + front), _SUBLANE) - kf.shape[1] - front) + _SUBLANE
-            pj = plan.nj_pad - kf.shape[2]
-            if pj < 0:
-                pj = _round_up(kf.shape[2], _LANE) - kf.shape[2]
-            padded[n] = jnp.pad(kf, ((0, 0), (front, back), (0, max(pj, 0))))
-            ni_pad[n] = padded[n].shape[1]
-
-        njb = max(p.shape[2] for p in padded.values())
-        padded = {
-            n: (jnp.pad(p, ((0, 0), (0, 0), (0, njb - p.shape[2]))) if p.shape[2] < njb else p)
-            for n, p in padded.items()
-        }
-        plan.njb = njb  # all J blocks share the widest padded row
-
-        def kernel(*refs):
-            pos = 0
-            sref = {n: refs[pos + i] for i, n in enumerate(scalar_names)}
-            pos += len(scalar_names)
-            in_refs = {n: refs[pos + i] for i, n in enumerate(reads)}
-            pos += len(reads)
-            out_refs = {n: refs[pos + i] for i, n in enumerate(writes)}
-            pos += len(writes)
-            blocks = {n: refs[pos + i] for i, n in enumerate(plan.field_ext)}
-            pos += len(plan.field_ext)
-            in_sems = refs[pos]
-            out_sems = refs[pos + 1]
-
-            i0 = pl.program_id(0) * TI
-
-            dmas = []
-            for idx, name in enumerate(reads):
-                ext = plan.field_ext[name]
-                oi, oj, ok = plan.origins[name]
-                oi_p = oi + plan.pad_i_front[name]
-                m, iwin = plan._i_window(name, TI)
-                src = in_refs[name].at[
-                    pl.ds(ok + ext.k[0], nk + ext.k[1] - ext.k[0]),
-                    pl.ds(i0 + oi_p + ext.i[0] - m, iwin),
-                    pl.ds(0, njb),
-                ]
-                dma = pltpu.make_async_copy(src, blocks[name], in_sems.at[np.int32(idx)])
-                dma.start()
-                dmas.append(dma)
-            for dma in dmas:
-                dma.wait()
-
-            ev = _BlockEvaluator(plan, blocks, sref, nk, nj)
-            ev.run()
-
-            out_dmas = []
-            for idx, name in enumerate(writes):
-                ext = plan.field_ext[name]
-                oi, oj, ok = plan.origins[name]
-                oi_p = oi + plan.pad_i_front[name]
-                m, iwin = plan._i_window(name, TI)
-                # Tile rows live at block rows [m - ext.i[0], +TI) — 8-aligned
-                # because m ≡ ext.i[0] (mod 8).
-                x0 = m - ext.i[0]
-                src = blocks[name].at[
-                    pl.ds(0, blocks[name].shape[0]),
-                    pl.ds(x0, TI),
-                    pl.ds(0, njb),
-                ]
-                dst = out_refs[name].at[
-                    pl.ds(ok + ext.k[0], nk + ext.k[1] - ext.k[0]),
-                    pl.ds(i0 + oi_p, TI),
-                    pl.ds(0, njb),
-                ]
-                dma = pltpu.make_async_copy(src, dst, out_sems.at[np.int32(idx)])
-                dma.start()
-                out_dmas.append(dma)
-            for dma in out_dmas:
-                dma.wait()
+            oi, oj, ok = plan.origins[n]
+            ext = plan.field_ext[n]
+            fi = plan.pad_i_front[n]
+            fj = plan.pad_j_front[n]
+            m, iwin = plan._i_window(n, TI)
+            n_lo, n_hi, jwin = plan._j_window(n, TJ)
+            k_lo, kwin = plan._k_window(n, TK)
+            # Capacity so the last tile's DMA window stays in bounds:
+            # DMA start + window size <= padded extent, per axis.
+            need_k = (grid_k - 1) * TK + ok + ext.k[0] + kwin
+            need_i = (grid_i - 1) * TI + (oi + fi) + ext.i[0] - m + iwin
+            if plan.j_full:
+                need_j = jwin
+            else:
+                need_j = (grid_j - 1) * TJ + (oj + fj) - _LANE * n_lo + jwin
+            bk = max(0, need_k - kf.shape[0])
+            cur_i = fi + kf.shape[1]
+            bi = _round_up(max(need_i, cur_i) + _SUBLANE, _SUBLANE) - cur_i
+            cur_j = fj + kf.shape[2]
+            bj = _round_up(max(need_j, cur_j), _LANE) - cur_j
+            padded[n] = jnp.pad(kf, ((0, bk), (fi, bi), (fj, bj)))
 
         scalar_args = [jnp.asarray(scalars[n]).reshape(1, 1) for n in scalar_names]
         in_args = [padded[n] for n in reads]
@@ -298,7 +360,8 @@ def build_pallas_fn(
             len(scalar_names) + reads.index(n): wi for wi, n in enumerate(writes)
         }
         scratch_shapes = [
-            pltpu.VMEM(plan._block_shape(n, TI, nk), dtypes[n]) for n in plan.field_ext
+            pltpu.VMEM(plan._block_shape(n, TI, TJ, TK), dtypes[n])
+            for n in plan.field_ext
         ] + [
             pltpu.SemaphoreType.DMA((max(len(reads), 1),)),
             pltpu.SemaphoreType.DMA((max(len(writes), 1),)),
@@ -323,9 +386,10 @@ def build_pallas_fn(
 
         out = {}
         for n, r in zip(writes, results):
-            front = plan.pad_i_front[n]
+            fi = plan.pad_i_front[n]
+            fj = plan.pad_j_front[n]
             kf_shape = (arrays[n].shape[2], arrays[n].shape[0], arrays[n].shape[1])
-            r = r[:, front : front + kf_shape[1], : kf_shape[2]]
+            r = r[: kf_shape[0], fi : fi + kf_shape[1], fj : fj + kf_shape[2]]
             out[n] = jnp.transpose(r, (1, 2, 0))
         return out
 
@@ -335,17 +399,21 @@ def build_pallas_fn(
 class _BlockEvaluator:
     """Evaluates the lowered GTIR over VMEM blocks in (K, I, J) layout.
 
-    Block coordinates for field f: tile point (i, j) of the compute tile
-    sits at block row ``i + m - ext.i[0]`` and column ``j + oj``; domain K
-    level k at block K row ``k - ext.k[0]``.
+    Block coordinates for field f: tile point (i, j, k) (relative to the
+    tile's (i0, j0, k0)) sits at block
+    ``[k + k_lo, i + m - ext.i[0], j + LANE*n_lo + (uext-adjusted)]``.
+    Under K blocking, K-interval sections mask rows against the block's
+    global K range (k0 is traced).
     """
 
-    def __init__(self, plan: _Plan, blocks, scalars, nk: int, nj: int):
+    def __init__(self, plan: _Plan, blocks, scalars, k0, i0, j0):
         self.plan = plan
         self.blocks = blocks
         self.scalars = scalars
-        self.nk = nk
-        self.nj = nj
+        self.k0 = k0
+        self.i0 = i0
+        self.j0 = j0
+        self.nk = plan.domain[2]
 
     def _i_base(self, name: str) -> int:
         ext = self.plan.field_ext[name]
@@ -355,7 +423,11 @@ class _BlockEvaluator:
     def _j_base(self, name: str) -> int:
         if name in self.plan.temps:
             return -self.plan.field_ext[name].j[0]
-        return self.plan.origins[name][1]
+        if self.plan.j_full:
+            # Block cols == array cols: domain j=0 sits at the J origin.
+            return self.plan.origins[name][1]
+        n_lo, _, _ = self.plan._j_window(name, self.plan.tj)
+        return _LANE * n_lo
 
     def _k_base(self, name: str) -> int:
         return -self.plan.field_ext[name].k[0]
@@ -369,16 +441,23 @@ class _BlockEvaluator:
                 if ke <= ks:
                     continue
                 if vloop.loop_order == gtir.LoopOrder.PARALLEL:
-                    for stmt in section.body:
-                        self._exec_unit(stmt, ks, ke, None)
+                    if self.plan.k_blocked:
+                        # Execute over the whole K block; mask rows outside
+                        # the section's global K interval.
+                        for stmt in section.body:
+                            self._exec_unit(stmt, 0, self.plan.tk, None, (ks, ke))
+                    else:
+                        for stmt in section.body:
+                            self._exec_unit(stmt, ks, ke, None, None)
                 else:
+                    assert not self.plan.k_blocked
                     backward = vloop.loop_order == gtir.LoopOrder.BACKWARD
                     length = ke - ks
 
                     def body(step, _):
                         k = (ke - 1 - step) if backward else (ks + step)
                         for stmt in section.body:
-                            self._exec_unit(stmt, None, None, k)
+                            self._exec_unit(stmt, None, None, k, None)
                         return 0
 
                     if length <= 2:
@@ -387,51 +466,25 @@ class _BlockEvaluator:
                             ks_list = reversed(ks_list)
                         for k in ks_list:
                             for stmt in section.body:
-                                self._exec_unit(stmt, None, None, k)
+                                self._exec_unit(stmt, None, None, k, None)
                     else:
                         lax.fori_loop(0, length, body, 0)
 
     # -- unit execution ----------------------------------------------------
 
-    def _exec_unit(self, stmt: gtir.Stmt, ks, ke, k_seq) -> None:
+    def _exec_unit(self, stmt: gtir.Stmt, ks, ke, k_seq, k_interval) -> None:
         ext = self.plan.analyzed.stmt_extents[stmt]
         ctx = (ext, ks, ke, k_seq)
         if isinstance(stmt, gtir.Assign):
             value = self._broadcast(self.eval_expr(stmt.value, ctx), ctx)
-            mask = self._full_mask(stmt, ctx)
+            mask = self._full_mask(stmt, ctx, k_interval)
             self._write(stmt.target.name, value, mask, ctx)
-        elif isinstance(stmt, gtir.While):
-            self._exec_while(stmt, ctx)
         else:
             raise PallasUnsupported(type(stmt).__name__)
 
-    def _exec_while(self, stmt: gtir.While, ctx) -> None:
+    def _full_mask(self, stmt, ctx, k_interval):
         import jax.numpy as jnp
         from jax import lax
-
-        def eval_mask():
-            cond = self._broadcast(self.eval_expr(stmt.cond, ctx), ctx)
-            extra = self._full_mask(stmt, ctx)
-            return cond if extra is None else jnp.logical_and(cond, extra)
-
-        def cond_fn(_):
-            return jnp.any(eval_mask())
-
-        def body_fn(_):
-            mask = eval_mask()
-            for s in stmt.body:
-                if not isinstance(s, gtir.Assign):
-                    raise PallasUnsupported("nested control flow in while")
-                value = self._broadcast(self.eval_expr(s.value, ctx), ctx)
-                smask = self._full_mask(s, ctx)
-                total = mask if smask is None else jnp.logical_and(mask, smask)
-                self._write(s.target.name, value, total, ctx)
-            return 0
-
-        lax.while_loop(cond_fn, body_fn, 0)
-
-    def _full_mask(self, stmt, ctx):
-        import jax.numpy as jnp
 
         mask = None
         if stmt.mask is not None:
@@ -439,15 +492,24 @@ class _BlockEvaluator:
         if stmt.horizontal_masks:
             rmask = self._region_mask(stmt.horizontal_masks, ctx)
             mask = rmask if mask is None else jnp.logical_and(mask, rmask)
+        if k_interval is not None:
+            ks_g, ke_g = k_interval
+            if not (ks_g == 0 and ke_g == self.nk):
+                shape = self._shape(ctx)
+                k_glob = lax.broadcasted_iota(jnp.int32, shape, 0) + self.k0
+                kmask = jnp.logical_and(k_glob >= ks_g, k_glob < ke_g)
+                mask = kmask if mask is None else jnp.logical_and(mask, kmask)
         return mask
 
     def _shape(self, ctx):
         ext, ks, ke, k_seq = ctx
         NK = 1 if k_seq is not None else (ke - ks)
+        # In full-row J mode the unit spans the whole domain J extent.
+        nj_unit = self.plan.domain[1] if self.plan.j_full else self.plan.tj
         return (
             NK,
             self.plan.ti + ext.i[1] - ext.i[0],
-            self.nj + ext.j[1] - ext.j[0],
+            nj_unit + ext.j[1] - ext.j[0],
         )
 
     def _broadcast(self, value, ctx):
@@ -458,14 +520,12 @@ class _BlockEvaluator:
     def _region_mask(self, hmasks, ctx):
         import jax.numpy as jnp
         from jax import lax
-        from jax.experimental import pallas as pl
 
         ext, ks, ke, k_seq = ctx
         shape = self._shape(ctx)
         ni, nj, _ = self.plan.domain
-        i0 = pl.program_id(0) * self.plan.ti
-        i_rel = lax.broadcasted_iota(jnp.int32, shape, 1) + i0 + ext.i[0]
-        j_rel = lax.broadcasted_iota(jnp.int32, shape, 2) + ext.j[0]
+        i_rel = lax.broadcasted_iota(jnp.int32, shape, 1) + self.i0 + ext.i[0]
+        j_rel = lax.broadcasted_iota(jnp.int32, shape, 2) + self.j0 + ext.j[0]
         total = None
         for hm in hmasks:
             cond = jnp.ones(shape, dtype=jnp.bool_)

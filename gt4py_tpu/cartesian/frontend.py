@@ -985,10 +985,10 @@ def _collect_annotations(definition: Callable, fn_ast: ast.FunctionDef, env: dic
                 break
             try:
                 value = eval(ann, {"__builtins__": __builtins__}, dict(env))
-            except Exception as ex:
-                raise GTScriptDefinitionError(
-                    f"Cannot resolve annotation '{ann}' for parameter '{name}': {ex}"
-                ) from ex
+            except Exception:
+                # Not evaluable: treat as a dtypes-dict key (reference's
+                # string-dtype annotations, gtscript.py dtypes option).
+                break
             if isinstance(value, str) and value not in env:
                 ann = value
                 continue

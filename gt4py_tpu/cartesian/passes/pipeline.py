@@ -64,6 +64,10 @@ def analyze(definition: Callable, options: dict) -> AnalyzedStencil:
     check_definitive_assignment(stencil)
     stencil = lower_control_flow(stencil)
     infer_dtypes(stencil)
+    if options.get("backend_opts", {}).get("inline_temporaries", True):
+        from gt4py_tpu.cartesian.passes.inline_temporaries import inline_temporaries
+
+        stencil = inline_temporaries(stencil)
     extents = ExtentAnalysis(stencil)
 
     access: dict[str, AccessKind] = {p.name: AccessKind.NONE for p in stencil.params}

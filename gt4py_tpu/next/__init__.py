@@ -35,6 +35,7 @@ from gt4py_tpu.next.decorators import (  # noqa: F401
 from gt4py_tpu.next.embedded import Field  # noqa: F401
 from gt4py_tpu.next.fbuiltins import (  # noqa: F401
     astype,
+    concat_where,
     broadcast,
     max_over,
     min_over,

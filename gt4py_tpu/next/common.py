@@ -23,7 +23,7 @@ class DimensionKind(enum.Enum):
     LOCAL = "local"
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class Dimension:
     value: str
     kind: DimensionKind = DimensionKind.HORIZONTAL
@@ -34,6 +34,56 @@ class Dimension:
     # Convenience for building domains: IDim(10) or IDim(range)
     def __call__(self, rng: Union[int, "UnitRange", range, tuple]) -> "NamedRange":
         return NamedRange(self, UnitRange.from_value(rng))
+
+    def __hash__(self) -> int:
+        return hash((self.value, self.kind))
+
+    # Comparisons against integers build domain conditions for
+    # ``concat_where`` (reference experimental.concat_where,
+    # ffront/experimental.py:52); Dimension-to-Dimension compares stay
+    # plain equality.
+    def __eq__(self, other):
+        if isinstance(other, Dimension):
+            return self.value == other.value and self.kind == other.kind
+        if isinstance(other, int):
+            return DimCondition(self, "==", other)
+        return NotImplemented
+
+    def __ne__(self, other):
+        if isinstance(other, Dimension):
+            return not self.__eq__(other)
+        if isinstance(other, int):
+            return DimCondition(self, "!=", other)
+        return NotImplemented
+
+    def __lt__(self, other):
+        if isinstance(other, int):
+            return DimCondition(self, "<", other)
+        return NotImplemented
+
+    def __le__(self, other):
+        if isinstance(other, int):
+            return DimCondition(self, "<=", other)
+        return NotImplemented
+
+    def __gt__(self, other):
+        if isinstance(other, int):
+            return DimCondition(self, ">", other)
+        return NotImplemented
+
+    def __ge__(self, other):
+        if isinstance(other, int):
+            return DimCondition(self, ">=", other)
+        return NotImplemented
+
+
+@dataclasses.dataclass(frozen=True)
+class DimCondition:
+    """Symbolic per-dimension index condition, e.g. ``KDim < 1``."""
+
+    dim: "Dimension"
+    op: str
+    value: int
 
 
 # Sentinel bounds for unbounded ranges (reference common.py:159 Infinity).

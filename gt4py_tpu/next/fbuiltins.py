@@ -176,3 +176,47 @@ MATH_BUILTIN_NAMES = [
     "floor", "ceil", "trunc", "isfinite", "isinf", "isnan", "minimum",
     "maximum", "fmod", "power",
 ]
+
+
+def concat_where(cond, a, b) -> Field:
+    """Domain-conditional concatenation (reference experimental
+    ``concat_where``, ffront/experimental.py:52): select ``a`` where the
+    per-dimension index condition holds (e.g. ``KDim < 1`` for surface
+    boundary conditions), ``b`` elsewhere."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from gt4py_tpu.next.common import DimCondition
+
+    if not isinstance(cond, DimCondition):
+        return where(cond, a, b)
+    operands = [x for x in (a, b) if isinstance(x, Field)]
+    if not operands:
+        raise TypeError("concat_where requires at least one Field operand")
+    dims = operands[0].dims
+    for o in operands[1:]:
+        dims = _promote_dims(dims, o.dims)
+    if cond.dim not in dims:
+        raise ValueError(f"Condition dimension {cond.dim} not in operands")
+    ref = operands[0]
+    dom = None
+    arrs = []
+    for x in (a, b):
+        if isinstance(x, Field):
+            d, arr = x._aligned(dims, ref if x is not ref else operands[-1])
+            dom = d if dom is None else dom.intersection(d)
+            arrs.append(arr)
+        else:
+            arrs.append(x)
+    axis = list(dims).index(cond.dim)
+    start = dom[cond.dim].unit_range.start
+    size = len(dom[cond.dim].unit_range)
+    shape = [1] * len(dims)
+    shape[axis] = size
+    idx = jnp.arange(start, start + size).reshape(shape)
+    ops = {
+        "==": jnp.equal, "!=": jnp.not_equal, "<": jnp.less,
+        "<=": jnp.less_equal, ">": jnp.greater, ">=": jnp.greater_equal,
+    }
+    mask = ops[cond.op](idx, cond.value)
+    return Field(dom, jnp.where(mask, arrs[0], arrs[1]))

@@ -126,3 +126,37 @@ def test_fallback_for_unsupported(rng):
         st(a, idx, out)
     kk = np.clip(np.arange(6)[None, None, :] + idx, 0, 5)
     np.testing.assert_allclose(out, np.take_along_axis(a, kk, axis=2))
+
+
+def test_k_blocked_parallel(rng, monkeypatch):
+    """Force tiny VMEM budget so the K axis gets blocked; K-interval
+    sections must mask rows against the block's global K range."""
+    from gt4py_tpu.cartesian.backend import pallas_codegen
+
+    monkeypatch.setattr(pallas_codegen, "_VMEM_BUDGET", 400_000)
+    st = build(defs.large_k_interval)
+    shape = (16, 16, 20)
+    in_field = rng.random(shape)
+    out_field = np.zeros(shape)
+    st(in_field, out_field)
+    expected = in_field.copy()
+    expected[:, :, 6:10] += 1
+    np.testing.assert_allclose(out_field, expected)
+
+
+def test_hdiff_k_blocked(rng, monkeypatch):
+    from gt4py_tpu.cartesian.backend import pallas_codegen
+
+    monkeypatch.setattr(pallas_codegen, "_VMEM_BUDGET", 800_000)
+    st = build(defs.horizontal_diffusion)
+    shape = (20, 19, 12)
+    in_field = rng.random(shape)
+    coeff = rng.random(shape)
+    out_field = np.zeros(shape)
+    st(
+        in_field, out_field, coeff,
+        origin=(2, 2, 0), domain=(shape[0] - 4, shape[1] - 4, shape[2]),
+    )
+    np.testing.assert_allclose(
+        out_field[2:-2, 2:-2], defs.validate_horizontal_diffusion(in_field, coeff)
+    )

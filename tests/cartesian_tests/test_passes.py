@@ -1,0 +1,125 @@
+"""Unit tests for the analysis passes (reference pattern:
+tests/cartesian_tests/unit_tests/test_gtc/ — IR-level pass tests)."""
+
+import numpy as np
+import pytest
+
+from gt4py_tpu.cartesian import gtir
+from gt4py_tpu.cartesian.definitions import AccessKind
+from gt4py_tpu.cartesian.frontend import GTScriptSyntaxError
+from gt4py_tpu.cartesian.passes import analyze
+
+from . import stencil_defs as defs
+
+
+def opts(**kw):
+    base = dict(backend="numpy", externals={}, dtypes={})
+    base.update(kw)
+    return base
+
+
+def test_hdiff_extents():
+    """The classic extent cascade: out(0) → flx/fly(-1..0/+0..1) →
+    lap(-1..1) → in_field(-2..2). (Inlining disabled so the cascade through
+    temporaries is observable.)"""
+    analyzed = analyze(
+        defs.horizontal_diffusion,
+        opts(backend_opts={"inline_temporaries": False}),
+    )
+    fe = analyzed.field_extents
+    assert fe["in_field"].i == (-2, 2) and fe["in_field"].j == (-2, 2)
+    assert fe["lap_field"].i == (-1, 1) and fe["lap_field"].j == (-1, 1)
+    assert fe["flx_field"].i == (-1, 0)
+    assert fe["fly_field"].j == (0, 0) or fe["fly_field"].j == (-1, 0)
+    info = analyzed.field_infos["in_field"]
+    assert info.boundary.lower[:2] == (2, 2)
+    assert info.boundary.upper[:2] == (2, 2)
+    assert analyzed.field_infos["out_field"].boundary.lower == (0, 0, 0)
+
+
+def test_access_kinds():
+    analyzed = analyze(defs.horizontal_diffusion, opts())
+    assert analyzed.field_infos["in_field"].access == AccessKind.READ
+    assert analyzed.field_infos["out_field"].access == AccessKind.WRITE
+    assert analyzed.field_infos["coeff"].access == AccessKind.READ
+
+
+def test_tridiagonal_k_boundaries_and_min_size():
+    analyzed = analyze(defs.tridiagonal_solver, opts())
+    # interval(1, None) reads [0,0,-1]: in-domain, no K halo demanded.
+    assert analyzed.field_infos["rhs"].boundary.lower[2] == 0
+    assert analyzed.domain_info.min_sequential_axis_size == 1
+
+
+def test_large_k_interval_min_size():
+    analyzed = analyze(defs.large_k_interval, opts())
+    assert analyzed.domain_info.min_sequential_axis_size == 16
+
+
+def test_vadv_k_upper_boundary():
+    """wcon is read at [1, 0, 1] in the first interval → I upper halo 1;
+    K reads stay inside the domain."""
+    analyzed = analyze(
+        defs.vertical_advection_dycore, opts(externals=defs.VADV_EXTERNALS)
+    )
+    assert analyzed.field_infos["wcon"].boundary.upper[0] == 1
+    assert analyzed.field_infos["u_stage"].boundary.lower[2] == 0
+
+
+def test_lowering_produces_masked_assigns():
+    analyzed = analyze(defs.runtime_if, opts())
+    stmts = [s for _, _, s in analyzed.stencil.walk_stmts()]
+    # mask temp assignments + masked writes; no structured Ifs remain
+    assert all(isinstance(s, (gtir.Assign, gtir.While)) for s in stmts)
+    masked = [s for s in stmts if isinstance(s, gtir.Assign) and s.mask is not None]
+    assert len(masked) == 4  # 2 writes per branch
+
+
+def test_dtype_inference_and_casts():
+    analyzed = analyze(defs.temporary_stencil, opts())
+    temp = {t.name: t for t in analyzed.stencil.temporaries}["tmp"]
+    assert temp.dtype == np.float64
+
+
+from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval  # noqa: E402
+
+
+def test_definitive_assignment_rejected():
+    def bad(a: defs.Field3D):
+        with computation(PARALLEL), interval(...):
+            if a > 0.0:
+                t = 1.0
+            a = t  # t only assigned on one branch
+
+    with pytest.raises(GTScriptSyntaxError, match="read before assignment"):
+        analyze(bad, opts())
+
+
+def test_if_else_definite_assignment_accepted():
+    def good(a: defs.Field3D):
+        with computation(PARALLEL), interval(...):
+            if a > 0.0:
+                t = 1.0
+            else:
+                t = 2.0
+            a = t
+
+    analyze(good, opts())  # must not raise
+
+
+def test_inline_temporaries_collapses_hdiff():
+    """OnTheFlyMerging equivalent: hdiff becomes one statement over the API
+    fields only; the in_field halo requirement is unchanged."""
+    analyzed = analyze(defs.horizontal_diffusion, opts())
+    stmts = [s for _, _, s in analyzed.stencil.walk_stmts()]
+    assert len(stmts) == 1
+    assert not analyzed.stencil.temporaries
+    assert analyzed.field_infos["in_field"].boundary.lower[:2] == (2, 2)
+    assert analyzed.field_infos["in_field"].boundary.upper[:2] == (2, 2)
+
+
+def test_inlining_preserves_sequential_loops():
+    analyzed = analyze(defs.tridiagonal_solver, opts())
+    # No parallel defs: statement count unchanged (2+2+1+1 sections stmts).
+    stmts = [s for _, _, s in analyzed.stencil.walk_stmts()]
+    assert len(stmts) == 6

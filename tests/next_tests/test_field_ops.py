@@ -259,3 +259,19 @@ def test_skip_value_masking(rng):
     gathered = edge_vals(conn)
     s = neighbor_sum(gathered, axis=VN)
     np.testing.assert_allclose(s.asnumpy(), [30.0, 20.0])
+
+
+def test_concat_where(rng):
+    from gt4py_tpu.next.fbuiltins import concat_where
+
+    surface = gtx.as_field([IDim], rng.random(4))
+    interior = gtx.as_field([IDim, KDim], rng.random((4, 6)))
+    out = concat_where(KDim == 0, gtx.broadcast(surface, (IDim, KDim)), interior)
+    expected = interior.asnumpy().copy()
+    expected[:, 0] = surface.asnumpy()
+    np.testing.assert_allclose(out.asnumpy(), expected)
+
+    out2 = concat_where(KDim < 2, 0.0, interior)
+    expected2 = interior.asnumpy().copy()
+    expected2[:, :2] = 0.0
+    np.testing.assert_allclose(out2.asnumpy(), expected2)
