@@ -117,9 +117,11 @@ def main() -> None:
 
     enable_persistent_cache()  # XLA executables survive across bench runs
     from gt4py_tpu.cartesian.backend.evaluator import Evaluator
+    from gt4py_tpu.cartesian.backend.pallas_codegen import build_pallas_fn
     from tests.cartesian_tests import stencil_defs as defs
 
     dev = jax.devices()[0]
+    on_tpu = jax.default_backend() == "tpu"
     peak_bw = _peak_hbm_bytes_per_s(dev)
     timer = StepTimer()
     results: dict = {}
@@ -131,11 +133,20 @@ def main() -> None:
     points = ni * nj * nk
     rng = np.random.default_rng(0)
 
-    # --- hdiff -------------------------------------------------------------
+    # --- hdiff (Pallas plane kernel, chained in native (K, I, J) layout) ---
     s32 = dict(literal_float_precision=32, literal_int_precision=32)
     st = gtscript.stencil(backend="jax", definition=_define_hdiff32(), **s32)
     analyzed = st._analyzed
     origins = {n: (halo, halo, 0) for n in ("in_field", "out_field", "coeff")}
+
+    pallas_fn = None
+    if on_tpu:
+        try:
+            pallas_fn = build_pallas_fn(analyzed, domain, origins)
+            if not hasattr(pallas_fn, "call_padded"):
+                pallas_fn = None  # tiled strategy: no native-layout API
+        except Exception:
+            pallas_fn = None
 
     def hdiff_step(in_field, coeff, out_field):
         ev = Evaluator(
@@ -146,6 +157,21 @@ def main() -> None:
         return ev.run()["out_field"]
 
     def make_hdiff(n):
+        if pallas_fn is not None:
+            @jax.jit
+            def f(inp, coeff):
+                pin = pallas_fn.encode("in_field", inp)
+                pco = pallas_fn.encode("coeff", coeff)
+                def body(i, carry):
+                    a, b = carry
+                    r = pallas_fn.call_padded(
+                        {"in_field": a, "coeff": pco, "out_field": b}, {}
+                    )
+                    return (r["out_field"], a)
+                a, _ = lax.fori_loop(0, n, body, (pin, jnp.zeros_like(pin)))
+                return a
+            return f
+
         @jax.jit
         def f(inp, coeff):
             def body(i, carry):
@@ -193,14 +219,23 @@ def main() -> None:
             for n in ("utens_stage", "u_stage", "wcon", "u_pos", "utens")
         }
 
+        vadv_pallas = None
+        if on_tpu:
+            try:
+                vadv_pallas = build_pallas_fn(st2._analyzed, vdomain, vorigins)
+            except Exception:
+                vadv_pallas = None
+
         def vadv_step(utens_stage, u_stage, wcon, u_pos, utens):
+            arrays = {
+                "utens_stage": utens_stage, "u_stage": u_stage,
+                "wcon": wcon, "u_pos": u_pos, "utens": utens,
+            }
+            scalars = {"dtr_stage": np.float32(0.15)}
+            if vadv_pallas is not None:
+                return vadv_pallas(arrays, scalars)["utens_stage"]
             ev = Evaluator(
-                st2._analyzed, vdomain, vorigins,
-                {
-                    "utens_stage": utens_stage, "u_stage": u_stage,
-                    "wcon": wcon, "u_pos": u_pos, "utens": utens,
-                },
-                {"dtr_stage": np.float32(0.15)}, ns="jax",
+                st2._analyzed, vdomain, vorigins, arrays, scalars, ns="jax",
             )
             return ev.run()["utens_stage"]
 

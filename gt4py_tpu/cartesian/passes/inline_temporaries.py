@@ -31,6 +31,15 @@ from gt4py_tpu.cartesian import gtir
 # Max FieldAccess nodes in a fully inlined statement expression.
 _SIZE_CAP = 256
 
+# Max recompute volume per def: (forward reads served by the def) x
+# (FieldAccess count of the defining expression). Multi-use temporaries
+# with non-trivial defs (e.g. hdiff's laplacian, read at 4 shifted points:
+# 4 reads x 5 accesses = 20 > cap) stay materialized — in the Pallas plane
+# kernel they become one VMEM scratch plane computed once, which both
+# avoids recompute and keeps the per-statement expression trees small
+# enough for Mosaic; hdiff's res/flx/fly (2 reads x <=6 accesses) inline.
+_EXPANSION_CAP = 12
+
 
 def _shift_expr(expr: gtir.Expr, off: tuple[int, int, int]) -> gtir.Expr:
     """Clone with all field offsets shifted by ``off``."""
@@ -94,7 +103,21 @@ def inline_temporaries(stencil: gtir.Stencil) -> gtir.Stencil:
             parallel = vloop.loop_order == gtir.LoopOrder.PARALLEL
             from gt4py_tpu.cartesian.passes.extents import iter_writes
 
-            for stmt in section.body:
+            def _forward_reads(idx: int, name: str, def_value: gtir.Expr) -> int:
+                """Reads of ``name`` in later statements served by the def at
+                ``idx`` (counting stops where the def dies)."""
+                def_reads = _reads_of(def_value)
+                count = 0
+                for later in section.body[idx + 1 :]:
+                    count += sum(
+                        1 for a in _stmt_read_accesses(later) if a.name == name
+                    )
+                    written = {w.name for w in iter_writes(later)}
+                    if name in written or (def_reads & written):
+                        break
+                return count
+
+            for idx, stmt in enumerate(section.body):
                 stmt = _substitute_stmt(stmt, defs)
                 # Kill defs invalidated by this statement's writes (the
                 # def's temp itself, or any field its expression reads).
@@ -109,6 +132,9 @@ def inline_temporaries(stencil: gtir.Stencil) -> gtir.Stencil:
                     and stmt.target.name in temps
                     and _inlinable_def(stmt)
                     and _n_accesses(stmt.value) <= _SIZE_CAP
+                    and _forward_reads(idx, stmt.target.name, stmt.value)
+                    * _n_accesses(stmt.value)
+                    <= _EXPANSION_CAP
                 ):
                     defs[stmt.target.name] = stmt.value
                 new_body.append(stmt)
@@ -182,6 +208,23 @@ def _substitute_stmt(stmt: gtir.Stmt, defs: dict[str, gtir.Expr]) -> gtir.Stmt:
             return stmt
         return stmt.copy(cond=new_cond, mask=new_mask, body=new_body)
     return stmt
+
+
+def _stmt_read_accesses(stmt: gtir.Stmt) -> list[gtir.FieldAccess]:
+    accs: list[gtir.FieldAccess] = []
+    if isinstance(stmt, gtir.Assign):
+        accs += list(eve.walk_type(stmt.value, gtir.FieldAccess))
+        if stmt.mask is not None:
+            accs += list(eve.walk_type(stmt.mask, gtir.FieldAccess))
+        for i in stmt.target.data_index:
+            accs += list(eve.walk_type(i, gtir.FieldAccess))
+    elif isinstance(stmt, gtir.While):
+        accs += list(eve.walk_type(stmt.cond, gtir.FieldAccess))
+        if stmt.mask is not None:
+            accs += list(eve.walk_type(stmt.mask, gtir.FieldAccess))
+        for s in stmt.body:
+            accs += _stmt_read_accesses(s)
+    return accs
 
 
 def _stmt_read_names(stmt: gtir.Stmt) -> set[str]:

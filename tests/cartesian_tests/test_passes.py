@@ -108,12 +108,15 @@ def test_if_else_definite_assignment_accepted():
 
 
 def test_inline_temporaries_collapses_hdiff():
-    """OnTheFlyMerging equivalent: hdiff becomes one statement over the API
-    fields only; the in_field halo requirement is unchanged."""
+    """OnTheFlyMerging equivalent with a recompute-volume cap: hdiff's
+    single-use chains (res/flx/fly) inline away, while the laplacian —
+    read at 4 shifted points — stays materialized (one VMEM plane computed
+    once in the Pallas kernel instead of 4 shifted recomputes); the
+    in_field halo requirement is unchanged."""
     analyzed = analyze(defs.horizontal_diffusion, opts())
     stmts = [s for _, _, s in analyzed.stencil.walk_stmts()]
-    assert len(stmts) == 1
-    assert not analyzed.stencil.temporaries
+    assert len(stmts) == 2
+    assert [t.name for t in analyzed.stencil.temporaries] == ["lap_field"]
     assert analyzed.field_infos["in_field"].boundary.lower[:2] == (2, 2)
     assert analyzed.field_infos["in_field"].boundary.upper[:2] == (2, 2)
 
