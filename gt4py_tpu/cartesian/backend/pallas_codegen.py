@@ -54,7 +54,7 @@ class PallasUnsupported(Exception):
 # Cap for the tiled strategy's per-instance VMEM blocks: leaves room for
 # Mosaic's value stack and the pipeline's double buffers below the
 # 128 MB VMEM of v5e/v5p.
-_VMEM_BUDGET = 12 * 1024 * 1024
+_VMEM_BUDGET = 24 * 1024 * 1024
 _LANE = 128
 _SUBLANE = 8
 

@@ -33,6 +33,12 @@ from gt4py_tpu.next.decorators import (  # noqa: F401
     scan_operator,
 )
 from gt4py_tpu.next.embedded import Field  # noqa: F401
+from gt4py_tpu.next.errors import (  # noqa: F401
+    DSLError,
+    DSLSyntaxError,
+    DSLTypeError,
+    UndefinedSymbolError,
+)
 from gt4py_tpu.next.fbuiltins import (  # noqa: F401
     astype,
     concat_where,
@@ -42,3 +48,6 @@ from gt4py_tpu.next.fbuiltins import (  # noqa: F401
     neighbor_sum,
     where,
 )
+from gt4py_tpu.next.field_utils import asnumpy  # noqa: F401
+from gt4py_tpu.next.named_collections import named_collection  # noqa: F401
+from gt4py_tpu.next.otf import CompilationOptions, CompiledProgramsPool  # noqa: F401

@@ -70,14 +70,48 @@ def _write_out(result: Any, out: Any, domain: Optional[Domain]) -> None:
 
 @dataclasses.dataclass
 class FieldOperator:
-    """Callable field operator (reference decorator.py:561)."""
+    """Callable field operator (reference decorator.py:561).
+
+    Dispatches through a :class:`CompiledProgramsPool` keyed by argument
+    signature + static-parameter values + offset-provider identity
+    (reference otf/compiled_program.py:333); ``compile()`` AOT-builds
+    variants (reference decorator.py:161)."""
 
     definition: Callable
     backend: Optional[str] = "jax"
-    _jitted: Optional[Callable] = None
+    options: Any = None  # CompilationOptions; None -> defaults
+
+    def __post_init__(self):
+        from gt4py_tpu.next.otf import CompilationOptions, CompiledProgramsPool
+
+        if self.options is None:
+            self.options = CompilationOptions()
+        self._pool = CompiledProgramsPool(self._make_executable, self.options)
 
     def with_backend(self, backend: Optional[str]) -> "FieldOperator":
-        return FieldOperator(self.definition, backend)
+        return FieldOperator(self.definition, backend, self.options)
+
+    def with_compilation_options(self, options=None, **kwargs) -> "FieldOperator":
+        """Reference decorator.py:111 (`with_compilation_options`)."""
+        opts = options if options is not None else self.options.replace(**kwargs)
+        return FieldOperator(self.definition, self.backend, opts)
+
+    def _make_executable(self, args, kwargs) -> Callable:
+        import jax
+
+        statics = {k: v for k, v in kwargs.items() if k in self.options.static_params}
+        fn = functools.partial(self.definition, **statics) if statics else self.definition
+        return jax.jit(fn)
+
+    def compile(self, *args, offset_provider: Optional[dict] = None, **kwargs) -> "FieldOperator":
+        """AOT-compile one variant for the given example arguments
+        (reference AOT compile(), decorator.py:161). Returns self."""
+        with offset_provider_context(offset_provider):
+            self._pool.precompile(args, kwargs, offset_provider)
+        return self
+
+    def wait_for_compilation(self) -> None:
+        self._pool.wait_for_compilation()
 
     def __call__(
         self,
@@ -94,16 +128,12 @@ class FieldOperator:
 
         dom = make_domain(domain) if domain is not None else None
         with offset_provider_context(offset_provider):
-            if self.backend == "jax":
-                if self._jitted is None:
-                    import jax
-
-                    self._jitted = jax.jit(
-                        functools.partial(self.definition, **kwargs)
-                        if kwargs
-                        else self.definition
-                    )
-                result = self._jitted(*args)
+            if self.backend == "jax" and self.options.enable_jit:
+                ex = self._pool.lookup(args, kwargs, offset_provider)
+                dynamic = {
+                    k: v for k, v in kwargs.items() if k not in self.options.static_params
+                }
+                result = ex(*args, **dynamic)
             else:
                 result = self.definition(*args, **kwargs)
             _write_out(result, out, dom)

@@ -1,0 +1,206 @@
+"""On-the-fly toolchain: compiled-programs pool, compilation options,
+composable workflow steps.
+
+Role of the reference's ``gt4py.next.otf``
+(/root/reference/src/gt4py/next/otf/): the reference chains translation →
+bindings → C++ compilation workflows and dispatches calls through a
+``CompiledProgramsPool`` keyed by static-argument descriptors
+(otf/compiled_program.py:333,495-539), compiling variants asynchronously
+(otf/compilation_tasks.py). On TPU the toolchain is jax trace → lower →
+XLA compile; this module keeps the same surface:
+
+- :class:`CompilationOptions` — ``enable_jit``, ``static_params``
+  (reference otf/options.py:23).
+- :class:`CompiledProgramsPool` — executable cache keyed by (argument type
+  signature, static-argument values, offset-provider id); miss triggers a
+  jit lowering, optionally in a background thread (the reference's
+  ThreadRunner, otf/runners.py:93); ``compile()`` AOT-compiles variants
+  ahead of the first call (reference decorator.compile(), decorator.py:161).
+- :class:`Workflow` / :class:`CachedStep` — minimal composable-step kit
+  (reference otf/workflow.py:57,89) with persistent caching via
+  :class:`gt4py_tpu.core.filecache.FileCache`.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+import threading
+from typing import Any, Callable, Generic, Optional, Sequence, TypeVar
+
+import numpy as np
+
+from gt4py_tpu.next import type_system as ts
+from gt4py_tpu.next.fingerprinting import fingerprint, fingerprint_function
+
+
+S = TypeVar("S")
+T = TypeVar("T")
+
+
+@dataclasses.dataclass(frozen=True)
+class CompilationOptions:
+    """User-facing compilation knobs (reference otf/options.py:23)."""
+
+    enable_jit: bool = True
+    static_params: tuple[str, ...] = ()
+    async_compile: bool = False
+
+    def replace(self, **kwargs: Any) -> "CompilationOptions":
+        return dataclasses.replace(self, **kwargs)
+
+
+def _static_key(value: Any) -> Any:
+    """Hashable identity of a static argument VALUE (baked into the
+    executable; reference ArgStaticDescriptor, otf/arguments.py:40)."""
+    if isinstance(value, (int, float, bool, str, type(None))):
+        return value
+    if isinstance(value, tuple):
+        return tuple(_static_key(v) for v in value)
+    if isinstance(value, np.generic):
+        return (value.dtype.str, value.item())
+    raise TypeError(
+        f"static_params values must be hashable scalars/tuples, got {type(value).__name__}"
+    )
+
+
+def _dynamic_key(value: Any) -> Any:
+    """Type-signature key of a dynamic argument (shape/dtype class;
+    retraces only on signature change)."""
+    spec = ts.from_value(value)
+    if isinstance(spec, ts.FieldType):
+        from gt4py_tpu.next.embedded import Field
+
+        assert isinstance(value, Field)
+        return (spec.dims, spec.dtype.str, value.domain.shape)
+    if isinstance(spec, ts.TupleType):
+        return tuple(_dynamic_key(v) for v in value)
+    return ("scalar", spec.dtype.str)
+
+
+class CompiledProgramsPool:
+    """Executable cache for one program definition
+    (reference otf/compiled_program.py:333).
+
+    Keys combine the dynamic signature (dims, dtype, shape per Field
+    argument), the VALUES of declared static parameters, and the
+    offset-provider identity. Compilation happens on miss — inline, or on
+    a worker thread when ``options.async_compile`` — and
+    :meth:`wait_for_compilation` joins all pending builds (reference
+    compiled_program.py:164).
+    """
+
+    def __init__(self, make_executable: Callable[..., Callable], options: CompilationOptions):
+        self._make = make_executable
+        self.options = options
+        self._programs: dict[Any, Any] = {}
+        self._lock = threading.Lock()
+        self._executor: Optional[concurrent.futures.ThreadPoolExecutor] = None
+
+    def _key(self, args: Sequence[Any], kwargs: dict[str, Any], offset_provider) -> Any:
+        statics = []
+        dynamics = []
+        for name, value in kwargs.items():
+            if name in self.options.static_params:
+                statics.append((name, _static_key(value)))
+            else:
+                dynamics.append((name, _dynamic_key(value)))
+        op_key = None
+        if offset_provider:
+            op_key = tuple(sorted((k, id(v)) for k, v in offset_provider.items()))
+        return (
+            tuple(_dynamic_key(a) for a in args),
+            tuple(dynamics),
+            tuple(statics),
+            op_key,
+        )
+
+    def lookup(self, args, kwargs, offset_provider):
+        key = self._key(args, kwargs, offset_provider)
+        entry = self._programs.get(key)
+        if entry is None:
+            with self._lock:
+                entry = self._programs.get(key)
+                if entry is None:
+                    if self.options.async_compile:
+                        entry = self._executor_submit(args, kwargs)
+                    else:
+                        entry = self._make(args, kwargs)
+                    self._programs[key] = entry
+        if isinstance(entry, concurrent.futures.Future):
+            entry = entry.result()
+        return entry
+
+    def _executor_submit(self, args, kwargs):
+        if self._executor is None:
+            self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+        return self._executor.submit(self._make, args, kwargs)
+
+    def precompile(self, args, kwargs, offset_provider) -> None:
+        """AOT-compile one variant (reference compile(), decorator.py:161)."""
+        self.lookup(args, kwargs, offset_provider)
+
+    def wait_for_compilation(self) -> None:
+        with self._lock:
+            futures = [e for e in self._programs.values() if isinstance(e, concurrent.futures.Future)]
+        for f in futures:
+            f.result()
+
+    def __len__(self) -> int:
+        return len(self._programs)
+
+
+# --- minimal workflow kit ---------------------------------------------------
+
+
+class Workflow(Generic[S, T]):
+    """A composable step: callable S -> T with ``.chain`` (reference
+    otf/workflow.py:57,89)."""
+
+    def __init__(self, fn: Callable[[S], T], name: str | None = None):
+        self.fn = fn
+        self.name = name or getattr(fn, "__name__", "step")
+
+    def __call__(self, inp: S) -> T:
+        return self.fn(inp)
+
+    def chain(self, nxt: "Workflow[T, Any]" | Callable[[T], Any]) -> "Workflow[S, Any]":
+        nxt_wf = nxt if isinstance(nxt, Workflow) else Workflow(nxt)
+        return Workflow(lambda inp: nxt_wf(self(inp)), name=f"{self.name}>{nxt_wf.name}")
+
+
+def step(fn: Callable[[S], T]) -> Workflow[S, T]:
+    return Workflow(fn)
+
+
+class CachedStep(Workflow[S, T]):
+    """Step with persistent result caching keyed by a fingerprint of the
+    input (reference CachedStep via FileCache, otf/workflow.py +
+    _core/filecache.py:19)."""
+
+    def __init__(
+        self,
+        fn: Callable[[S], T],
+        *,
+        cache_dir: str | None = None,
+        key_fn: Callable[[S], str] | None = None,
+        name: str | None = None,
+    ):
+        super().__init__(fn, name)
+        from gt4py_tpu import config
+        from gt4py_tpu.core.filecache import FileCache
+
+        import os
+
+        root = cache_dir or os.path.join(config.cache_dir(), "steps", self.name)
+        self._cache = FileCache(root)
+        self._key_fn = key_fn or (lambda inp: fingerprint(fingerprint_function(self.fn), inp))
+
+    def __call__(self, inp: S) -> T:
+        key = self._key_fn(inp)
+        try:
+            return self._cache[key]
+        except KeyError:
+            result = self.fn(inp)
+            self._cache[key] = result
+            return result

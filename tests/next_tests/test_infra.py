@@ -1,0 +1,194 @@
+"""Tests for the next-layer infrastructure: errors, type system,
+fingerprinting, compiled-programs pool, named collections, field utils."""
+
+import numpy as np
+import pytest
+
+import gt4py_tpu.next as gtx
+from gt4py_tpu.eve import SourceLocation
+from gt4py_tpu.next import errors, fingerprinting, type_system as ts
+from gt4py_tpu.next.common import Dimension, DimensionKind
+from gt4py_tpu.next.field_utils import asnumpy
+from gt4py_tpu.next.named_collections import extract, is_named_collection, named_collection
+from gt4py_tpu.next.otf import CachedStep, CompilationOptions, Workflow, step
+
+I = Dimension("I")
+J = Dimension("J")
+K = Dimension("K", kind=DimensionKind.VERTICAL)
+
+
+# --- errors -----------------------------------------------------------------
+
+
+def test_undefined_symbol_did_you_mean():
+    err = errors.UndefinedSymbolError(None, "feild", ["field", "domain", "other"])
+    assert "Did you mean 'field'?" in str(err)
+
+
+def test_error_formatting_with_location(tmp_path):
+    src = tmp_path / "prog.py"
+    src.write_text("x = 1\ny = undefined_name + 2\n")
+    loc = SourceLocation(line=2, column=4, filename=str(src), end_line=2, end_column=18)
+    err = errors.DSLSyntaxError(loc, "Bad name")
+    text = str(err)
+    assert "Bad name" in text
+    assert 'line 2' in text
+    assert "^" in text
+
+
+# --- type system ------------------------------------------------------------
+
+
+def test_from_value_field_and_scalar():
+    f = gtx.as_field({I: 4, J: 3}, np.zeros((4, 3), dtype=np.float32))
+    spec = ts.from_value(f)
+    assert spec == ts.FieldType(dims=(I, J), dtype=np.dtype(np.float32))
+    assert ts.from_value(1.5) == ts.ScalarType(np.dtype(np.float64))
+    assert ts.from_value(True) == ts.ScalarType(np.dtype(bool))
+    tup = ts.from_value((f, 2))
+    assert isinstance(tup, ts.TupleType) and len(tup.types) == 2
+    assert str(spec) == "Field[[I, J], float32]"
+
+
+def test_promote():
+    assert ts.promote(
+        ts.ScalarType(np.dtype(np.float32)), ts.ScalarType(np.dtype(np.int64))
+    ) == ts.ScalarType(np.dtype(np.float64))
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+
+def test_fingerprint_stability_and_sensitivity():
+    def f(a):
+        return a + 1
+
+    def g(a):
+        return a + 2
+
+    assert fingerprinting.fingerprint_function(f) == fingerprinting.fingerprint_function(f)
+    assert fingerprinting.fingerprint_function(f) != fingerprinting.fingerprint_function(g)
+    assert fingerprinting.fingerprint(1, "x", (2.0,)) == fingerprinting.fingerprint(1, "x", (2.0,))
+    assert fingerprinting.fingerprint(1) != fingerprinting.fingerprint(2)
+    assert fingerprinting.fingerprint(I) != fingerprinting.fingerprint(K)
+
+
+# --- compiled programs pool -------------------------------------------------
+
+
+def test_pool_reuses_and_respecializes():
+    builds = []
+
+    @gtx.field_operator
+    def op(a, factor: float = 2.0):
+        return a * factor
+
+    # wrap pool maker to count builds
+    orig = op._pool._make
+
+    def counting(args, kwargs):
+        builds.append(1)
+        return orig(args, kwargs)
+
+    op._pool._make = counting
+
+    a = gtx.as_field({I: 4}, np.arange(4, dtype=np.float64))
+    out = gtx.zeros({I: 4}, dtype=np.float64)
+    op(a, out=out)
+    op(a, out=out)
+    assert len(builds) == 1  # same signature: cached
+    b = gtx.as_field({I: 8}, np.arange(8, dtype=np.float64))
+    out8 = gtx.zeros({I: 8}, dtype=np.float64)
+    op(b, out=out8)
+    assert len(builds) == 2  # new shape: new executable
+    np.testing.assert_allclose(asnumpy(out), np.arange(4) * 2.0)
+
+
+def test_static_params_bake_values():
+    @gtx.field_operator
+    def op(a, n: int = 1):
+        return a * n
+
+    op2 = op.with_compilation_options(static_params=("n",))
+    assert op2.options.static_params == ("n",)
+    a = gtx.as_field({I: 4}, np.ones(4))
+    out = gtx.zeros({I: 4})
+    op2(a, out=out, n=3)
+    np.testing.assert_allclose(asnumpy(out), 3.0)
+    op2(a, out=out, n=4)
+    np.testing.assert_allclose(asnumpy(out), 4.0)
+    assert len(op2._pool) == 2  # one executable per static value
+
+
+def test_aot_compile_precompiles():
+    @gtx.field_operator
+    def op(a):
+        return a + 1.0
+
+    a = gtx.as_field({I: 4}, np.zeros(4))
+    op.compile(a)
+    assert len(op._pool) == 1
+    out = gtx.zeros({I: 4})
+    op(a, out=out)
+    assert len(op._pool) == 1  # reused the AOT-compiled variant
+
+
+def test_enable_jit_false_runs_eager():
+    calls = []
+
+    def defn(a):
+        calls.append(1)
+        return a
+
+    op = gtx.field_operator(defn).with_compilation_options(enable_jit=False)
+    a = gtx.as_field({I: 4}, np.zeros(4))
+    out = gtx.zeros({I: 4})
+    op(a, out=out)
+    op(a, out=out)
+    assert len(calls) == 2  # traced per call: eager path
+    assert len(op._pool) == 0
+
+
+# --- workflow kit -----------------------------------------------------------
+
+
+def test_workflow_chain():
+    wf = step(lambda x: x + 1).chain(lambda x: x * 10)
+    assert wf(2) == 30
+
+
+def test_cached_step(tmp_path):
+    evals = []
+
+    def expensive(x):
+        evals.append(x)
+        return x * x
+
+    s = CachedStep(expensive, cache_dir=str(tmp_path / "wf"), name="sq")
+    assert s(4) == 16
+    assert s(4) == 16
+    assert evals == [4]
+
+
+# --- named collections ------------------------------------------------------
+
+
+def test_named_collection_pytree():
+    import jax
+
+    @named_collection
+    class State:
+        rho: object
+        vel: object
+
+    a = gtx.as_field({I: 4}, np.arange(4, dtype=np.float64))
+    b = gtx.as_field({I: 4}, np.ones(4))
+    s = State(rho=a, vel=b)
+    assert is_named_collection(s)
+    assert extract(s, "rho") is a
+
+    def bump(state):
+        return State(rho=state.rho + 1.0, vel=state.vel)
+
+    s2 = jax.jit(bump)(s)
+    np.testing.assert_allclose(asnumpy(s2.rho.ndarray), np.arange(4) + 1.0)
