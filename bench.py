@@ -239,7 +239,26 @@ def main() -> None:
             )
             return ev.run()["utens_stage"]
 
+        vadv_names = ("utens_stage", "u_stage", "wcon", "u_pos", "utens")
+
         def make_vadv(n):
+            if vadv_pallas is not None and hasattr(vadv_pallas, "call_padded"):
+                # Staged plane kernels chained in native (K, I, J) layout.
+                @jax.jit
+                def f(utens_stage, u_stage, wcon, u_pos, utens):
+                    p = {
+                        m: vadv_pallas.encode(m, a)
+                        for m, a in zip(vadv_names, (utens_stage, u_stage, wcon, u_pos, utens))
+                    }
+                    def body(i, pus):
+                        state = dict(p)
+                        state["utens_stage"] = pus
+                        return vadv_pallas.call_padded(
+                            state, {"dtr_stage": np.float32(0.15)}
+                        )["utens_stage"]
+                    return lax.fori_loop(0, n, body, p["utens_stage"])
+                return f
+
             @jax.jit
             def f(utens_stage, u_stage, wcon, u_pos, utens):
                 def body(i, us):

@@ -229,13 +229,87 @@ def build_pallas_fn(
     """Build fn(arrays: dict[name -> (I, J, K) jnp array], scalars) -> dict
     of written arrays, executing the stencil as one Pallas kernel.
 
-    Dispatches to the plane strategy when eligible (PARALLEL, no K offsets),
-    otherwise the tiled manual-DMA strategy.
+    Dispatch: fused plane strategy (all-PARALLEL, no K offsets) → staged
+    per-loop plane strategy (sequential loops / static K offsets,
+    pallas_seq.py) → tiled manual-DMA strategy.
     """
     if _plane_eligible(analyzed):
         tk = select_plane_tk(analyzed, domain, origins, interpret=interpret)
         return build_plane_fn(analyzed, domain, origins, tk=tk, interpret=interpret)
+    from gt4py_tpu.cartesian.backend import pallas_seq
+
+    if pallas_seq.staged_eligible(analyzed, interpret=interpret):
+        if interpret or _staged_probe_ok(analyzed, domain, origins):
+            try:
+                return pallas_seq.build_staged_fn(
+                    analyzed, domain, origins, interpret=interpret
+                )
+            except PallasUnsupported:
+                pass
     return _build_tiled_fn(analyzed, domain, origins, interpret=interpret)
+
+
+def _staged_probe_ok(analyzed, domain, origins) -> bool:
+    """AOT-probe the staged strategy on hardware (the remote Mosaic
+    compiler rejects some kernels opaquely); cached persistently."""
+    import json
+
+    from gt4py_tpu.cartesian.caching import GT_CACHE_ROOT
+    from gt4py_tpu.eve.utils import content_hash
+
+    key = content_hash("staged", repr(analyzed.stencil), domain, sorted(origins.items()))
+    if key in _plane_tk_cache:
+        return bool(_plane_tk_cache[key])
+    cache_dir = os.path.join(GT_CACHE_ROOT, "pallas_tk")
+    cache_path = os.path.join(cache_dir, f"{key}.json")
+    try:
+        with open(cache_path) as f:
+            ok = bool(json.load(f)["ok"])
+        _plane_tk_cache[key] = ok
+        return ok
+    except (OSError, ValueError, KeyError):
+        pass
+
+    ok = _probe_staged_compile(analyzed, domain, origins)
+    _plane_tk_cache[key] = ok
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"ok": ok}, f)
+        os.replace(tmp, cache_path)
+    except OSError:
+        pass
+    return ok
+
+
+def _probe_staged_compile(analyzed, domain, origins) -> bool:
+    import jax
+
+    from gt4py_tpu.cartesian.backend import pallas_seq
+
+    ni, nj, nk = domain
+    shapes = {}
+    for name, info in analyzed.field_infos.items():
+        if info.access == AccessKind.NONE:
+            continue
+        ext = analyzed.field_extents.get(name, Extent.zeros())
+        oi, oj, ok = origins[name]
+        shapes[name] = jax.ShapeDtypeStruct(
+            (oi + ni + max(0, ext.i[1]), oj + nj + max(0, ext.j[1]), ok + nk),
+            np.dtype(info.dtype),
+        )
+    scalars = {
+        n: jax.ShapeDtypeStruct((), np.dtype(i.dtype))
+        for n, i in analyzed.parameter_infos.items()
+        if i.access != AccessKind.NONE
+    }
+    try:
+        fn = pallas_seq.build_staged_fn(analyzed, domain, origins, interpret=False)
+        jax.jit(lambda arrays, sc: fn(arrays, sc)).lower(shapes, scalars).compile()
+        return True
+    except Exception:
+        return False
 
 
 def _build_tiled_fn(

@@ -1,0 +1,628 @@
+"""Sequential (staged) plane strategy: pipelined K-plane kernels for
+FORWARD/BACKWARD vertical loops.
+
+This covers the reference's sequential-K execution class — tridiagonal
+solves and the vertical-advection dycore (reference
+tests/cartesian_tests/.../stencil_definitions.py:220,236; the gtfn backend
+compiles these to `ScanExecution` C++, codegens/gtfn/codegen.py:181-208) —
+with a TPU-native schedule:
+
+- every vertical loop becomes ONE ``pallas_call`` whose grid walks the
+  loop's K range IN ORDER (``dimension_semantics=("arbitrary",)``); for
+  BACKWARD loops the BlockSpec index maps reverse the walk, so Pallas'
+  automatic pipeline still double-buffers plane DMA against compute in
+  both directions,
+- each grid step processes one (1, I, J) plane held fully in VMEM,
+- reads of already-updated values at K offsets (the tridiagonal
+  ``dcol[0, 0, -1]`` pattern) come from VMEM carry planes that persist
+  across grid steps (the reference's K-cache role,
+  gtc/passes/oir_optimizations/caches.py:92); rings of depth > 1 rotate,
+- reads of original values at K offsets (``wcon[1, 0, 1]``-style) come
+  from extra input BlockSpecs whose index maps shift (and clamp) the
+  plane index — no halo DMA logic needed,
+- interval sections predicate on the scalar plane index with ``pl.when``,
+- multi-loop stencils run one call per loop ("stages"); temporaries
+  crossing stage boundaries materialize as (K, I, J) HBM buffers, while
+  loop-local temporaries stay in VMEM values/carries.
+
+PARALLEL loops inside staged stencils (and pure-PARALLEL stencils with
+static K offsets, e.g. 3-D Laplacians) use the same kernel with all
+sections active and no carries.
+
+Shares expression evaluation (CSE, masks, native functions) with
+``pallas_codegen._BlockEvaluator``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+from gt4py_tpu import eve
+from gt4py_tpu.cartesian import gtir
+from gt4py_tpu.cartesian.definitions import AccessKind, Extent
+from gt4py_tpu.cartesian.passes.extents import iter_writes
+from gt4py_tpu.cartesian.passes.pipeline import AnalyzedStencil
+
+from gt4py_tpu.cartesian.backend.pallas_codegen import (
+    PallasUnsupported,
+    _BlockEvaluator,
+    _LANE,
+    _SUBLANE,
+    _round_up,
+)
+
+
+def staged_eligible(analyzed: AnalyzedStencil, *, interpret: bool) -> bool:
+    """True when every construct maps onto the staged plane kernels."""
+    if not interpret:
+        for p in analyzed.stencil.params:
+            dtype = getattr(p, "dtype", None)
+            if dtype is not None and np.dtype(dtype).itemsize == 8:
+                return False
+        for t in analyzed.stencil.temporaries:
+            if t.dtype is not None and np.dtype(t.dtype).itemsize == 8:
+                return False
+    for p in analyzed.stencil.params:
+        if isinstance(p, gtir.GlobalTableDecl):
+            return False
+        if isinstance(p, gtir.FieldDecl) and (
+            p.data_dims or p.dimensions != (True, True, True)
+        ):
+            return False
+    for _, _, stmt in analyzed.stencil.walk_stmts():
+        if isinstance(stmt, gtir.While):
+            return False
+        for node in eve.walk_values(stmt):
+            if isinstance(node, gtir.FieldAccess):
+                if node.koffset is not None or node.abs_k is not None or node.data_index:
+                    return False
+    return True
+
+
+class _Stage:
+    """One vertical loop compiled to one pallas_call."""
+
+    def __init__(self, analyzed: AnalyzedStencil, vloop: gtir.VerticalLoop, nk: int):
+        self.analyzed = analyzed
+        self.vloop = vloop
+        self.order = vloop.loop_order
+        self.backward = vloop.loop_order == gtir.LoopOrder.BACKWARD
+        self.sections = []
+        ks_all, ke_all = nk, 0
+        for sec in vloop.sections:
+            ks, ke = sec.interval.resolve(nk)
+            if ke > ks:
+                self.sections.append((ks, ke, sec))
+                ks_all = min(ks_all, ks)
+                ke_all = max(ke_all, ke)
+        self.k_start, self.k_end = (ks_all, ke_all) if self.sections else (0, 0)
+
+        # Names written in this loop (fields and temps).
+        self.written: set[str] = set()
+        for _, _, sec in self.sections:
+            for stmt in sec.body:
+                for w in iter_writes(stmt):
+                    self.written.add(w.name)
+        # Reads classified per (name, dk):
+        #   updated: value written this loop, observed at an
+        #            already-visited plane -> carry
+        #   original: anything else -> shifted input spec
+        self.carry_reads: set[tuple[str, int]] = set()
+        self.orig_reads: set[tuple[str, int]] = set()
+        seq = self.order != gtir.LoopOrder.PARALLEL
+        for _, _, sec in self.sections:
+            for stmt in sec.body:
+                for node in eve.walk_values(stmt):
+                    if not isinstance(node, gtir.FieldAccess):
+                        continue
+                    dk = node.offset[2]
+                    name = node.name
+                    updated_dir = dk < 0 if not self.backward else dk > 0
+                    if name in self.written:
+                        if dk == 0:
+                            continue  # in-step value
+                        if seq and updated_dir:
+                            self.carry_reads.add((name, dk))
+                        else:
+                            self.orig_reads.add((name, dk))
+                    else:
+                        self.orig_reads.add((name, dk))
+        if self.order == gtir.LoopOrder.PARALLEL and self.carry_reads:
+            raise PallasUnsupported("parallel loop with carry reads")
+        # Carry depth per name.
+        self.carry_depth: dict[str, int] = {}
+        for name, dk in self.carry_reads:
+            self.carry_depth[name] = max(self.carry_depth.get(name, 0), abs(dk))
+
+
+class _StagedGeometry:
+    """Padded (K, I, J) buffer geometry shared by all stages."""
+
+    def __init__(self, analyzed: AnalyzedStencil, domain, origins):
+        self.analyzed = analyzed
+        self.domain = domain
+        self.origins = dict(origins)
+        ni, nj, nk = domain
+        self.nk = nk
+        self.field_ext: dict[str, Extent] = {}
+        self.fields: list[str] = []
+        for name, info in analyzed.field_infos.items():
+            if info.access == AccessKind.NONE:
+                continue
+            self.field_ext[name] = analyzed.field_extents.get(name, Extent.zeros())
+            self.fields.append(name)
+        self.temps = {t.name: t for t in analyzed.stencil.temporaries}
+        for t in analyzed.stencil.temporaries:
+            self.field_ext[t.name] = analyzed.field_extents.get(t.name, Extent.zeros())
+        # Temp plane sizes (padded so all stages agree).
+        self.temp_shape: dict[str, tuple[int, int]] = {}
+        for name in self.temps:
+            ext = self.field_ext[name]
+            self.temp_shape[name] = (
+                _round_up(ni + ext.i[1] - ext.i[0], _SUBLANE),
+                _round_up(nj + ext.j[1] - ext.j[0], _LANE),
+            )
+        self.dtypes = {
+            n: (
+                analyzed.field_infos[n].dtype
+                if n in analyzed.field_infos
+                else (self.temps[n].dtype or np.float64)
+            )
+            for n in self.field_ext
+        }
+
+
+def build_staged_fn(
+    analyzed: AnalyzedStencil,
+    domain: tuple[int, int, int],
+    origins: dict[str, tuple[int, int, int]],
+    *,
+    interpret: bool = False,
+):
+    """Build fn(arrays: dict[name -> (I, J, K)], scalars) -> written arrays,
+    executing the stencil as a chain of per-vertical-loop plane kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    if not staged_eligible(analyzed, interpret=interpret):
+        raise PallasUnsupported("staged plane strategy: unsupported construct")
+
+    ni, nj, nk = domain
+    geo = _StagedGeometry(analyzed, domain, origins)
+    stages = [_Stage(analyzed, vl, nk) for vl in analyzed.stencil.vertical_loops]
+    stages = [s for s in stages if s.sections]
+
+    # Temporaries crossing stage boundaries become HBM buffers.
+    temp_writer: dict[str, int] = {}
+    cross_temps: set[str] = set()
+    for idx, stage in enumerate(stages):
+        for _, _, sec in stage.sections:
+            for stmt in sec.body:
+                for node in eve.walk_values(stmt):
+                    if isinstance(node, gtir.FieldAccess) and node.name in geo.temps:
+                        w = temp_writer.get(node.name)
+                        if w is not None and w != idx:
+                            cross_temps.add(node.name)
+                for w in iter_writes(stmt):
+                    if w.name in geo.temps:
+                        temp_writer.setdefault(w.name, idx)
+                        if temp_writer[w.name] != idx:
+                            cross_temps.add(w.name)
+
+    scalar_names = [
+        n for n, i in analyzed.parameter_infos.items() if i.access != AccessKind.NONE
+    ]
+
+    stage_calls = [
+        _build_stage_call(geo, stage, cross_temps, scalar_names, interpret=interpret)
+        for stage in stages
+    ]
+
+    def encode(n: str, a: Any) -> Any:
+        ok = origins[n][2]
+        kf = jnp.transpose(a, (2, 0, 1))
+        rows = kf[ok : ok + min(nk, kf.shape[0] - ok)]
+        pk = nk - rows.shape[0]
+        pi = _round_up(kf.shape[1], _SUBLANE) - kf.shape[1]
+        pj = _round_up(kf.shape[2], _LANE) - kf.shape[2]
+        return jnp.pad(rows, ((0, pk), (0, pi), (0, pj)))
+
+    def decode(n: str, r: Any, original: Any) -> Any:
+        kf = jnp.transpose(original, (2, 0, 1))
+        ok = origins[n][2]
+        rows = r[: min(nk, kf.shape[0] - ok), : kf.shape[1], : kf.shape[2]]
+        if ok > 0 or ok + rows.shape[0] < kf.shape[0]:
+            rows = jnp.concatenate([kf[:ok], rows, kf[ok + rows.shape[0] :]], axis=0)
+        return jnp.transpose(rows, (1, 2, 0))
+
+    written_fields = [
+        n
+        for n, info in analyzed.field_infos.items()
+        if info.access & AccessKind.WRITE
+    ]
+
+    def call_padded(padded: dict[str, Any], scalars: dict[str, Any]) -> dict[str, Any]:
+        state = dict(padded)
+        for t in cross_temps:
+            si, sj = geo.temp_shape[t]
+            state[t] = jnp.zeros((nk, si, sj), geo.dtypes[t])
+        for call in stage_calls:
+            state.update(call(state, scalars))
+        return {n: state[n] for n in written_fields}
+
+    def fn(arrays: dict[str, Any], scalars: dict[str, Any]) -> dict[str, Any]:
+        padded = {n: encode(n, arrays[n]) for n in geo.fields}
+        results = call_padded(padded, scalars)
+        return {n: decode(n, results[n], arrays[n]) for n in written_fields}
+
+    fn.encode = encode
+    fn.decode = decode
+    fn.call_padded = call_padded
+    fn.reads = tuple(geo.fields)
+    fn.writes = tuple(written_fields)
+    return fn
+
+
+def _build_stage_call(
+    geo: _StagedGeometry,
+    stage: _Stage,
+    cross_temps: set[str],
+    scalar_names: list[str],
+    *,
+    interpret: bool,
+):
+    """Build stage_call(state, scalars) -> dict of updated buffers."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ni, nj, nk = geo.domain
+    k_start, k_end = stage.k_start, stage.k_end
+    n_steps = k_end - k_start
+    backward = stage.backward
+
+    # Buffers touched by this stage (API fields + cross-stage temps).
+    def is_buffer(name: str) -> bool:
+        return name in geo.analyzed.field_infos or name in cross_temps
+
+    read_names: list[str] = []
+    written_bufs: list[str] = []
+    local_temps: list[str] = []
+    seen: set[str] = set()
+    for _, _, sec in stage.sections:
+        for stmt in sec.body:
+            for node in eve.walk_values(stmt):
+                if isinstance(node, gtir.FieldAccess) and node.name not in seen:
+                    seen.add(node.name)
+    for name in seen:
+        if is_buffer(name):
+            read_names.append(name)
+        else:
+            local_temps.append(name)
+    for name in stage.written:
+        if is_buffer(name):
+            written_bufs.append(name)
+
+    # Input spec list: (name, dk) pairs — dk=0 for every buffer (seed +
+    # current-plane original reads), plus the shifted original reads.
+    spec_keys: list[tuple[str, int]] = [(n, 0) for n in read_names]
+    for name, dk in sorted(stage.orig_reads):
+        if not is_buffer(name):
+            if dk != 0:
+                # A loop-local temp read at a not-yet-written plane has no
+                # defined source.
+                raise PallasUnsupported(
+                    f"original-value K-offset read of loop-local temporary '{name}'"
+                )
+            continue
+        if (name, dk) not in spec_keys:
+            spec_keys.append((name, dk))
+
+    # Carries for buffers AND local temps.
+    carry_names = sorted(stage.carry_depth)
+
+    def kernel_factory(buf_shapes: dict[str, tuple[int, int]]):
+        def kernel(*refs):
+            pos = 0
+            sref = {n: refs[pos + i] for i, n in enumerate(scalar_names)}
+            pos += len(scalar_names)
+            in_refs = {}
+            for key in spec_keys:
+                in_refs[key] = refs[pos]
+                pos += 1
+            out_refs = {n: refs[pos + i] for i, n in enumerate(written_bufs)}
+            pos += len(written_bufs)
+            carry_refs: dict[str, list] = {}
+            for name in carry_names:
+                depth = stage.carry_depth[name]
+                carry_refs[name] = [refs[pos + d] for d in range(depth)]
+                pos += depth
+
+            s = pl.program_id(0)
+            k = (k_end - 1 - s) if backward else (k_start + s)
+
+            # Seed out planes with original content (fields not written at
+            # this k keep their values through the full write-back).
+            for n in written_bufs:
+                out_refs[n][...] = in_refs[(n, 0)][...]
+
+            ev = _SeqPlaneEvaluator(
+                geo, stage, in_refs, out_refs, carry_refs, sref, k
+            )
+            for ks, ke, sec in stage.sections:
+                def run_section(sec=sec):
+                    # Fresh in-step values per section: pl.when only
+                    # predicates STORES, so a value traced under section A's
+                    # guard must not be readable in section B.
+                    ev.begin_section()
+                    for stmt in sec.body:
+                        ev.exec_stmt(stmt)
+                    ev.flush_section()
+
+                if stage.order == gtir.LoopOrder.PARALLEL and ks == 0 and ke == nk:
+                    run_section()
+                else:
+                    cond = jnp.logical_and(k >= ks, k < ke)
+                    pl.when(cond)(run_section)
+
+            # Carry rotation for buffers: final plane value lives in the out
+            # ref (seeded + possibly overwritten) — unconditional update
+            # handles gaps where a section did not write at this k.
+            for name in carry_names:
+                ring = carry_refs[name]
+                for d in range(len(ring) - 1, 0, -1):
+                    ring[d][...] = ring[d - 1][...]
+                if name in out_refs:
+                    ring[0][...] = out_refs[name][...]
+                # local temps were flushed by flush_section inside pl.when
+
+        return kernel
+
+    def stage_call(state: dict[str, Any], scalars: dict[str, Any]) -> dict[str, Any]:
+        buf_shapes = {n: state[n].shape[1:] for n in read_names}
+
+        def clampk(idx):
+            return jnp.clip(idx, 0, nk - 1)
+
+        def spec_for(name, dk):
+            shape = state[name].shape
+
+            def index_map(s, _dk=dk):
+                k = (k_end - 1 - s) if backward else (k_start + s)
+                return (clampk(k + _dk), 0, 0)
+
+            return pl.BlockSpec((1, shape[1], shape[2]), index_map)
+
+        scalar_args = [jnp.asarray(scalars[n]).reshape(1, 1) for n in scalar_names]
+        in_args = [state[n] for n, _ in spec_keys]
+        out_shapes = [
+            jax.ShapeDtypeStruct(state[n].shape, state[n].dtype) for n in written_bufs
+        ]
+        aliases = {
+            len(scalar_names) + spec_keys.index((n, 0)): wi
+            for wi, n in enumerate(written_bufs)
+        }
+        scratch = []
+        for name in carry_names:
+            if name in geo.temps and name not in cross_temps:
+                si, sj = geo.temp_shape[name]
+            else:
+                si, sj = state[name].shape[1:]
+            for _ in range(stage.carry_depth[name]):
+                scratch.append(pltpu.VMEM((1, si, sj), geo.dtypes[name]))
+
+        kernel = kernel_factory(buf_shapes)
+        with jax.enable_x64(jax.config.jax_enable_x64 if interpret else False):
+            results = pl.pallas_call(
+                kernel,
+                grid=(n_steps,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * len(scalar_names)
+                + [spec_for(n, dk) for n, dk in spec_keys],
+                out_specs=[spec_for(n, 0) for n in written_bufs],
+                out_shape=out_shapes,
+                input_output_aliases=aliases,
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                ),
+                interpret=interpret,
+            )(*scalar_args, *in_args)
+        if len(written_bufs) == 1 and not isinstance(results, (tuple, list)):
+            results = (results,)
+        return dict(zip(written_bufs, results))
+
+    return stage_call
+
+
+class _SeqPlaneEvaluator(_BlockEvaluator):
+    """Evaluates one section's statements on a single K plane.
+
+    ``blocks`` semantics differ from the base class: reads resolve through
+    (in-step values) -> (carries) -> (shifted original input planes);
+    writes update the in-step value dict and the out plane refs.
+    """
+
+    def __init__(self, geo, stage, in_refs, out_refs, carry_refs, scalars, k):
+        self.geo = geo
+        self.stage = stage
+        self.in_refs = in_refs
+        self.out_refs = out_refs
+        self.carry_refs = carry_refs
+        self.scalars = scalars
+        self.k = k
+        self.nk = geo.nk
+        self.k0 = k  # for region masks (unused: K regions not in masks)
+        self.i0 = 0
+        self.j0 = 0
+        # In-step plane values for names written this step (keyed by name).
+        self.values: dict[str, Any] = {}
+        # plan-compat shims used by inherited helpers
+        self.plan = self  # _shape/_region_mask access plan.domain/ti/tj/temps
+        self.domain = geo.domain
+        self.ti = geo.domain[0]
+        self.tj = geo.domain[1]
+        self.j_full = False
+        self.temps = geo.temps
+        self.field_ext = geo.field_ext
+        self.origins = geo.origins
+        self.analyzed = geo.analyzed
+
+    # -- statement execution -------------------------------------------------
+
+    def begin_section(self) -> None:
+        self.values = {}
+        self._written_region = {}
+
+    def exec_stmt(self, stmt: gtir.Stmt) -> None:
+        import jax.numpy as jnp
+
+        ext = self.analyzed.stmt_extents[stmt]
+        ctx = (ext, 0, 1, None)
+        self._memo = {}
+        assert isinstance(stmt, gtir.Assign)
+        value = self._broadcast(self.eval_expr(stmt.value, ctx), ctx)
+        mask = None
+        if stmt.mask is not None:
+            mask = self._broadcast(self.eval_expr(stmt.mask, ctx), ctx)
+        if stmt.horizontal_masks:
+            rmask = self._region_mask(stmt.horizontal_masks, ctx)
+            mask = rmask if mask is None else jnp.logical_and(mask, rmask)
+        self._write(stmt.target.name, value, mask, ctx)
+
+    def flush_section(self) -> None:
+        """Store written buffer planes to their out refs (inside pl.when).
+
+        ``_written_region[name]`` is in ABSOLUTE plane coordinates (row 0 ==
+        plane row 0), so the store slice is direct.
+        """
+        for name, value in self.values.items():
+            if name in self.out_refs:
+                alo_i, ahi_i, alo_j, ahi_j = self._written_region[name]
+                self.out_refs[name][0:1, alo_i:ahi_i, alo_j:ahi_j] = value
+            if name in self.carry_refs and name not in self.out_refs:
+                # Local temp carry: rotate and store the full-extent plane.
+                ring = self.carry_refs[name]
+                full = self._temp_full(name)
+                for d in range(len(ring) - 1, 0, -1):
+                    ring[d][...] = ring[d - 1][...]
+                ring[0][0:1, : full.shape[1], : full.shape[2]] = full
+
+    # -- base offsets ----------------------------------------------------
+
+    def _i_base(self, name: str) -> int:
+        if name in self.temps:
+            return -self.field_ext[name].i[0]
+        return self.origins[name][0]
+
+    def _j_base(self, name: str) -> int:
+        if name in self.temps:
+            return -self.field_ext[name].j[0]
+        return self.origins[name][1]
+
+    def _shape(self, ctx):
+        ext, ks, ke, k_seq = ctx
+        return (1, self.ti + ext.i[1] - ext.i[0], self.tj + ext.j[1] - ext.j[0])
+
+    def _temp_full(self, name: str):
+        """Current temp value expanded to its full plane extent."""
+        import jax.numpy as jnp
+
+        val = self.values[name]
+        ext = self.field_ext[name]
+        full_i = self.ti + ext.i[1] - ext.i[0]
+        full_j = self.tj + ext.j[1] - ext.j[0]
+        alo_i, ahi_i, alo_j, ahi_j = self._written_region[name]
+        if (alo_i, ahi_i, alo_j, ahi_j) == (0, full_i, 0, full_j):
+            return val
+        pad = ((0, 0), (alo_i, full_i - ahi_i), (alo_j, full_j - ahi_j))
+        return jnp.pad(val, pad)
+
+    # -- reads / writes ----------------------------------------------------
+
+    _written_region: dict[str, tuple[int, int, int, int]]
+
+    def _read(self, access: gtir.FieldAccess, ctx):
+        import jax.numpy as jnp
+
+        ext, ks, ke, k_seq = ctx
+        name = access.name
+        di, dj, dk = access.offset
+        NK, NI, NJ = self._shape(ctx)
+        xi = self._i_base(name) + ext.i[0] + di
+        xj = self._j_base(name) + ext.j[0] + dj
+        updated_dir = dk < 0 if not self.backward_ else dk > 0
+
+        if dk == 0 and name in self.values:
+            # In-step value: absolute plane coords into the written region.
+            alo_i, ahi_i, alo_j, ahi_j = self._written_region[name]
+            vi = xi - alo_i
+            vj = xj - alo_j
+            if vi < 0 or vj < 0 or vi + NI > ahi_i - alo_i or vj + NJ > ahi_j - alo_j:
+                raise PallasUnsupported(
+                    f"read of '{name}' outside its in-step written region"
+                )
+            return self.values[name][:, vi : vi + NI, vj : vj + NJ]
+        if name in self.carry_refs and dk != 0 and name in self.stage.written and updated_dir:
+            ring = self.carry_refs[name]
+            ref = ring[abs(dk) - 1]
+            return ref[0:1, xi : xi + NI, xj : xj + NJ]
+        if (name, dk) in self.in_refs:
+            return self.in_refs[(name, dk)][0:1, xi : xi + NI, xj : xj + NJ]
+        if dk == 0 and (name, 0) in self.in_refs:
+            return self.in_refs[(name, 0)][0:1, xi : xi + NI, xj : xj + NJ]
+        raise PallasUnsupported(f"unresolvable read {name}[{di},{dj},{dk}]")
+
+    @property
+    def backward_(self) -> bool:
+        return self.stage.backward
+
+    def _write(self, name: str, value, mask, ctx) -> None:
+        import jax.numpy as jnp
+        from jax import lax
+
+        ext, _, _, _ = ctx
+        NK, NI, NJ = self._shape(ctx)
+        # Absolute plane coordinates of the written region.
+        alo_i = self._i_base(name) + ext.i[0]
+        ahi_i = alo_i + NI
+        alo_j = self._j_base(name) + ext.j[0]
+        ahi_j = alo_j + NJ
+
+        if not hasattr(self, "_written_region"):
+            self._written_region = {}
+        if mask is not None:
+            prev = self._read(gtir.FieldAccess(name=name, offset=(0, 0, 0)), ctx)
+            value = jnp.where(mask, value, prev)
+        dtype = np.dtype(self.geo.dtypes[name]) if name in self.geo.dtypes else value.dtype
+        value = value.astype(dtype)
+
+        region = (alo_i, ahi_i, alo_j, ahi_j)
+        if name in self.values and self._written_region[name] != region:
+            # Later statement writes a different region: blend over the union.
+            plo_i, phi_i, plo_j, phi_j = self._written_region[name]
+            ulo_i, uhi_i = min(alo_i, plo_i), max(ahi_i, phi_i)
+            ulo_j, uhi_j = min(alo_j, plo_j), max(ahi_j, phi_j)
+            prev = jnp.pad(
+                self.values[name],
+                ((0, 0), (plo_i - ulo_i, uhi_i - phi_i), (plo_j - ulo_j, uhi_j - phi_j)),
+            )
+            padded_new = jnp.pad(
+                value,
+                ((0, 0), (alo_i - ulo_i, uhi_i - ahi_i), (alo_j - ulo_j, uhi_j - ahi_j)),
+            )
+            ii = lax.broadcasted_iota(jnp.int32, prev.shape, 1)
+            jj = lax.broadcasted_iota(jnp.int32, prev.shape, 2)
+            inside = (
+                (ii >= alo_i - ulo_i)
+                & (ii < ahi_i - ulo_i)
+                & (jj >= alo_j - ulo_j)
+                & (jj < ahi_j - ulo_j)
+            )
+            self.values[name] = jnp.where(inside, padded_new, prev)
+            self._written_region[name] = (ulo_i, uhi_i, ulo_j, uhi_j)
+        else:
+            self.values[name] = value
+            self._written_region[name] = region
