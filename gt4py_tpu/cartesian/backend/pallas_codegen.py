@@ -776,7 +776,10 @@ _plane_tk_cache: dict[str, int] = {}
 
 
 def _plane_tk_candidates(nk: int) -> list[int]:
-    cands = [t for t in (8, 5, 4, 3, 2) if t <= nk and nk % t == 0]
+    # tk=4 measured fastest on hdiff (110.9us vs 121.1us at tk=5, 92% of
+    # the 4-stream HBM roofline); tk>=8 trips the remote Mosaic crash on
+    # non-trivial kernels, so larger blocks come later in the probe ladder.
+    cands = [t for t in (4, 5, 8, 3, 2) if t <= nk and nk % t == 0]
     if 1 not in cands:
         cands.append(min(nk, 1) or 1)
     return cands
