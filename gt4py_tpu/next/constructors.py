@@ -24,6 +24,19 @@ def _norm_dtype(dtype: Any) -> np.dtype:
     return np.dtype(dtype if dtype is not None else np.float64)
 
 
+def _resolve_allocator(allocator, device):
+    """Allocator precedence: explicit allocator > device spec > default
+    (reference allocator protocol, constructors.py:394 +
+    custom_layout_allocators.py:35)."""
+    from gt4py_tpu.next import allocators as _alloc
+
+    if allocator is not None:
+        return allocator
+    if device is not None:
+        return _alloc.device_allocator(device)
+    return None
+
+
 def empty(domain_spec, dtype: Any = np.float64, *, allocator=None, device=None) -> Field:
     return zeros(domain_spec, dtype, allocator=allocator, device=device)
 
@@ -32,6 +45,9 @@ def zeros(domain_spec, dtype: Any = np.float64, *, allocator=None, device=None) 
     import jax.numpy as jnp
 
     dom = make_domain(domain_spec)
+    alloc = _resolve_allocator(allocator, device)
+    if alloc is not None:
+        return Field(dom, alloc.allocate(dom.shape, _norm_dtype(dtype)))
     return Field(dom, jnp.zeros(dom.shape, dtype=_norm_dtype(dtype)))
 
 

@@ -266,11 +266,25 @@ class Program:
 
     definition: Callable
     backend: Optional[str] = "jax"
+    bound_args: Optional[dict] = None
 
     def with_backend(self, backend: Optional[str]) -> "Program":
-        return Program(self.definition, backend)
+        return Program(self.definition, backend, self.bound_args)
+
+    def with_bound_args(self, **bound: Any) -> "Program":
+        """Bind keyword arguments ahead of time (reference
+        ProgramWithBoundArgs, decorator.py:431)."""
+        merged = {**(self.bound_args or {}), **bound}
+        return Program(self.definition, self.backend, merged)
 
     def __call__(self, *args, offset_provider: Optional[dict] = None, **kwargs):
+        if self.bound_args:
+            overlap = set(self.bound_args) & set(kwargs)
+            if overlap:
+                raise TypeError(
+                    f"Arguments {sorted(overlap)} are already bound on this program"
+                )
+            kwargs = {**self.bound_args, **kwargs}
         with offset_provider_context(offset_provider):
             self.definition(*args, **kwargs)
 

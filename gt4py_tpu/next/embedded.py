@@ -159,7 +159,30 @@ class Field:
             return self._remap_connectivity(mapped)
         if isinstance(offset, Connectivity):
             return self._remap_connectivity(offset)
+        from gt4py_tpu.next.experimental import AsOffset
+
+        if isinstance(offset, AsOffset):
+            return self._shift_dynamic(offset.offset.source, offset.index_field)
         raise TypeError(f"Cannot shift by {offset!r}")
+
+    def _shift_dynamic(self, dim: Dimension, idx: "Field") -> "Field":
+        """Per-point variable shift along ``dim`` (reference experimental
+        ``as_offset``, ffront/experimental.py:17): out(p) = self(p + idx(p)
+        along dim). Out-of-range positions clamp to the field boundary."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        dims = _promote_dims(self.dims, idx.dims)
+        if dim not in dims:
+            raise ValueError(f"as_offset dimension {dim} not present")
+        dom, a = self._aligned(dims, idx)
+        _, b = idx._aligned(dims, self)
+        axis = dom.dims.index(dim)
+        n = a.shape[axis]
+        base = lax.broadcasted_iota(jnp.int32, a.shape, axis)
+        pos = jnp.clip(base + b.astype(jnp.int32), 0, n - 1)
+        pos = jnp.broadcast_to(pos, a.shape)
+        return Field(dom, jnp.take_along_axis(a, pos, axis=axis))
 
     def _shift_cartesian(self, dim: Dimension, index: int) -> "Field":
         """out(i) = self(i + index)  ⇔ domain range shifted by -index."""
