@@ -124,19 +124,27 @@ class FieldOperator:
         if out is None:
             # Called from inside another field operator: plain application.
             return self.definition(*args, **kwargs)
+        from gt4py_tpu.instrumentation.hooks import stencil_call
+        from gt4py_tpu.instrumentation.metrics import MetricsCollector
         from gt4py_tpu.next.common import domain as make_domain
 
         dom = make_domain(domain) if domain is not None else None
-        with offset_provider_context(offset_provider):
-            if self.backend == "jax" and self.options.enable_jit:
-                ex = self._pool.lookup(args, kwargs, offset_provider)
-                dynamic = {
-                    k: v for k, v in kwargs.items() if k not in self.options.static_params
-                }
-                result = ex(*args, **dynamic)
-            else:
-                result = self.definition(*args, **kwargs)
-            _write_out(result, out, dom)
+        name = getattr(self.definition, "__name__", "field_operator")
+        # Hook point + leveled metrics around the program call (reference
+        # ffront/decorator.py:62-83, instrumentation/metrics.py:240).
+        with stencil_call.wrap(name), MetricsCollector(name, "total"):
+            with offset_provider_context(offset_provider):
+                if self.backend == "jax" and self.options.enable_jit:
+                    ex = self._pool.lookup(args, kwargs, offset_provider)
+                    dynamic = {
+                        k: v
+                        for k, v in kwargs.items()
+                        if k not in self.options.static_params
+                    }
+                    result = ex(*args, **dynamic)
+                else:
+                    result = self.definition(*args, **kwargs)
+                _write_out(result, out, dom)
 
     def __get__(self, obj, objtype=None):
         return self

@@ -73,3 +73,39 @@ def test_copy_with_overrides():
 def test_source_location_str():
     loc = eve.SourceLocation(line=3, column=7, filename="x.py")
     assert "x.py:3:7" == str(loc)
+
+
+# --- codegen (reference eve/codegen.py:563,220) -------------------------------
+
+
+def test_templated_generator():
+    from gt4py_tpu import eve
+    from gt4py_tpu.eve.codegen import FormatTemplate, TemplatedGenerator
+
+    @eve.datamodel
+    class Lit(eve.Node):
+        value: int
+
+    @eve.datamodel
+    class Add(eve.Node):
+        left: eve.Node
+        right: eve.Node
+
+    class Gen(TemplatedGenerator):
+        Lit = FormatTemplate("{_this_.value}")
+        Add = FormatTemplate("({left} + {right})")
+
+    tree = Add(left=Lit(value=1), right=Add(left=Lit(value=2), right=Lit(value=3)))
+    assert Gen.apply(tree) == "(1 + (2 + 3))"
+
+
+def test_text_block_and_format_source():
+    from gt4py_tpu.eve.codegen import TextBlock, format_source
+
+    tb = TextBlock()
+    tb.append("def f():")
+    with tb.indented():
+        tb.append("return 1")
+    assert tb.text == "def f():\n    return 1"
+    out = format_source("python", "x=1")
+    assert out.strip().replace(" ", "") == "x=1"
