@@ -302,13 +302,21 @@ def _build_stage_call(
             read_names.append(name)
         else:
             local_temps.append(name)
-    for name in stage.written:
+    for name in sorted(stage.written):
         if is_buffer(name):
             written_bufs.append(name)
 
-    # Input spec list: (name, dk) pairs — dk=0 for every buffer (seed +
-    # current-plane original reads), plus the shifted original reads.
-    spec_keys: list[tuple[str, int]] = [(n, 0) for n in read_names]
+    # Every written buffer is seeded from a dk=0 input alias: API fields
+    # need it to preserve non-domain points through the full-block
+    # write-back, and (measured) seeding temporaries is FASTER too —
+    # an unseeded, partially-written output block forces the backend into
+    # a read-modify-write on the out stream (vadv: 195us pruned vs 182us
+    # seeded), so the "saved" input stream comes back with interest.
+    seeded = list(written_bufs)
+
+    # Input spec list: (name, dk) pairs — only streams actually consumed:
+    # dk=0 original reads, shifted original reads, and seeds.
+    spec_keys: list[tuple[str, int]] = []
     for name, dk in sorted(stage.orig_reads):
         if not is_buffer(name):
             if dk != 0:
@@ -320,6 +328,9 @@ def _build_stage_call(
             continue
         if (name, dk) not in spec_keys:
             spec_keys.append((name, dk))
+    for name in seeded:
+        if (name, 0) not in spec_keys:
+            spec_keys.append((name, 0))
 
     # Carries for buffers AND local temps.
     carry_names = sorted(stage.carry_depth)
@@ -344,9 +355,10 @@ def _build_stage_call(
             s = pl.program_id(0)
             k = (k_end - 1 - s) if backward else (k_start + s)
 
-            # Seed out planes with original content (fields not written at
-            # this k keep their values through the full write-back).
-            for n in written_bufs:
+            # Seed out planes of API fields with original content (points
+            # not written at this k keep their values through the full
+            # write-back); temporaries skip the seed (and its HBM stream).
+            for n in seeded:
                 out_refs[n][...] = in_refs[(n, 0)][...]
 
             ev = _SeqPlaneEvaluator(
@@ -404,6 +416,7 @@ def _build_stage_call(
         aliases = {
             len(scalar_names) + spec_keys.index((n, 0)): wi
             for wi, n in enumerate(written_bufs)
+            if n in seeded
         }
         scratch = []
         for name in carry_names:
