@@ -257,7 +257,9 @@ def _staged_probe_ok(analyzed, domain, origins) -> bool:
     from gt4py_tpu.cartesian.caching import GT_CACHE_ROOT
     from gt4py_tpu.eve.utils import content_hash
 
-    key = content_hash("staged", repr(analyzed.stencil), domain, sorted(origins.items()))
+    key = content_hash(
+        "staged", repr(analyzed.stencil), domain, sorted(origins.items())
+    )
     if key in _plane_tk_cache:
         return bool(_plane_tk_cache[key])
     cache_dir = os.path.join(GT_CACHE_ROOT, "pallas_tk")

@@ -180,6 +180,7 @@ def build_staged_fn(
     origins: dict[str, tuple[int, int, int]],
     *,
     interpret: bool = False,
+    fuse: Optional[bool] = None,
 ):
     """Build fn(arrays: dict[name -> (I, J, K)], scalars) -> written arrays,
     executing the stencil as a chain of per-vertical-loop plane kernels."""
@@ -215,10 +216,36 @@ def build_staged_fn(
         n for n, i in analyzed.parameter_infos.items() if i.access != AccessKind.NONE
     ]
 
-    stage_calls = [
-        _build_stage_call(geo, stage, cross_temps, scalar_names, interpret=interpret)
-        for stage in stages
-    ]
+    # Fusion (EXPERIMENTAL, off by default): when cross-stage values fit in
+    # VMEM scratch, all loops run in ONE pallas_call and the cross-stage
+    # HBM round trip disappears. Measured SLOWER on vadv (407us fused vs
+    # 182us per-stage at 256x256x80/v5e): the pipeline does not elide the
+    # foreign-phase operand streams, so every spec is fetched on every
+    # step of every phase. Enable with GT4PY_PALLAS_FUSE_STAGES=1 to
+    # re-evaluate on future toolchains.
+    if fuse is None:
+        import os as _os
+
+        fuse = _os.environ.get("GT4PY_PALLAS_FUSE_STAGES", "0") not in ("0", "", "false")
+    fused = None
+    if fuse and len(stages) >= 2:
+        cross = _cross_names(geo, stages)
+        if cross is not None and _fuse_scratch_bytes(geo, cross) <= _FUSE_SCRATCH_BUDGET:
+            try:
+                fused = _build_fused_call(
+                    geo, stages, cross, scalar_names, interpret=interpret
+                )
+            except PallasUnsupported:
+                fused = None
+
+    if fused is not None:
+        stage_calls = [fused]
+        cross_temps = set()  # cross values live in VMEM scratch, not HBM
+    else:
+        stage_calls = [
+            _build_stage_call(geo, stage, cross_temps, scalar_names, interpret=interpret)
+            for stage in stages
+        ]
 
     def encode(n: str, a: Any) -> Any:
         ok = origins[n][2]
@@ -472,6 +499,11 @@ class _SeqPlaneEvaluator(_BlockEvaluator):
         self.j0 = 0
         # In-step plane values for names written this step (keyed by name).
         self.values: dict[str, Any] = {}
+        # Fused-mode extensions (set by _build_fused_call): cross-stage
+        # values in full-K VMEM scratch.
+        self.cross_scratch: dict[str, Any] = {}
+        self.cross_from_earlier: set[str] = set()
+        self.cross_store: set[str] = set()
         # plan-compat shims used by inherited helpers
         self.plan = self  # _shape/_region_mask access plan.domain/ti/tj/temps
         self.domain = geo.domain
@@ -515,6 +547,13 @@ class _SeqPlaneEvaluator(_BlockEvaluator):
             if name in self.out_refs:
                 alo_i, ahi_i, alo_j, ahi_j = self._written_region[name]
                 self.out_refs[name][0:1, alo_i:ahi_i, alo_j:ahi_j] = value
+            if name in self.cross_store:
+                from jax.experimental import pallas as pl
+
+                alo_i, ahi_i, alo_j, ahi_j = self._written_region[name]
+                self.cross_scratch[name][
+                    pl.ds(self.k, 1), alo_i:ahi_i, alo_j:ahi_j
+                ] = value
             if name in self.carry_refs and name not in self.out_refs:
                 # Local temp carry: rotate and store the full-extent plane.
                 ring = self.carry_refs[name]
@@ -582,6 +621,13 @@ class _SeqPlaneEvaluator(_BlockEvaluator):
             ring = self.carry_refs[name]
             ref = ring[abs(dk) - 1]
             return ref[0:1, xi : xi + NI, xj : xj + NJ]
+        if name in self.cross_from_earlier:
+            from jax.experimental import pallas as pl
+
+            kidx = jnp.clip(self.k + dk, 0, self.nk - 1)
+            return self.cross_scratch[name][
+                pl.ds(kidx, 1), xi : xi + NI, xj : xj + NJ
+            ]
         if (name, dk) in self.in_refs:
             return self.in_refs[(name, dk)][0:1, xi : xi + NI, xj : xj + NJ]
         if dk == 0 and (name, 0) in self.in_refs:
@@ -639,3 +685,271 @@ class _SeqPlaneEvaluator(_BlockEvaluator):
         else:
             self.values[name] = value
             self._written_region[name] = region
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-stage call: all vertical loops in ONE pallas_call.
+# ---------------------------------------------------------------------------
+
+# Upper bound for full-K VMEM scratch holding cross-stage values (v5e/v5p
+# have 128 MB VMEM; leave room for plane blocks and the Mosaic stack).
+_FUSE_SCRATCH_BUDGET = 80 * 1024 * 1024
+
+
+def _cross_names(geo: _StagedGeometry, stages: list[_Stage]) -> Optional[set[str]]:
+    """Names written in one stage and read in a LATER stage. Returns None
+    when the pattern is too complex to fuse (a name written in several
+    stages, or re-written after being cross-read)."""
+    writer: dict[str, int] = {}
+    cross: set[str] = set()
+    for idx, stage in enumerate(stages):
+        reads: set[str] = set()
+        for _, _, sec in stage.sections:
+            for stmt in sec.body:
+                for node in eve.walk_values(stmt):
+                    if isinstance(node, gtir.FieldAccess):
+                        reads.add(node.name)
+        for name in reads:
+            w = writer.get(name)
+            if w is not None and w != idx:
+                cross.add(name)
+        for name in stage.written:
+            if name in writer and writer[name] != idx:
+                return None  # written in two stages: unsupported for fusion
+            writer[name] = idx
+    return cross
+
+
+def _fuse_scratch_bytes(geo: _StagedGeometry, cross: set[str]) -> int:
+    total = 0
+    for name in cross:
+        if name in geo.temps:
+            si, sj = geo.temp_shape[name]
+        else:
+            ni, nj, _ = geo.domain
+            ext = geo.field_ext[name]
+            oi, oj, _ = geo.origins[name]
+            si = _round_up(oi + ni + max(0, ext.i[1]), _SUBLANE)
+            sj = _round_up(oj + nj + max(0, ext.j[1]), _LANE)
+        total += geo.nk * si * sj * np.dtype(geo.dtypes[name]).itemsize
+    return total
+
+
+def _build_fused_call(
+    geo: _StagedGeometry,
+    stages: list[_Stage],
+    cross: set[str],
+    scalar_names: list[str],
+    *,
+    interpret: bool,
+):
+    """One pallas_call walking all stages' K ranges back to back; values
+    crossing stage boundaries live in full-K VMEM scratch, never HBM."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ni, nj, nk = geo.domain
+    offs = []
+    total_steps = 0
+    for stage in stages:
+        offs.append(total_steps)
+        total_steps += stage.k_end - stage.k_start
+
+    def is_buffer(name: str) -> bool:
+        return name in geo.analyzed.field_infos
+
+    # Per-stage classification.
+    stage_specs: list[list[tuple[str, int]]] = []
+    stage_seeded: list[list[str]] = []
+    stage_written_bufs: list[list[str]] = []
+    stage_cross_from_earlier: list[set[str]] = []
+    written_before: set[str] = set()
+    for stage in stages:
+        from_earlier = {n for n in written_before if n in cross}
+        stage_cross_from_earlier.append(from_earlier)
+        written_before |= stage.written
+
+        specs: list[tuple[str, int]] = []
+        for name, dk in sorted(stage.orig_reads):
+            if name in from_earlier:
+                continue  # resolved from scratch
+            if not is_buffer(name) and name not in geo.temps:
+                continue
+            if not is_buffer(name):
+                if dk != 0:
+                    raise PallasUnsupported(
+                        f"original K-offset read of loop-local temp '{name}'"
+                    )
+                continue
+            if (name, dk) not in specs:
+                specs.append((name, dk))
+        seeded = sorted(n for n in stage.written if is_buffer(n))
+        for name in seeded:
+            if (name, 0) not in specs:
+                specs.append((name, 0))
+        stage_specs.append(specs)
+        stage_seeded.append(seeded)
+        stage_written_bufs.append(seeded)
+
+    # Flat operand list: (stage_idx, name, dk).
+    flat_specs: list[tuple[int, str, int]] = []
+    for si, specs in enumerate(stage_specs):
+        for name, dk in specs:
+            flat_specs.append((si, name, dk))
+    # Outputs: API fields, written by exactly one stage (checked above).
+    out_names: list[tuple[int, str]] = []
+    for si, names in enumerate(stage_written_bufs):
+        for n in names:
+            out_names.append((si, n))
+
+    def k_of(si: int, s):
+        stage = stages[si]
+        rel = s - offs[si]
+        return (stage.k_end - 1 - rel) if stage.backward else (stage.k_start + rel)
+
+    def k_anchor(si: int, dk: int) -> int:
+        stage = stages[si]
+        k0 = (stage.k_end - 1) if stage.backward else stage.k_start
+        return int(np.clip(k0 + dk, 0, nk - 1))
+
+    def kernel(*refs):
+        pos = 0
+        sref = {n: refs[pos + i] for i, n in enumerate(scalar_names)}
+        pos += len(scalar_names)
+        in_refs_flat = {}
+        for key in flat_specs:
+            in_refs_flat[key] = refs[pos]
+            pos += 1
+        out_refs_flat = {}
+        for key in out_names:
+            out_refs_flat[key] = refs[pos]
+            pos += 1
+        cross_scratch = {}
+        for name in sorted(cross):
+            cross_scratch[name] = refs[pos]
+            pos += 1
+        carry_refs_all: list[dict[str, list]] = []
+        for stage in stages:
+            d: dict[str, list] = {}
+            for name in sorted(stage.carry_depth):
+                depth = stage.carry_depth[name]
+                d[name] = [refs[pos + i] for i in range(depth)]
+                pos += depth
+            carry_refs_all.append(d)
+
+        s = pl.program_id(0)
+
+        for si, stage in enumerate(stages):
+            k = k_of(si, s)
+            active = jnp.logical_and(s >= offs[si], s < offs[si] + (stage.k_end - stage.k_start))
+            in_refs = {
+                (n, dk): r for (sj, n, dk), r in in_refs_flat.items() if sj == si
+            }
+            out_refs = {n: out_refs_flat[(si, n)] for n in stage_written_bufs[si]}
+
+            def seed(out_refs=out_refs, in_refs=in_refs, seeded=stage_seeded[si]):
+                for n in seeded:
+                    out_refs[n][...] = in_refs[(n, 0)][...]
+
+            pl.when(active)(seed)
+
+            ev = _SeqPlaneEvaluator(
+                geo, stage, in_refs, out_refs, carry_refs_all[si], sref, k
+            )
+            ev.cross_scratch = cross_scratch
+            ev.cross_from_earlier = stage_cross_from_earlier[si]
+            ev.cross_store = {n for n in stage.written if n in cross}
+            for ks, ke, sec in stage.sections:
+                def run_section(sec=sec, ev=ev):
+                    ev.begin_section()
+                    for stmt in sec.body:
+                        ev.exec_stmt(stmt)
+                    ev.flush_section()
+
+                cond = jnp.logical_and(active, jnp.logical_and(k >= ks, k < ke))
+                pl.when(cond)(run_section)
+
+            def rotate(si=si, stage=stage, out_refs=out_refs):
+                ring_map = carry_refs_all[si]
+                for name in sorted(stage.carry_depth):
+                    ring = ring_map[name]
+                    for d in range(len(ring) - 1, 0, -1):
+                        ring[d][...] = ring[d - 1][...]
+                    if name in out_refs:
+                        ring[0][...] = out_refs[name][...]
+
+            if stage.carry_depth:
+                pl.when(active)(rotate)
+
+    def fused_call(state: dict[str, Any], scalars: dict[str, Any]) -> dict[str, Any]:
+        def spec_for(si, name, dk, shape):
+            stage = stages[si]
+            lo, hi = stage.k_start, stage.k_end - 1
+
+            def index_map(s, _si=si, _dk=dk, _lo=lo, _hi=hi):
+                # Pure clamp, no select: outside this stage's phase the
+                # plane index saturates to a CONSTANT so the pipeline's
+                # consecutive-index comparison can elide the copies.
+                k = k_of(_si, s)
+                idx = jnp.clip(jnp.clip(k, _lo, _hi) + _dk, 0, nk - 1)
+                return (idx, 0, 0)
+
+            return pl.BlockSpec((1, shape[1], shape[2]), index_map)
+
+        scalar_args = [jnp.asarray(scalars[n]).reshape(1, 1) for n in scalar_names]
+        in_args = [state[n] for (_, n, _) in flat_specs]
+        out_shapes = [
+            jax.ShapeDtypeStruct(state[n].shape, state[n].dtype) for _, n in out_names
+        ]
+        aliases = {}
+        for wi, (si, n) in enumerate(out_names):
+            aliases[len(scalar_names) + flat_specs.index((si, n, 0))] = wi
+
+        scratch = []
+        for name in sorted(cross):
+            if name in geo.temps:
+                sih, sjh = geo.temp_shape[name]
+            else:
+                sih, sjh = state[name].shape[1:]
+            scratch.append(pltpu.VMEM((nk, sih, sjh), geo.dtypes[name]))
+        for stage in stages:
+            for name in sorted(stage.carry_depth):
+                if name in geo.temps:
+                    sih, sjh = geo.temp_shape[name]
+                else:
+                    sih, sjh = state[name].shape[1:]
+                for _ in range(stage.carry_depth[name]):
+                    scratch.append(pltpu.VMEM((1, sih, sjh), geo.dtypes[name]))
+
+        kernel_fn = kernel
+        with jax.enable_x64(jax.config.jax_enable_x64 if interpret else False):
+            results = pl.pallas_call(
+                kernel_fn,
+                grid=(total_steps,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * len(scalar_names)
+                + [
+                    spec_for(si, n, dk, state[n].shape)
+                    for (si, n, dk) in flat_specs
+                ],
+                out_specs=[
+                    spec_for(si, n, 0, state[n].shape) for (si, n) in out_names
+                ],
+                out_shape=out_shapes,
+                input_output_aliases=aliases,
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                    # Full-K cross-stage scratch exceeds the default Mosaic
+                    # VMEM limit; raise it to the real v5e/v5p capacity
+                    # minus pipeline headroom.
+                    vmem_limit_bytes=110 * 1024 * 1024,
+                ),
+                interpret=interpret,
+            )(*scalar_args, *in_args)
+        if len(out_names) == 1 and not isinstance(results, (tuple, list)):
+            results = (results,)
+        return {n: r for (_, n), r in zip(out_names, results)}
+
+    return fused_call
