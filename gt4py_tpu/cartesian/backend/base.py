@@ -54,3 +54,43 @@ class Backend(abc.ABC):
         origins: dict[str, tuple[int, int, int]],
     ) -> dict[str, Any]:
         """Execute; return {written_field_name: updated_array}."""
+
+    def run_from_infos(
+        self,
+        infos: dict[str, Any],
+        scalars: dict[str, Any],
+        domain: tuple[int, int, int],
+        origins: dict[str, tuple[int, int, int]],
+    ) -> dict[str, Any]:
+        """Execute from per-argument infos (lazy arrays). The default
+        materializes public arrays; layout-aware backends override this to
+        consume storages' native-layout caches directly."""
+        import numpy as np
+
+        arrays = {}
+        for name, info in infos.items():
+            value = info.array
+            if self.array_kind == "jax":
+                if isinstance(value, np.ndarray):
+                    import jax.numpy as jnp
+
+                    value = jnp.asarray(value)
+            else:
+                value = np.asarray(value)
+                if not value.flags.writeable:
+                    value = value.copy()  # JAX buffers are read-only views
+            arrays[name] = value
+        return self.run(arrays, scalars, domain, origins)
+
+
+class NativeResult:
+    """A written result still in backend-native layout: the stencil runtime
+    installs it on the Storage (native cache) instead of rebinding the
+    public array, so chained calls skip layout conversion entirely."""
+
+    __slots__ = ("key", "native", "decode")
+
+    def __init__(self, key: Any, native: Any, decode):
+        self.key = key
+        self.native = native
+        self.decode = decode

@@ -2,10 +2,17 @@
 
 Counterpart of the reference's ``gt:gpu`` CUDA backend
 (/root/reference/src/gt4py/cartesian/backend/gtcpp_backend.py:169): the
-whole stencil executes as one fused Pallas kernel per IJ tile — VMEM-resident
-temporaries, in-kernel K scans, manual-DMA halo windows (pallas_codegen.py).
-Stencils using features the kernel generator does not cover yet fall back
-to the XLA-traced path (jax_backend.py) transparently.
+stencil executes as pipelined Pallas plane kernels (pallas_codegen.py /
+pallas_seq.py). Stencils using features the kernel generators do not cover
+fall back to the XLA-traced path (jax_backend.py) transparently.
+
+Layout-native chaining: when every field covers the full K range, the
+backend keeps data in the kernels' padded (K, I, J) layout ACROSS stencil
+calls via the storage native cache (storage/storage.py) — writes return
+:class:`NativeResult` and the public (I, J, K) view decodes lazily on the
+first host access. Back-to-back stencil calls on the same storages
+therefore pay zero transpose/pad per call, like the reference's
+generated extensions operating directly on backend-layout buffers.
 
 Off-TPU (tests on the CPU mesh) kernels run in the Pallas interpreter.
 """
@@ -15,7 +22,7 @@ from __future__ import annotations
 import warnings
 from typing import Any
 
-from gt4py_tpu.cartesian.backend.base import register
+from gt4py_tpu.cartesian.backend.base import NativeResult, register
 from gt4py_tpu.cartesian.backend.jax_backend import JaxBackend
 from gt4py_tpu.cartesian.backend.pallas_codegen import (
     PallasUnsupported,
@@ -23,11 +30,20 @@ from gt4py_tpu.cartesian.backend.pallas_codegen import (
 )
 
 
+_FALLBACK = object()
+
+
 @register
 class PallasBackend(JaxBackend):
     name = "tpu:pallas"
     array_kind = "jax"
     storage_info = {"alignment": 128, "device": "tpu"}
+
+    def __init__(self, analyzed, options):
+        super().__init__(analyzed, options)
+        self._native_cache: dict[Any, Any] = {}
+
+    # -- fallback path (public-layout arrays, XLA or tiled kernel) ----------
 
     def _build(self, domain, origins_key):
         import jax
@@ -54,3 +70,111 @@ class PallasBackend(JaxBackend):
             return {n: out[n] for n in written}
 
         return jax.jit(fn, donate_argnums=(0,))
+
+    # -- native-layout path ---------------------------------------------------
+
+    def run_from_infos(self, infos, scalars, domain, origins):
+        key = (
+            domain,
+            tuple(sorted(origins.items())),
+            tuple((n, tuple(infos[n].shape), str(infos[n].dtype)) for n in sorted(infos)),
+        )
+        entry = self._native_cache.get(key)
+        if entry is None:
+            entry = self._build_native(domain, origins, infos)
+            self._native_cache[key] = entry
+        if entry is _FALLBACK:
+            return super().run_from_infos(infos, scalars, domain, origins)
+        return entry(infos, scalars)
+
+    def _build_native(self, domain, origins, infos):
+        import jax
+
+        from gt4py_tpu.storage.storage import Storage
+
+        interpret = jax.default_backend() != "tpu"
+        try:
+            pfn = build_pallas_fn(self.analyzed, domain, origins, interpret=interpret)
+        except PallasUnsupported:
+            return _FALLBACK
+        if not hasattr(pfn, "call_padded"):
+            return _FALLBACK  # tiled strategy: no native-layout API
+        nk = domain[2]
+        # Native chaining needs the domain to cover each field's K extent
+        # (the padded buffer holds exactly the domain's K rows).
+        for n in pfn.reads:
+            if origins[n][2] != 0 or infos[n].shape[2] != nk:
+                return _FALLBACK
+
+        import functools
+
+        import jax.numpy as jnp
+
+        writes = set(pfn.writes)
+        encoders = {
+            n: jax.jit(functools.partial(lambda _n, a: pfn.encode(_n, a), n))
+            for n in pfn.reads
+        }
+
+        _decoders: dict[Any, Any] = {}
+
+        def make_decode(name: str, shape):
+            # ONE jitted decoder per (name, shape): a fresh jax.jit per call
+            # would hit the (remote) compile-cache round trip on every lazy
+            # decode (~500 ms/call through the axon tunnel).
+            key = (name, tuple(shape))
+            dec = _decoders.get(key)
+            if dec is None:
+                ni, nj, nkf = shape
+
+                def decode(native):
+                    # Full-K coverage: strip padding, back to public (I, J, K).
+                    return jnp.transpose(native[:nkf, :ni, :nj], (1, 2, 0))
+
+                dec = _decoders[key] = jax.jit(decode)
+            return dec
+
+        def step(written_nat, read_nat, sc):
+            return pfn.call_padded({**read_nat, **written_nat}, sc)
+
+        import os as _os
+
+        # Donating the written natives makes the remote Mosaic compiler
+        # crash at production sizes (same opaque failure family as the x64
+        # trace context); default off — XLA inserts one defensive copy per
+        # written field instead. GT4PY_PALLAS_DONATE=1 re-enables.
+        _donate = _os.environ.get("GT4PY_PALLAS_DONATE", "0") == "1"
+        jit_step = jax.jit(step, donate_argnums=(0,) if _donate else ())
+
+        def runner(infos, scalars):
+            natives = {}
+            for n in pfn.reads:
+                info = infos[n]
+                orig = info.original
+                nkey = ("kij", nk, tuple(info.shape))
+                nat = orig.native_get(nkey) if isinstance(orig, Storage) else None
+                if nat is None:
+                    nat = encoders[n](jnp.asarray(info.array))
+                    if isinstance(orig, Storage) and n not in writes:
+                        # Read-only: cache the encoding, public view stays valid.
+                        orig.native_set(
+                            nkey, nat, make_decode(n, info.shape), stale_public=False
+                        )
+                natives[n] = nat
+            written_nat = {n: natives[n] for n in pfn.writes}
+            read_nat = {n: v for n, v in natives.items() if n not in writes}
+            out = jit_step(written_nat, read_nat, scalars)
+            results = {}
+            for n in pfn.writes:
+                info = infos[n]
+                if isinstance(info.original, Storage):
+                    results[n] = NativeResult(
+                        ("kij", nk, tuple(info.shape)),
+                        out[n],
+                        make_decode(n, info.shape),
+                    )
+                else:
+                    results[n] = pfn.decode(n, out[n], jnp.asarray(info.array))
+            return results
+
+        return runner

@@ -24,13 +24,30 @@ from gt4py_tpu.storage.storage import Storage
 
 
 class ArgsInfo:
-    __slots__ = ("array", "original", "origin", "dimensions")
+    """Per-argument call info. ``array`` is LAZY for storages so that a
+    backend holding a valid native-layout cache never forces the public
+    (I, J, K) view to be decoded (storage.py native cache)."""
 
-    def __init__(self, array, original, origin, dimensions):
-        self.array = array
+    __slots__ = ("original", "origin", "dimensions")
+
+    def __init__(self, original, origin, dimensions):
         self.original = original
         self.origin = origin
         self.dimensions = dimensions
+
+    @property
+    def array(self):
+        if isinstance(self.original, Storage):
+            return self.original.array
+        return self.original
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return tuple(self.original.shape)
+
+    @property
+    def dtype(self):
+        return np.dtype(self.original.dtype)
 
 
 def _extract_array(value: Any):
@@ -40,9 +57,7 @@ def _extract_array(value: Any):
 
 
 def _arg_info(value: Any) -> ArgsInfo:
-    array = _extract_array(value)
     return ArgsInfo(
-        array=array,
         original=value,
         origin=getattr(value, "__gt_origin__", None),
         dimensions=getattr(value, "__gt_dims__", None),
@@ -130,7 +145,7 @@ class StencilObject:
             for ax_idx, present in enumerate(mask):
                 if not present:
                     continue
-                size = info.array.shape[pos] - field_origin[pos] - upper[pos]
+                size = info.shape[pos] - field_origin[pos] - upper[pos]
                 max_domain[ax_idx] = min(max_domain[ax_idx], size)
                 pos += 1
         if squeeze:
@@ -160,16 +175,16 @@ class StencilObject:
             info = arg_infos.get(name)
             if info is None:
                 raise ValueError(f"Missing value for '{name}' field.")
-            array = info.array
+            array = info  # shape/dtype metadata; no array materialization
             if np.dtype(array.dtype) != field_info.dtype:
                 raise TypeError(
                     f"The dtype of field '{name}' is '{array.dtype}' instead of "
                     f"'{field_info.dtype}'"
                 )
             expected_ndim = field_info.domain_ndim + len(field_info.data_dims)
-            if array.ndim != expected_ndim:
+            if len(array.shape) != expected_ndim:
                 raise ValueError(
-                    f"Storage for '{name}' has {array.ndim} dimensions but the API "
+                    f"Storage for '{name}' has {len(array.shape)} dimensions but the API "
                     f"signature expects {expected_ndim}"
                 )
             if field_info.data_dims:
@@ -276,23 +291,6 @@ class StencilObject:
             exec_info["call_run_end_time"] = time.perf_counter()
 
     def _run_backend(self, used_infos, param_args, domain, origins, exec_info) -> None:
-        import jax.numpy as jnp
-
-        kind = self._backend.array_kind
-        arrays = {}
-        for name, info in used_infos.items():
-            if kind == "jax":
-                arrays[name] = (
-                    info.array
-                    if not isinstance(info.array, np.ndarray)
-                    else jnp.asarray(info.array)
-                )
-            else:
-                arr = np.asarray(info.array)
-                if not arr.flags.writeable:
-                    arr = arr.copy()  # JAX buffers are read-only views
-                arrays[name] = arr
-
         scalars = {}
         for name, pinfo in self.parameter_info.items():
             if pinfo.access == AccessKind.NONE:
@@ -319,15 +317,27 @@ class StencilObject:
         if exec_info is not None:
             exec_info["run_start_time"] = time.perf_counter()
         with stencil_call.wrap(self), MetricsCollector(self.name, "compute"):
-            results = self._backend.run(arrays, scalars, domain, origins3)
+            results = self._backend.run_from_infos(
+                used_infos, scalars, domain, origins3
+            )
         if exec_info is not None:
             exec_info["run_end_time"] = time.perf_counter()
 
         # Write results back into the passed objects.
+        from gt4py_tpu.cartesian.backend.base import NativeResult
+
         for name, new_array in results.items():
             info = used_infos[name]
             original = info.original
-            if isinstance(original, Storage):
+            if isinstance(new_array, NativeResult):
+                # Still in backend-native layout: cache it on the storage;
+                # the public view decodes lazily on first host access.
+                assert isinstance(original, Storage)
+                original.native_set(
+                    new_array.key, new_array.native, new_array.decode,
+                    stale_public=True,
+                )
+            elif isinstance(original, Storage):
                 import jax.numpy as jnp
 
                 original.array = (

@@ -27,9 +27,19 @@ import numpy as np
 
 
 class Storage:
-    """Mutable ndarray-like wrapper around a ``jax.Array``."""
+    """Mutable ndarray-like wrapper around a ``jax.Array``.
 
-    __slots__ = ("array", "aligned_index", "dimensions")
+    Performance-critical extension over the reference storages: a storage
+    can additionally hold its data in a backend-NATIVE layout (the Pallas
+    backend's padded K-leading ``(K, I, J)`` form). Chained stencil calls
+    then pass native buffers directly — zero per-call transpose/pad — and
+    the public ``(I, J, K)`` view is decoded lazily on first host access.
+    This is the storage-layer counterpart of the reference's per-backend
+    ``layout_map`` (storage/cartesian/layout.py:21) where the layout is
+    actually *live* rather than advisory.
+    """
+
+    __slots__ = ("_array", "_native", "_decode", "_shape", "_dtype", "aligned_index", "dimensions")
 
     def __init__(
         self,
@@ -38,17 +48,52 @@ class Storage:
         aligned_index: Optional[Sequence[int]] = None,
         dimensions: Optional[Sequence[str]] = None,
     ):
-        self.array = array
+        self._array = array
+        self._native = None  # (key, native_array) when layout cache is valid
+        self._decode = None  # native_array -> public array
+        self._shape = tuple(array.shape)
+        self._dtype = np.dtype(array.dtype)
         self.aligned_index = (
             tuple(int(i) for i in aligned_index) if aligned_index is not None else None
         )
         self.dimensions = tuple(dimensions) if dimensions is not None else None
 
+    # -- native layout cache -------------------------------------------------
+
+    @property
+    def array(self) -> Any:
+        if self._array is None:
+            # Public view is stale: decode from the native buffer.
+            self._array = self._decode(self._native[1])
+        return self._array
+
+    @array.setter
+    def array(self, value: Any) -> None:
+        self._array = value
+        self._native = None
+        self._decode = None
+        self._shape = tuple(value.shape)
+        self._dtype = np.dtype(value.dtype)
+
+    def native_get(self, key: Any) -> Optional[Any]:
+        """The cached native-layout buffer for ``key``, or None."""
+        if self._native is not None and self._native[0] == key:
+            return self._native[1]
+        return None
+
+    def native_set(self, key: Any, native: Any, decode, *, stale_public: bool) -> None:
+        """Install a native-layout buffer. ``stale_public=True`` marks the
+        public array as outdated (it will be decoded lazily on access)."""
+        self._native = (key, native)
+        self._decode = decode
+        if stale_public:
+            self._array = None
+
     # -- gt4py interface (reference _core/definitions.py:363-376) -----------
 
     @property
     def __gt_origin__(self) -> tuple[int, ...]:
-        return self.aligned_index or (0,) * self.array.ndim
+        return self.aligned_index or (0,) * len(self._shape)
 
     @property
     def __gt_dims__(self) -> Optional[tuple[str, ...]]:
@@ -58,22 +103,22 @@ class Storage:
 
     @property
     def shape(self) -> tuple[int, ...]:
-        return tuple(self.array.shape)
+        return self._shape
 
     @property
     def dtype(self) -> np.dtype:
-        return np.dtype(self.array.dtype)
+        return self._dtype
 
     @property
     def ndim(self) -> int:
-        return self.array.ndim
+        return len(self._shape)
 
     @property
     def size(self) -> int:
-        return int(np.prod(self.array.shape))
+        return int(np.prod(self._shape))
 
     def __len__(self) -> int:
-        return self.array.shape[0]
+        return self._shape[0]
 
     def __array__(self, dtype=None) -> np.ndarray:
         out = np.asarray(self.array)
