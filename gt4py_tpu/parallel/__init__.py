@@ -1,3 +1,8 @@
 from gt4py_tpu.parallel.mesh import CartesianMesh  # noqa: F401
 from gt4py_tpu.parallel.distributed import DistributedStencil  # noqa: F401
 from gt4py_tpu.parallel.halo import exchange_halos_2d  # noqa: F401
+from gt4py_tpu.parallel.next_fields import (  # noqa: F401
+    constrain_field,
+    field_sharding,
+    shard_field,
+)
