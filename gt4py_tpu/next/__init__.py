@@ -9,7 +9,10 @@ reference's FOAST→ITIR→C++/DaCe toolchain with XLA.
 """
 
 from gt4py_tpu.next.common import (  # noqa: F401
+    CartesianConnectivity,
     Connectivity,
+    NeighborTable,
+    promote_dims,
     Dimension,
     DimensionKind,
     Domain,

@@ -288,7 +288,60 @@ class Connectivity:
             f"shape={tuple(self.table.shape)}, skip_value={self.skip_value})"
         )
 
+    def inverse_image(self, image_range: "UnitRange") -> "UnitRange":
+        """Source rows whose (non-skip) neighbors all land inside
+        ``image_range`` (reference NdArrayConnectivityField.inverse_image,
+        embedded/nd_array_field.py:572). Raises if the preimage is not a
+        contiguous range."""
+        import numpy as np
+
+        table = np.asarray(self.table)
+        valid = np.ones_like(table, dtype=bool)
+        if self.skip_value is not None:
+            valid = table != self.skip_value
+        inside = ((table >= image_range.start) & (table < image_range.stop)) | ~valid
+        rows = inside.all(axis=1) & valid.any(axis=1)
+        idx = np.flatnonzero(rows)
+        if idx.size == 0:
+            return UnitRange(0, 0)
+        if not np.array_equal(idx, np.arange(idx[0], idx[-1] + 1)):
+            raise ValueError("inverse image is not a contiguous range")
+        return UnitRange(int(idx[0]), int(idx[-1]) + 1)
+
+
+#: Alias with the reference's name for a materialized neighbor table
+#: (reference common.py:1150).
+NeighborTable = Connectivity
+
+
+class CartesianConnectivity:
+    """A fixed cartesian shift presented through the connectivity protocol
+    (reference common.py:1242): remapping by it equals offsetting indices
+    along ``dim`` by ``offset``."""
+
+    def __init__(self, dim: Dimension, offset: int = 0):
+        self.dim = dim
+        self.offset = int(offset)
+
+    @property
+    def codomain(self) -> Dimension:
+        return self.dim
+
+    def __repr__(self) -> str:
+        return f"CartesianConnectivity({self.dim.value}, {self.offset:+d})"
+
 
 class GridType(enum.Enum):
     CARTESIAN = "cartesian"
     UNSTRUCTURED = "unstructured"
+
+
+def promote_dims(*dim_lists) -> tuple[Dimension, ...]:
+    """Order-preserving union of dimension lists (reference
+    common.promote_dims, next/common.py:1367)."""
+    from gt4py_tpu.next.embedded import _promote_dims
+
+    result: tuple[Dimension, ...] = ()
+    for dims in dim_lists:
+        result = _promote_dims(result, tuple(dims))
+    return result

@@ -159,6 +159,10 @@ class Field:
             return self._remap_connectivity(mapped)
         if isinstance(offset, Connectivity):
             return self._remap_connectivity(offset)
+        from gt4py_tpu.next.common import CartesianConnectivity
+
+        if isinstance(offset, CartesianConnectivity):
+            return self._shift_cartesian(offset.dim, offset.offset)
         from gt4py_tpu.next.experimental import AsOffset
 
         if isinstance(offset, AsOffset):

@@ -192,3 +192,38 @@ def test_named_collection_pytree():
 
     s2 = jax.jit(bump)(s)
     np.testing.assert_allclose(asnumpy(s2.rho.ndarray), np.arange(4) + 1.0)
+
+
+# --- connectivity extensions --------------------------------------------------
+
+
+def test_inverse_image():
+    import numpy as np
+    from gt4py_tpu.next.common import Connectivity, Dimension, UnitRange
+
+    V = Dimension("V"); E = Dimension("E"); V2E = Dimension("V2E")
+    table = np.array([[0, 1], [1, 2], [2, 3], [6, 7]])
+    conn = Connectivity(table, domain_dims=(V, V2E), codomain=E)
+    rng = conn.inverse_image(UnitRange(0, 4))
+    assert (rng.start, rng.stop) == (0, 3)
+
+
+def test_cartesian_connectivity_shift():
+    import numpy as np
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next.common import CartesianConnectivity, Dimension
+    from gt4py_tpu.next.field_utils import asnumpy
+
+    II = Dimension("II")
+    f = gtx.as_field({II: 5}, np.arange(5.0))
+    shifted = f(CartesianConnectivity(II, 1))
+    # out(i) = f(i+1): domain shrinks/offsets; compare raw data
+    assert shifted.domain[II].unit_range.start == -1
+    np.testing.assert_allclose(asnumpy(shifted.ndarray), np.arange(5.0))
+
+
+def test_promote_dims():
+    from gt4py_tpu.next.common import Dimension, promote_dims
+
+    A, B, C = Dimension("A"), Dimension("B"), Dimension("C")
+    assert promote_dims((A, B), (B, C)) == (A, B, C)
