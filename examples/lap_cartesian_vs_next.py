@@ -6,6 +6,9 @@ the same Laplacian written in both DSLs, validated against NumPy.
 Run: python examples/lap_cartesian_vs_next.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 import numpy as np
 
 import gt4py_tpu.next as gtx

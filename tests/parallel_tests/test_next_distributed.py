@@ -40,12 +40,20 @@ def test_sharded_laplacian_matches_single_device(mesh):
         )
 
     op = {"Ioff": I, "Joff": J}
-    out_ref = gtx.zeros({I: 62, J: 62, K: 4})
+    # The 5-point laplacian lives on the interior ranges (1, 63).
+    out_ref = gtx.zeros({I: (1, 63), J: (1, 63), K: 4})
     lap(phi, out=out_ref, offset_provider=op)
+    assert asnumpy(out_ref).shape == (62, 62, 4)
+    expected = (
+        -4.0 * data[1:-1, 1:-1]
+        + data[2:, 1:-1] + data[:-2, 1:-1]
+        + data[1:-1, 2:] + data[1:-1, :-2]
+    )
+    np.testing.assert_allclose(asnumpy(out_ref), expected, rtol=1e-12)
 
-    out_sh = gtx.zeros({I: 62, J: 62, K: 4})
+    out_sh = gtx.zeros({I: (1, 63), J: (1, 63), K: 4})
     lap(phi_sharded, out=out_sh, offset_provider=op)
-    np.testing.assert_allclose(asnumpy(out_sh), asnumpy(out_ref), rtol=1e-13)
+    np.testing.assert_allclose(asnumpy(out_sh), expected, rtol=1e-12)
 
 
 def test_sharding_placement(mesh):
