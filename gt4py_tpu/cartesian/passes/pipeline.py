@@ -63,6 +63,12 @@ def analyze(definition: Callable, options: dict) -> AnalyzedStencil:
     stencil = frontend.parse_stencil(definition, options)
     check_definitive_assignment(stencil)
     stencil = lower_control_flow(stencil)
+    # Structural race detection AFTER mask lowering (Ifs are gone, the
+    # statement stream is flat) and BEFORE temporary inlining (which would
+    # hide the racy reads it substitutes away).
+    from gt4py_tpu.cartesian.passes.race_detection import detect_races
+
+    detect_races(stencil)
     infer_dtypes(stencil)
     if options.get("backend_opts", {}).get("inline_temporaries", True):
         from gt4py_tpu.cartesian.passes.inline_temporaries import inline_temporaries

@@ -126,3 +126,53 @@ def test_inlining_preserves_sequential_loops():
     # No parallel defs: statement count unchanged (2+2+1+1 sections stmts).
     stmts = [s for _, _, s in analyzed.stencil.walk_stmts()]
     assert len(stmts) == 6
+
+
+# --- race detection (reference lang_design.rst:55-88) -------------------------
+
+
+def test_shifted_self_assignment_rejected():
+    import pytest
+    from gt4py_tpu.cartesian.passes.race_detection import StencilRaceError
+
+    def bad(a: defs.Field3D):
+        with computation(PARALLEL), interval(...):
+            a = a[1, 0, 0]
+
+    with pytest.raises(StencilRaceError, match="assigned from itself"):
+        analyze(bad, opts())
+
+
+def test_write_after_offset_read_rejected_in_parallel():
+    import pytest
+    from gt4py_tpu.cartesian.passes.race_detection import StencilRaceError
+
+    def bad(a: defs.Field3D, b: defs.Field3D):
+        with computation(PARALLEL), interval(...):
+            b = a[1, 0, 0]
+            a = b[0, 0, 0]
+
+    with pytest.raises(StencilRaceError, match="written .* after being read|written\nafter|written"):
+        analyze(bad, opts())
+
+
+def test_k_self_read_allowed_in_forward():
+    # dcol[0,0,-1]-style carries are the DEFINED sequential semantics.
+    def ok(a: defs.Field3D):
+        with computation("FORWARD"):
+            with interval(0, 1):
+                a = a[0, 0, 0] * 1.0
+            with interval(1, None):
+                a = a[0, 0, -1] + 1.0
+
+    analyze(ok, opts())
+
+
+def test_write_then_offset_read_allowed():
+    # write first, offset-read later: reads observe updated values.
+    def ok(a: defs.Field3D, b: defs.Field3D):
+        with computation(PARALLEL), interval(...):
+            b = a[0, 0, 0] * 2.0
+            a = b[1, 0, 0]
+
+    analyze(ok, opts())
