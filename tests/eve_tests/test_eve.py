@@ -109,3 +109,52 @@ def test_text_block_and_format_source():
     assert tb.text == "def f():\n    return 1"
     out = format_source("python", "x=1")
     assert out.strip().replace(" ", "") == "x=1"
+
+
+# --- validated datamodels (reference eve/datamodels/core.py:270,594,620) ------
+
+
+def test_datamodel_type_validation():
+    import pytest
+    from typing import Optional
+    from gt4py_tpu.eve import datamodels
+
+    @datamodels.datamodel
+    class Point:
+        x: int
+        y: float
+        label: Optional[str] = None
+        tags: tuple[str, ...] = ()
+
+    Point(x=1, y=2.0, label="a", tags=("t",))
+    Point(x=1, y=2, label=None)  # int acceptable as float
+    with pytest.raises(datamodels.ValidationError, match="'x' expects int"):
+        Point(x="no", y=2.0)
+    with pytest.raises(datamodels.ValidationError):
+        Point(x=1, y=2.0, tags=("a", 3))
+
+
+def test_datamodel_field_and_root_validators():
+    import pytest
+    from gt4py_tpu.eve import datamodels
+
+    @datamodels.datamodel
+    class Range:
+        lo: int
+        hi: int
+
+        @datamodels.validator("lo")
+        def _lo_nonneg(self, value):
+            if value < 0:
+                raise datamodels.ValidationError("lo must be >= 0")
+
+        @datamodels.root_validator
+        def _ordered(self):
+            if self.hi < self.lo:
+                raise datamodels.ValidationError("hi < lo")
+
+    Range(lo=0, hi=3)
+    with pytest.raises(datamodels.ValidationError, match="lo must be"):
+        Range(lo=-1, hi=3)
+    with pytest.raises(datamodels.ValidationError, match="hi < lo"):
+        Range(lo=5, hi=3)
