@@ -33,13 +33,6 @@ def content_hash(*args: Any, length: int = 16) -> str:
     return hashlib.sha256(data).hexdigest()[:length]
 
 
-def fast_content_hash(data: bytes) -> int:
-    """64-bit FNV-1a over raw bytes; native (csrc/fastpath.c) when available."""
-    from gt4py_tpu.core.native import content_hash as _native_hash
-
-    return _native_hash(data)
-
-
 class CaseStyleConverter:
     """Convert identifiers between naming conventions
     (reference: eve/utils.py:808)."""
