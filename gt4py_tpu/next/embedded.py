@@ -169,6 +169,36 @@ class Field:
             return self._shift_dynamic(offset.offset.source, offset.index_field)
         raise TypeError(f"Cannot shift by {offset!r}")
 
+    def premap(self, offset) -> "Field":
+        """Reference-name alias for shifting/remapping
+        (NdArrayField.premap, nd_array_field.py:240)."""
+        return self(offset)
+
+    def restrict(self, domain_spec) -> "Field":
+        """Restrict to a sub-domain (reference NdArrayField.restrict,
+        nd_array_field.py:378)."""
+        from gt4py_tpu.next.common import domain as make_domain
+
+        target = make_domain(domain_spec)
+        slices = []
+        new_ranges = []
+        for nr in self.domain.ranges:
+            if nr.dim in target:
+                tr = target[nr.dim].unit_range
+                own = nr.unit_range
+                if tr.start < own.start or tr.stop > own.stop:
+                    raise ValueError(
+                        f"restriction {tr} outside field range {own} for {nr.dim}"
+                    )
+                slices.append(slice(tr.start - own.start, tr.stop - own.start))
+                new_ranges.append(NamedRange(nr.dim, tr))
+            else:
+                slices.append(slice(None))
+                new_ranges.append(nr)
+        arr = self.ndarray[tuple(slices)]
+        mask = self.mask[tuple(slices)] if self.mask is not None else None
+        return Field(Domain(tuple(new_ranges)), arr, mask)
+
     def _shift_dynamic(self, dim: Dimension, idx: "Field") -> "Field":
         """Per-point variable shift along ``dim`` (reference experimental
         ``as_offset``, ffront/experimental.py:17): out(p) = self(p + idx(p)

@@ -227,3 +227,17 @@ def test_promote_dims():
 
     A, B, C = Dimension("A"), Dimension("B"), Dimension("C")
     assert promote_dims((A, B), (B, C)) == (A, B, C)
+
+
+def test_premap_and_restrict():
+    import numpy as np
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next.common import CartesianConnectivity, Dimension
+    from gt4py_tpu.next.field_utils import asnumpy
+
+    D = Dimension("D")
+    f = gtx.as_field({D: 6}, np.arange(6.0))
+    assert f.premap(CartesianConnectivity(D, 2)).domain[D].unit_range.start == -2
+    r = f.restrict({D: (2, 5)})
+    np.testing.assert_allclose(asnumpy(r.ndarray), [2.0, 3.0, 4.0])
+    assert r.domain[D].unit_range.start == 2
