@@ -84,7 +84,7 @@ class StepTimer:
     def sync(self, x) -> None:
         np.asarray(self.fetch(x))
 
-    def measure(self, make_chained, fresh_inputs, n_lo=2, n_hi=202, trials=2) -> float:
+    def measure(self, make_chained, fresh_inputs, n_lo=2, n_hi=202, trials=3) -> float:
         """make_chained(n) -> jitted fn(*inputs) running n chained steps.
         fresh_inputs() -> tuple of device arrays (new values each call)."""
         f_lo = make_chained(n_lo)
@@ -103,7 +103,14 @@ class StepTimer:
         timed(f_hi)
         lo = min(timed(f_lo) for _ in range(trials))
         hi = min(timed(f_hi) for _ in range(trials))
-        return (hi - lo) / (n_hi - n_lo)
+        est = (hi - lo) / (n_hi - n_lo)
+        # Dispatch jitter can exceed the lo-run runtime and push the fit
+        # negative; fall back to the amortized upper bound (slightly
+        # pessimistic: includes one dispatch + the encode prologue).
+        upper = hi / n_hi
+        if est <= 0 or est > upper:
+            est = upper
+        return est
 
 
 def main() -> None:
@@ -271,7 +278,7 @@ def main() -> None:
             lambda: tuple(
                 jnp.asarray(rng.random(vshape, dtype=np.float32)) for _ in range(5)
             ),
-            n_lo=2, n_hi=52,
+            n_lo=2, n_hi=202,
         )
         vpoints = (ni - 1) * nj * nk
         results["vadv_Ggps"] = round(vpoints / t_vadv / 1e9, 3)
@@ -281,6 +288,79 @@ def main() -> None:
         results["vadv_roofline_frac"] = round(vfrac, 3) if vfrac == vfrac else None
     except Exception as e:  # keep the primary metric alive
         results["vadv_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # --- tridiagonal solve (forward+backward K, staged plane kernels) -----
+    try:
+        from gt4py_tpu.cartesian.gtscript import computation, interval
+
+        def tri32(inf, diag, sup, rhs, out):
+            with computation("FORWARD"):
+                with interval(0, 1):
+                    sup = sup / diag
+                    rhs = rhs / diag
+                with interval(1, None):
+                    sup = sup / (diag - sup[0, 0, -1] * inf)
+                    rhs = (rhs - inf * rhs[0, 0, -1]) / (diag - sup[0, 0, -1] * inf)
+            with computation("BACKWARD"):
+                with interval(-1, None):
+                    out = rhs
+                with interval(0, -1):
+                    out = rhs - sup * out[0, 0, 1]
+
+        F32 = gtscript.Field[np.float32]
+        tri32.__annotations__ = {k: F32 for k in ("inf", "diag", "sup", "rhs", "out")}
+        st3 = gtscript.stencil(
+            backend="jax", definition=tri32, literal_float_precision=32,
+            name="tridiag_bench",
+        )
+        tshape = (ni, nj, nk)
+        tdomain = tshape
+        torigins = {n: (0, 0, 0) for n in ("inf", "diag", "sup", "rhs", "out")}
+        tri_pallas = None
+        if on_tpu:
+            try:
+                tri_pallas = build_pallas_fn(st3._analyzed, tdomain, torigins)
+            except Exception:
+                tri_pallas = None
+
+        def make_tri(n):
+            @jax.jit
+            def f(inf, diag, sup, rhs):
+                if tri_pallas is not None and hasattr(tri_pallas, "call_padded"):
+                    p = {
+                        "inf": tri_pallas.encode("inf", inf),
+                        "diag": tri_pallas.encode("diag", diag),
+                        "sup": tri_pallas.encode("sup", sup),
+                        "rhs": tri_pallas.encode("rhs", rhs),
+                        "out": tri_pallas.encode("out", jnp.zeros_like(rhs)),
+                    }
+                    def body(i, prhs):
+                        state = dict(p); state["rhs"] = prhs
+                        return tri_pallas.call_padded(state, {})["out"]
+                    return lax.fori_loop(0, n, body, p["rhs"])
+                def body(i, r):
+                    ev = Evaluator(
+                        st3._analyzed, tdomain, torigins,
+                        {"inf": inf, "diag": diag, "sup": sup, "rhs": r,
+                         "out": jnp.zeros_like(r)},
+                        {}, ns="jax",
+                    )
+                    return ev.run()["out"]
+                return lax.fori_loop(0, n, body, rhs)
+            return f
+
+        t_tri = timer.measure(
+            make_tri,
+            lambda: tuple(
+                jnp.asarray(rng.random(tshape, dtype=np.float32)) for _ in range(4)
+            ),
+            n_lo=2, n_hi=202,
+        )
+        tpoints = ni * nj * nk
+        results["tridiag_Ggps"] = round(tpoints / t_tri / 1e9, 3)
+        results["tridiag_us_per_step"] = round(t_tri * 1e6, 1)
+    except Exception as e:
+        results["tridiag_error"] = f"{type(e).__name__}: {e}"[:200]
 
     target = 0.80
     vs_baseline = round(hdiff_frac / target, 3) if hdiff_frac == hdiff_frac else None
