@@ -160,3 +160,37 @@ def test_hdiff_k_blocked(rng, monkeypatch):
     np.testing.assert_allclose(
         out_field[2:-2, 2:-2], defs.validate_horizontal_diffusion(in_field, coeff)
     )
+
+
+def test_lap3d_staged_parallel():
+    """PARALLEL stencil WITH K offsets: routed to the staged plane strategy
+    (grid over K, shifted input specs); validated against the jax backend."""
+    import numpy as np
+
+    from gt4py_tpu import storage
+    from gt4py_tpu.cartesian import gtscript
+
+    F = gtscript.Field[np.float64]
+
+    def lap3d(inp: F, out: F):
+        with gtscript.computation("PARALLEL"), gtscript.interval(1, -1):
+            out = -6.0 * inp[0, 0, 0] + (
+                inp[1, 0, 0] + inp[-1, 0, 0]
+                + inp[0, 1, 0] + inp[0, -1, 0]
+                + inp[0, 0, 1] + inp[0, 0, -1]
+            )
+
+    rng = np.random.default_rng(3)
+    shape = (18, 20, 10)
+    data = rng.random(shape)
+
+    results = {}
+    for backend in ("jax", "tpu:pallas"):
+        st = gtscript.stencil(backend=backend, definition=lap3d, name=f"lap3d_{backend}")
+        a = storage.from_array(data, backend=backend)
+        o = storage.zeros(shape, backend=backend)
+        st(a, o, origin=(1, 1, 0), domain=(16, 18, 10))
+        results[backend] = np.asarray(o)
+    np.testing.assert_allclose(results["tpu:pallas"], results["jax"], rtol=1e-13)
+    # interior K only: boundary planes untouched
+    np.testing.assert_array_equal(results["tpu:pallas"][:, :, 0], 0.0)
