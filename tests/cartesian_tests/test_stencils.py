@@ -14,8 +14,17 @@ from gt4py_tpu.cartesian import gtscript
 
 from . import stencil_defs as defs
 
-ALL_BACKENDS = ["debug", "numpy", "jax"]
-FAST_BACKENDS = ["numpy", "jax"]  # debug is O(points) Python — small domains only
+from .definitions import (
+    BACKEND_SKIP_TEST_MATRIX,
+    USES_WHILE,
+    apply_exclusion,
+)
+from .definitions import CPU_BACKENDS as _REGISTERED_CPU
+
+# Backends exercised here come from the live registry (reference
+# definitions.py:34-54); tpu:pallas has its own module (interpret mode).
+ALL_BACKENDS = [b for b in _REGISTERED_CPU if b != "tpu:pallas"]
+FAST_BACKENDS = [b for b in ALL_BACKENDS if b != "debug"]  # debug is O(points) Python
 
 
 def build(definition, backend, **kwargs):
@@ -86,6 +95,9 @@ def test_runtime_if(backend, rng):
 
 @pytest.mark.parametrize("backend", ALL_BACKENDS)
 def test_while_stencil(backend, rng):
+    # Exclusion-matrix pattern (reference ADR 0015): whether a backend
+    # runs/xfails this feature comes from the central table.
+    apply_exclusion(backend, USES_WHILE)
     st = build(defs.while_stencil, backend)
     a = rng.random((4, 4, 3)) * 4.0
     b = np.zeros_like(a)
