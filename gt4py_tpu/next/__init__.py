@@ -53,4 +53,5 @@ from gt4py_tpu.next.fbuiltins import (  # noqa: F401
 )
 from gt4py_tpu.next.field_utils import asnumpy  # noqa: F401
 from gt4py_tpu.next.named_collections import named_collection  # noqa: F401
+from gt4py_tpu.next.experimental import as_offset  # noqa: F401
 from gt4py_tpu.next.otf import CompilationOptions, CompiledProgramsPool  # noqa: F401

@@ -194,3 +194,49 @@ def test_lap3d_staged_parallel():
     np.testing.assert_allclose(results["tpu:pallas"], results["jax"], rtol=1e-13)
     # interior K only: boundary planes untouched
     np.testing.assert_array_equal(results["tpu:pallas"][:, :, 0], 0.0)
+
+
+def test_native_layout_chain_and_lazy_decode():
+    """Ping-pong chained calls through the PUBLIC API keep data in the
+    kernel-native (K, I, J) layout (storage native cache): the second call
+    must hit the cache (no re-encode), and the public view decodes lazily
+    and correctly at the end."""
+    import numpy as np
+
+    from gt4py_tpu import storage
+    from gt4py_tpu.cartesian import gtscript
+
+    F = gtscript.Field[np.float64]
+
+    def smooth(inp: F, out: F):
+        with gtscript.computation("PARALLEL"), gtscript.interval(...):
+            out = 0.5 * inp[0, 0, 0] + 0.125 * (
+                inp[1, 0, 0] + inp[-1, 0, 0] + inp[0, 1, 0] + inp[0, -1, 0]
+            )
+
+    rng = np.random.default_rng(7)
+    shape = (20, 22, 6)
+    data = rng.random(shape)
+
+    results = {}
+    for backend in ("jax", "tpu:pallas"):
+        st = gtscript.stencil(backend=backend, definition=smooth, name=f"sm_{backend}")
+        a = storage.from_array(data, backend=backend)
+        b = storage.zeros(shape, backend=backend)
+        for _ in range(3):  # a->b, b->a, a->b
+            st(a, b, origin=(1, 1, 0), domain=(18, 20, 6))
+            st(b, a, origin=(1, 1, 0), domain=(18, 20, 6))
+        results[backend] = (np.asarray(a), np.asarray(b))
+
+    np.testing.assert_allclose(results["tpu:pallas"][0], results["jax"][0], rtol=1e-13)
+    np.testing.assert_allclose(results["tpu:pallas"][1], results["jax"][1], rtol=1e-13)
+
+    # The written storages should be carrying a native-layout cache entry.
+    st = gtscript.stencil(backend="tpu:pallas", definition=smooth, name="sm_chk")
+    a = storage.from_array(data, backend="tpu:pallas")
+    b = storage.zeros(shape, backend="tpu:pallas")
+    st(a, b, origin=(1, 1, 0), domain=(18, 20, 6))
+    assert b._native is not None      # NativeResult installed
+    assert b._array is None           # public view stale until accessed
+    _ = np.asarray(b)                 # lazy decode
+    assert b._array is not None
