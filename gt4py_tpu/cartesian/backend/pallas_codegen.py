@@ -130,6 +130,18 @@ class _Plan:
         )
         # Multi-section loops need row masking under K blocking; supported.
 
+        # Static K-offset reads address neighbor rows INSIDE the block;
+        # the K window only budgets the field's domain-escaping extent
+        # (ext.k), so K blocking would read past the window — keep the
+        # whole K range in one block when any static K offset exists.
+        from gt4py_tpu import eve
+
+        self.has_k_offset_reads = any(
+            isinstance(node, gtir.FieldAccess) and node.offset[2] != 0
+            for _, _, stmt in self.stencil.walk_stmts()
+            for node in eve.walk_values(stmt)
+        )
+
         # Per-field paddings so DMA offsets/shapes are (8, 128)-aligned.
         self.pad_i_front = {n: (-origins[n][0]) % _SUBLANE for n in self.reads}
 
@@ -143,7 +155,7 @@ class _Plan:
             ),
             _LANE,
         )
-        tk_full = self.sequential or nk <= 8
+        tk_full = self.sequential or nk <= 8 or self.has_k_offset_reads
         ti0 = _SUBLANE
         tk0 = nk if tk_full else min(nk, 8)
 
@@ -239,14 +251,81 @@ def build_pallas_fn(
     from gt4py_tpu.cartesian.backend import pallas_seq
 
     if pallas_seq.staged_eligible(analyzed, interpret=interpret):
-        if interpret or _staged_probe_ok(analyzed, domain, origins):
+        if interpret:
+            # The kernel body is traced lazily (at the first call, inside
+            # jax.jit); PallasUnsupported raised THERE must still fall back
+            # to the tiled strategy, so validate the trace eagerly. On
+            # hardware the AOT probe below plays this role.
+            try:
+                fn = pallas_seq.build_staged_fn(
+                    analyzed, domain, origins, interpret=True
+                )
+                _abstract_trace(fn, analyzed, domain, origins)
+                return fn
+            except PallasUnsupported:
+                pass
+        elif _staged_probe_ok(analyzed, domain, origins):
             try:
                 return pallas_seq.build_staged_fn(
-                    analyzed, domain, origins, interpret=interpret
+                    analyzed, domain, origins, interpret=False
                 )
             except PallasUnsupported:
                 pass
     return _build_tiled_fn(analyzed, domain, origins, interpret=interpret)
+
+
+def _probe_arg_shapes(analyzed, domain, origins):
+    """Abstract (arrays, scalars) argument pytrees for probing a built fn."""
+    import jax
+
+    ni, nj, nk = domain
+    shapes = {}
+    for name, info in analyzed.field_infos.items():
+        if info.access == AccessKind.NONE:
+            continue
+        ext = analyzed.field_extents.get(name, Extent.zeros())
+        oi, oj, ok = origins[name]
+        shapes[name] = jax.ShapeDtypeStruct(
+            (oi + ni + max(0, ext.i[1]), oj + nj + max(0, ext.j[1]), ok + nk),
+            np.dtype(info.dtype),
+        )
+    scalars = {
+        n: jax.ShapeDtypeStruct((), np.dtype(i.dtype))
+        for n, i in analyzed.parameter_infos.items()
+        if i.access != AccessKind.NONE
+    }
+    return shapes, scalars
+
+
+def _abstract_trace(fn, analyzed, domain, origins) -> None:
+    """Trace fn on abstract arguments (kernel bodies trace at bind time, so
+    evaluator-raised PallasUnsupported surfaces here, without execution)."""
+    import jax
+
+    shapes, scalars = _probe_arg_shapes(analyzed, domain, origins)
+    jax.eval_shape(fn, shapes, scalars)
+
+
+def _transient_probe_error(e: Exception) -> bool:
+    """Heuristic: probe failures from the remote-compile transport (tunnel
+    outages) must NOT be persisted as negative results — they would pin the
+    stencil to a slower strategy until the cache is cleared manually."""
+    text = f"{type(e).__name__}: {e}".lower()
+    return any(
+        marker in text
+        for marker in (
+            "connection",
+            "unavailable",
+            "deadline",
+            "timed out",
+            "timeout",
+            "remote500",
+            "socket",
+            "broken pipe",
+            "reset by peer",
+            "temporarily",
+        )
+    )
 
 
 def _staged_probe_ok(analyzed, domain, origins) -> bool:
@@ -273,6 +352,11 @@ def _staged_probe_ok(analyzed, domain, origins) -> bool:
         pass
 
     ok = _probe_staged_compile(analyzed, domain, origins)
+    if ok is None:
+        # Transient transport failure: settle on the tiled path for this
+        # process but re-probe on the next start.
+        _plane_tk_cache[key] = False
+        return False
     _plane_tk_cache[key] = ok
     try:
         os.makedirs(cache_dir, exist_ok=True)
@@ -285,33 +369,22 @@ def _staged_probe_ok(analyzed, domain, origins) -> bool:
     return ok
 
 
-def _probe_staged_compile(analyzed, domain, origins) -> bool:
+def _probe_staged_compile(analyzed, domain, origins) -> bool | None:
+    """True: compiles. False: deterministic rejection (persistable).
+    None: transient transport failure (do not persist)."""
     import jax
 
     from gt4py_tpu.cartesian.backend import pallas_seq
 
-    ni, nj, nk = domain
-    shapes = {}
-    for name, info in analyzed.field_infos.items():
-        if info.access == AccessKind.NONE:
-            continue
-        ext = analyzed.field_extents.get(name, Extent.zeros())
-        oi, oj, ok = origins[name]
-        shapes[name] = jax.ShapeDtypeStruct(
-            (oi + ni + max(0, ext.i[1]), oj + nj + max(0, ext.j[1]), ok + nk),
-            np.dtype(info.dtype),
-        )
-    scalars = {
-        n: jax.ShapeDtypeStruct((), np.dtype(i.dtype))
-        for n, i in analyzed.parameter_infos.items()
-        if i.access != AccessKind.NONE
-    }
+    shapes, scalars = _probe_arg_shapes(analyzed, domain, origins)
     try:
         fn = pallas_seq.build_staged_fn(analyzed, domain, origins, interpret=False)
         jax.jit(lambda arrays, sc: fn(arrays, sc)).lower(shapes, scalars).compile()
         return True
-    except Exception:
+    except PallasUnsupported:
         return False
+    except Exception as e:
+        return None if _transient_probe_error(e) else False
 
 
 def _build_tiled_fn(
@@ -828,50 +901,45 @@ def select_plane_tk(
         pass
 
     tk = None
+    transient = False
     for cand in cands:
-        if _probe_plane_compile(analyzed, domain, origins, cand):
+        ok = _probe_plane_compile(analyzed, domain, origins, cand)
+        if ok:
             tk = cand
             break
+        if ok is None:
+            transient = True
     if tk is None:
         raise PallasUnsupported("no K-block size compiles for the plane strategy")
     _plane_tk_cache[key] = tk
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        tmp = cache_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"tk": tk}, f)
-        os.replace(tmp, cache_path)
-    except OSError:
-        pass
+    if not transient:
+        # A transiently-failed earlier candidate may be the better block
+        # size — don't pin this choice across processes.
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = cache_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"tk": tk}, f)
+            os.replace(tmp, cache_path)
+        except OSError:
+            pass
     return tk
 
 
-def _probe_plane_compile(analyzed, domain, origins, tk) -> bool:
-    """AOT-compile the plane kernel on minimal shapes; False on any error."""
+def _probe_plane_compile(analyzed, domain, origins, tk) -> bool | None:
+    """AOT-compile the plane kernel. True: compiles. False: deterministic
+    rejection. None: transient transport failure (do not persist)."""
     import jax
 
-    ni, nj, nk = domain
-    shapes = {}
-    for name, info in analyzed.field_infos.items():
-        if info.access == AccessKind.NONE:
-            continue
-        ext = analyzed.field_extents.get(name, Extent.zeros())
-        oi, oj, ok = origins[name]
-        shapes[name] = jax.ShapeDtypeStruct(
-            (oi + ni + max(0, ext.i[1]), oj + nj + max(0, ext.j[1]), ok + nk),
-            np.dtype(info.dtype),
-        )
-    scalars = {
-        n: jax.ShapeDtypeStruct((), np.dtype(i.dtype))
-        for n, i in analyzed.parameter_infos.items()
-        if i.access != AccessKind.NONE
-    }
+    shapes, scalars = _probe_arg_shapes(analyzed, domain, origins)
     try:
         fn = build_plane_fn(analyzed, domain, origins, tk=tk, interpret=False)
         jax.jit(lambda arrays, sc: fn(arrays, sc)).lower(shapes, scalars).compile()
         return True
-    except Exception:
+    except PallasUnsupported:
         return False
+    except Exception as e:
+        return None if _transient_probe_error(e) else False
 
 
 class _PlanePlanShim:

@@ -78,6 +78,37 @@ def staged_eligible(analyzed: AnalyzedStencil, *, interpret: bool) -> bool:
             if isinstance(node, gtir.FieldAccess):
                 if node.koffset is not None or node.abs_k is not None or node.data_index:
                     return False
+    # K-halo reads: the staged geometry drops K rows outside [0, nk) in
+    # encode() and clamps plane indices, so a read whose section interval
+    # ± dk escapes the domain would observe a boundary plane instead of the
+    # field's K-halo data. The tiled strategy handles K halos via
+    # _k_window/ext.k — fall back to it.
+    for ext in analyzed.field_extents.values():
+        if ext.k != (0, 0):
+            return False
+    # PARALLEL write-then-K-offset-read: reference statement-stage semantics
+    # (permitted by the race pass) require the read to observe the UPDATED
+    # value, but the staged classification would serve it from the shifted
+    # original input stream. The tiled/XLA paths handle this via
+    # extended-extent recompute — fall back.
+    for vl in analyzed.stencil.vertical_loops:
+        if vl.loop_order != gtir.LoopOrder.PARALLEL:
+            continue
+        written = {
+            w.name
+            for sec in vl.sections
+            for stmt in sec.body
+            for w in iter_writes(stmt)
+        }
+        for sec in vl.sections:
+            for stmt in sec.body:
+                for node in eve.walk_values(stmt):
+                    if (
+                        isinstance(node, gtir.FieldAccess)
+                        and node.offset[2] != 0
+                        and node.name in written
+                    ):
+                        return False
     return True
 
 
@@ -111,8 +142,14 @@ class _Stage:
         #   original: anything else -> shifted input spec
         self.carry_reads: set[tuple[str, int]] = set()
         self.orig_reads: set[tuple[str, int]] = set()
+        # Carry names whose ring is read before |dk| rotations have happened
+        # (the read's section starts within |dk| steps of the walk's first
+        # plane): those ring slots must be seeded from the current buffer
+        # content (planes preceding the walk, written by earlier stages or
+        # original input) at grid step 0.
+        self.needs_seed: set[str] = set()
         seq = self.order != gtir.LoopOrder.PARALLEL
-        for _, _, sec in self.sections:
+        for ks, ke, sec in self.sections:
             for stmt in sec.body:
                 for node in eve.walk_values(stmt):
                     if not isinstance(node, gtir.FieldAccess):
@@ -125,6 +162,11 @@ class _Stage:
                             continue  # in-step value
                         if seq and updated_dir:
                             self.carry_reads.add((name, dk))
+                            first_gap = (
+                                (self.k_end - ke) if self.backward else (ks - self.k_start)
+                            )
+                            if first_gap < abs(dk):
+                                self.needs_seed.add(name)
                         else:
                             self.orig_reads.add((name, dk))
                     else:
@@ -362,6 +404,33 @@ def _build_stage_call(
     # Carries for buffers AND local temps.
     carry_names = sorted(stage.carry_depth)
 
+    # Ring seeding: carries read before |dk| rotations happened resolve to
+    # planes PRECEDING the walk (k_start-1-d forward / k_end+d backward) —
+    # never written by this stage, so their current buffer content is the
+    # correct value. Seed every ring slot from an input spec at grid step 0.
+    # The seed plane index is constant, so the pipeline's consecutive-index
+    # comparison fetches the block once.
+    seed_plan: dict[str, list[tuple[str, int]]] = {}
+    const_specs: set[tuple[str, int]] = set()
+    for name in sorted(stage.needs_seed):
+        if not is_buffer(name):
+            # A loop-local temp has no buffer to seed from; its pre-walk
+            # planes are semantically undefined — let the tiled path define
+            # the behavior consistently.
+            raise PallasUnsupported(
+                f"carry read of loop-local temporary '{name}' before any "
+                f"in-stage write"
+            )
+        keys = []
+        for d in range(stage.carry_depth[name]):
+            sdk = (d + 1) if backward else -(d + 1)
+            key = (name, sdk)
+            if key not in spec_keys:
+                spec_keys.append(key)
+                const_specs.add(key)
+            keys.append(key)
+        seed_plan[name] = keys
+
     def kernel_factory(buf_shapes: dict[str, tuple[int, int]]):
         def kernel(*refs):
             pos = 0
@@ -387,6 +456,15 @@ def _build_stage_call(
             # write-back); temporaries skip the seed (and its HBM stream).
             for n in seeded:
                 out_refs[n][...] = in_refs[(n, 0)][...]
+
+            if seed_plan:
+                def seed_rings():
+                    for name, keys in seed_plan.items():
+                        ring = carry_refs[name]
+                        for d, key in enumerate(keys):
+                            ring[d][...] = in_refs[key][...]
+
+                pl.when(s == 0)(seed_rings)
 
             ev = _SeqPlaneEvaluator(
                 geo, stage, in_refs, out_refs, carry_refs, sref, k
@@ -429,9 +507,18 @@ def _build_stage_call(
         def spec_for(name, dk):
             shape = state[name].shape
 
-            def index_map(s, _dk=dk):
-                k = (k_end - 1 - s) if backward else (k_start + s)
-                return (clampk(k + _dk), 0, 0)
+            if (name, dk) in const_specs:
+                # Ring-seed stream: only the step-0 content is consumed, so
+                # pin the plane index to its step-0 value (one DMA total).
+                k0 = (k_end - 1) if backward else k_start
+                p0 = int(np.clip(k0 + dk, 0, nk - 1))
+
+                def index_map(s, _p0=p0):
+                    return (_p0, 0, 0)
+            else:
+                def index_map(s, _dk=dk):
+                    k = (k_end - 1 - s) if backward else (k_start + s)
+                    return (clampk(k + _dk), 0, 0)
 
             return pl.BlockSpec((1, shape[1], shape[2]), index_map)
 
@@ -751,6 +838,21 @@ def _build_fused_call(
     from jax.experimental.pallas import tpu as pltpu
 
     ni, nj, nk = geo.domain
+    for stage in stages:
+        if stage.needs_seed:
+            # Ring seeding is implemented for per-stage calls only.
+            raise PallasUnsupported("fused: carry ring needs pre-walk seeding")
+        # Cross-stage values are read from full-K VMEM scratch at arbitrary
+        # (clamped) plane indices; require every stage to walk [0, nk)
+        # contiguously so every read plane was actually written.
+        covered = sorted((ks, ke) for ks, ke, _ in stage.sections)
+        pos_k = 0
+        for ks, ke in covered:
+            if ks > pos_k:
+                break
+            pos_k = max(pos_k, ke)
+        if pos_k != nk or (covered and covered[0][0] != 0):
+            raise PallasUnsupported("fused: stage does not cover the full K range")
     offs = []
     total_steps = 0
     for stage in stages:

@@ -196,6 +196,130 @@ def test_lap3d_staged_parallel():
     np.testing.assert_array_equal(results["tpu:pallas"][:, :, 0], 0.0)
 
 
+def test_k_halo_parallel_reads(rng):
+    """PARALLEL full-interval stencil reading inp[0, 0, ±1] with K origin 1:
+    the K-halo planes must be read, not clamped domain-boundary planes.
+    The staged strategy drops K-halo rows in its geometry, so K-extent
+    fields route to the tiled strategy (advisor round-1 finding: max err
+    0.89 vs numpy)."""
+    from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval
+
+    F = gtscript.Field[np.float64]
+
+    def kavg(inp: F, out: F):
+        with computation(PARALLEL), interval(...):
+            out = (inp[0, 0, -1] + inp[0, 0, 1]) * 0.5
+
+    shape = (8, 9, 6)
+    inp = rng.random(shape)
+    domain, origin = (8, 9, 4), (0, 0, 1)
+    out_p = np.zeros(shape)
+    out_n = np.zeros(shape)
+    build(kavg)(inp, out_p, origin=origin, domain=domain)
+    gtscript.stencil(backend="numpy", definition=kavg, rebuild=True)(
+        inp.copy(), out_n, origin=origin, domain=domain
+    )
+    np.testing.assert_allclose(out_p, out_n)
+    # halo planes really were used
+    np.testing.assert_allclose(
+        out_p[:, :, 1], (inp[:, :, 0] + inp[:, :, 2]) * 0.5
+    )
+
+
+def test_split_forward_carry_seed(rng):
+    """A FORWARD loop whose carried read targets a plane written by a
+    PREVIOUS stage (cumsum split into two computations): the carry ring
+    must be seeded from the buffer at the first grid step (advisor round-1
+    finding: NaN/garbage output)."""
+    from gt4py_tpu.cartesian.gtscript import FORWARD, computation, interval
+
+    F = gtscript.Field[np.float64]
+
+    def split_cumsum(inp: F, out: F):
+        with computation(FORWARD), interval(0, 1):
+            out = inp
+        with computation(FORWARD), interval(1, None):
+            out = out[0, 0, -1] + inp
+
+    shape = (8, 9, 7)
+    inp = rng.random(shape)
+    out = np.zeros(shape)
+    build(split_cumsum)(inp, out)
+    np.testing.assert_allclose(out, np.cumsum(inp, axis=2), rtol=1e-12)
+
+
+def test_split_forward_carry_seed_temporary(rng):
+    """Same as above with the accumulator as a cross-stage TEMPORARY."""
+    from gt4py_tpu.cartesian.gtscript import FORWARD, PARALLEL, computation, interval
+
+    F = gtscript.Field[np.float64]
+
+    def split_cumsum_temp(inp: F, out: F):
+        with computation(FORWARD), interval(0, 1):
+            acc = inp
+        with computation(FORWARD), interval(1, None):
+            acc = acc[0, 0, -1] + inp
+        with computation(PARALLEL), interval(...):
+            out = acc
+
+    shape = (8, 9, 7)
+    inp = rng.random(shape)
+    out = np.zeros(shape)
+    build(split_cumsum_temp)(inp, out)
+    np.testing.assert_allclose(out, np.cumsum(inp, axis=2), rtol=1e-12)
+
+
+def test_split_backward_carry_seed(rng):
+    """BACKWARD variant of the cross-stage carried read."""
+    from gt4py_tpu.cartesian.gtscript import BACKWARD, computation, interval
+
+    F = gtscript.Field[np.float64]
+
+    def split_rcumsum(inp: F, out: F):
+        with computation(BACKWARD), interval(-1, None):
+            out = inp
+        with computation(BACKWARD), interval(0, -1):
+            out = out[0, 0, 1] + inp
+
+    shape = (8, 9, 7)
+    inp = rng.random(shape)
+    out = np.zeros(shape)
+    build(split_rcumsum)(inp, out)
+    np.testing.assert_allclose(
+        out, np.cumsum(inp[:, :, ::-1], axis=2)[:, :, ::-1], rtol=1e-12
+    )
+
+
+def test_parallel_write_then_k_offset_read(rng):
+    """A PARALLEL loop writing a field then reading it at a K offset in a
+    later section must observe the UPDATED value (reference
+    statement-stage semantics, permitted by the race pass); the staged
+    strategy rejects the pattern and the tiled/XLA paths recompute
+    (advisor round-1 finding: stale values, max err 1.88)."""
+    from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval
+
+    F = gtscript.Field[np.float64]
+
+    def wtr(inp: F, a: F, out: F):
+        with computation(PARALLEL):
+            with interval(...):
+                a = inp + 1.0
+            with interval(0, -1):
+                out = a[0, 0, 1]
+
+    shape = (8, 9, 6)
+    inp = rng.random(shape)
+    a_p, out_p = np.zeros(shape), np.zeros(shape)
+    a_n, out_n = np.zeros(shape), np.zeros(shape)
+    build(wtr)(inp, a_p, out_p)
+    gtscript.stencil(backend="numpy", definition=wtr, rebuild=True)(
+        inp.copy(), a_n, out_n
+    )
+    np.testing.assert_allclose(a_p, a_n)
+    np.testing.assert_allclose(out_p, out_n)
+    np.testing.assert_allclose(out_p[:, :, 0], inp[:, :, 1] + 1.0)
+
+
 def test_native_layout_chain_and_lazy_decode():
     """Ping-pong chained calls through the PUBLIC API keep data in the
     kernel-native (K, I, J) layout (storage native cache): the second call
