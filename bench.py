@@ -175,7 +175,8 @@ def main() -> None:
                         {"in_field": a, "coeff": pco, "out_field": b}, {}
                     )
                     return (r["out_field"], a)
-                a, _ = lax.fori_loop(0, n, body, (pin, jnp.zeros_like(pin)))
+                zero = jax.tree_util.tree_map(jnp.zeros_like, pin)
+                a, _ = lax.fori_loop(0, n, body, (pin, zero))
                 return a
             return f
 

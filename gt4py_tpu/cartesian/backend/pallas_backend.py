@@ -69,7 +69,28 @@ class PallasBackend(JaxBackend):
             out = pallas_fn(arrays, scalars)
             return {n: out[n] for n in written}
 
-        return jax.jit(fn, donate_argnums=(0,))
+        jfn = jax.jit(fn, donate_argnums=(0,))
+        xla_fallback = None
+
+        def call(written_arrays, read_arrays, scalars):
+            # Some rejections depend on concrete array shapes and surface at
+            # kernel trace time (first call per shape set), e.g. a J strip
+            # wider than the split kernel carries — fall back transparently.
+            nonlocal xla_fallback
+            if xla_fallback is not None:
+                return xla_fallback(written_arrays, read_arrays, scalars)
+            try:
+                return jfn(written_arrays, read_arrays, scalars)
+            except PallasUnsupported as e:
+                warnings.warn(
+                    f"tpu:pallas falling back to XLA path for stencil "
+                    f"'{self.analyzed.name}' (call-time): {e}",
+                    stacklevel=2,
+                )
+                xla_fallback = super(PallasBackend, self)._build(domain, origins_key)
+                return xla_fallback(written_arrays, read_arrays, scalars)
+
+        return call
 
     # -- native-layout path ---------------------------------------------------
 
@@ -85,7 +106,11 @@ class PallasBackend(JaxBackend):
             self._native_cache[key] = entry
         if entry is _FALLBACK:
             return super().run_from_infos(infos, scalars, domain, origins)
-        return entry(infos, scalars)
+        result = entry(infos, scalars)
+        if result is None:  # call-time PallasUnsupported inside the runner
+            self._native_cache[key] = _FALLBACK
+            return super().run_from_infos(infos, scalars, domain, origins)
+        return result
 
     def _build_native(self, domain, origins, infos):
         import jax
@@ -111,6 +136,7 @@ class PallasBackend(JaxBackend):
         import jax.numpy as jnp
 
         writes = set(pfn.writes)
+        layout = getattr(pfn, "layout", "kij")
         encoders = {
             n: jax.jit(functools.partial(lambda _n, a: pfn.encode(_n, a), n))
             for n in pfn.reads
@@ -126,10 +152,29 @@ class PallasBackend(JaxBackend):
             dec = _decoders.get(key)
             if dec is None:
                 ni, nj, nkf = shape
+                if layout == "split":
+                    oj = origins[name][1]
+                    ndom = domain[1]
 
-                def decode(native):
-                    # Full-K coverage: strip padding, back to public (I, J, K).
-                    return jnp.transpose(native[:nkf, :ni, :nj], (1, 2, 0))
+                    def decode(native):
+                        main, strip = native
+                        parts = []
+                        if oj > 0:
+                            parts.append(strip[:nkf, :ni, :oj])
+                        parts.append(main[:nkf, :ni, :])
+                        if nj > oj + ndom:
+                            parts.append(strip[:nkf, :ni, oj : oj + nj - oj - ndom])
+                        rows = (
+                            jnp.concatenate(parts, axis=2)
+                            if len(parts) > 1
+                            else parts[0]
+                        )
+                        return jnp.transpose(rows, (1, 2, 0))
+                else:
+
+                    def decode(native):
+                        # Full-K coverage: strip padding, back to (I, J, K).
+                        return jnp.transpose(native[:nkf, :ni, :nj], (1, 2, 0))
 
                 dec = _decoders[key] = jax.jit(decode)
             return dec
@@ -151,7 +196,7 @@ class PallasBackend(JaxBackend):
             for n in pfn.reads:
                 info = infos[n]
                 orig = info.original
-                nkey = ("kij", nk, tuple(info.shape))
+                nkey = (layout, nk, tuple(info.shape))
                 nat = orig.native_get(nkey) if isinstance(orig, Storage) else None
                 if nat is None:
                     nat = encoders[n](jnp.asarray(info.array))
@@ -169,7 +214,7 @@ class PallasBackend(JaxBackend):
                 info = infos[n]
                 if isinstance(info.original, Storage):
                     results[n] = NativeResult(
-                        ("kij", nk, tuple(info.shape)),
+                        (layout, nk, tuple(info.shape)),
                         out[n],
                         make_decode(n, info.shape),
                     )
@@ -177,4 +222,12 @@ class PallasBackend(JaxBackend):
                     results[n] = pfn.decode(n, out[n], jnp.asarray(info.array))
             return results
 
-        return runner
+        def guarded(infos, scalars):
+            # Shape-dependent rejections surface at kernel trace time (first
+            # call per shape set): fall back to the public-layout path.
+            try:
+                return runner(infos, scalars)
+            except PallasUnsupported:
+                return None
+
+        return guarded

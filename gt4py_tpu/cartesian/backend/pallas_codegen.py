@@ -246,6 +246,26 @@ def build_pallas_fn(
     pallas_seq.py) → tiled manual-DMA strategy.
     """
     if _plane_eligible(analyzed):
+        from gt4py_tpu.cartesian.backend import pallas_split
+
+        if (
+            os.environ.get("GT4PY_PALLAS_SPLIT", "1") not in ("0", "", "false")
+            and pallas_split.split_eligible(analyzed, domain)
+        ):
+            # Lane-aligned main blocks + packed J-halo strips: measured
+            # 119us -> ~90us on hdiff 256x256x80 (VPU-bound at this shape).
+            try:
+                tk = select_plane_tk(
+                    analyzed, domain, origins, interpret=interpret, variant="split"
+                )
+                fn = pallas_split.build_plane_split_fn(
+                    analyzed, domain, origins, tk=tk, interpret=interpret
+                )
+                if interpret:
+                    _abstract_trace(fn, analyzed, domain, origins)
+                return fn
+            except PallasUnsupported:
+                pass
         tk = select_plane_tk(analyzed, domain, origins, interpret=interpret)
         return build_plane_fn(analyzed, domain, origins, tk=tk, interpret=interpret)
     from gt4py_tpu.cartesian.backend import pallas_seq
@@ -849,14 +869,23 @@ def _plane_eligible(analyzed: AnalyzedStencil) -> bool:
 
 _plane_tk_cache: dict[str, int] = {}
 
+# Bump when kernel codegen changes: persisted probe results (tk choices,
+# staged ok-flags) describe the EMITTED kernel, not just the stencil.
+_KERNEL_REV = 4
 
-def _plane_tk_candidates(nk: int) -> list[int]:
-    # tk=4 measured fastest on hdiff (110.9us vs 121.1us at tk=5, 92% of
-    # the 4-stream HBM roofline); tk>=8 trips the remote Mosaic crash on
-    # non-trivial kernels, so larger blocks come later in the probe ladder.
-    cands = [t for t in (4, 5, 8, 3, 2) if t <= nk and nk % t == 0]
+
+def _plane_tk_candidates(nk: int, variant: str = "plane") -> list[int]:
+    # plane: tk=4 measured fastest on hdiff (110.9us vs 121.1us at tk=5);
+    # split: tk=2 measured fastest (88.5us vs 94.6us at tk=4, hdiff
+    # 256x256x80/v5e). tk>=8 trips the remote Mosaic crash on non-trivial
+    # kernels, so larger blocks come later in the probe ladder.
+    ladder = (2, 4, 5, 3, 8) if variant == "split" else (4, 5, 8, 3, 2)
+    cands = [t for t in ladder if t <= nk and nk % t == 0]
+    cands += [t for t in ladder if t <= nk and t not in cands]
+    if not cands:
+        cands = [max(nk, 1)] if nk < min(ladder) else [1]
     if 1 not in cands:
-        cands.append(min(nk, 1) or 1)
+        cands.append(1)
     return cands
 
 
@@ -866,15 +895,16 @@ def select_plane_tk(
     origins: dict[str, tuple[int, int, int]],
     *,
     interpret: bool = False,
+    variant: str = "plane",
 ) -> int:
-    """Pick the K-block size for the plane strategy.
+    """Pick the K-block size for the plane/split strategies.
 
     In interpret mode any size works; on hardware the remote Mosaic compiler
     crashes on some (kernel, block-size) combinations with an opaque error,
     so candidates are probed with an AOT compile and the first success is
     cached persistently (keyed by stencil fingerprint + domain + origins)."""
     nk = domain[2]
-    cands = _plane_tk_candidates(nk)
+    cands = _plane_tk_candidates(nk, variant)
     if interpret:
         return cands[0]
 
@@ -884,6 +914,8 @@ def select_plane_tk(
     from gt4py_tpu.eve.utils import content_hash
 
     key = content_hash(
+        variant,
+        _KERNEL_REV,
         analyzed.fingerprint if hasattr(analyzed, "fingerprint") else repr(analyzed.stencil),
         domain,
         sorted(origins.items()),
@@ -900,17 +932,30 @@ def select_plane_tk(
     except (OSError, ValueError, KeyError):
         pass
 
-    tk = None
+    ok_cands: list[int] = []
     transient = False
     for cand in cands:
-        ok = _probe_plane_compile(analyzed, domain, origins, cand)
+        ok = _probe_plane_compile(analyzed, domain, origins, cand, variant=variant)
         if ok:
-            tk = cand
-            break
-        if ok is None:
+            ok_cands.append(cand)
+            if len(ok_cands) == 3:
+                break
+        elif ok is None:
             transient = True
-    if tk is None:
+    if not ok_cands:
         raise PallasUnsupported("no K-block size compiles for the plane strategy")
+    tk = ok_cands[0]
+    if len(ok_cands) > 1:
+        # The faster block size flips between compiles (Mosaic scheduling);
+        # time the compiling candidates on-device and keep the winner.
+        try:
+            times = {
+                c: _probe_plane_time(analyzed, domain, origins, c, variant)
+                for c in ok_cands
+            }
+            tk = min(times, key=times.get)
+        except Exception:
+            pass
     _plane_tk_cache[key] = tk
     if not transient:
         # A transiently-failed earlier candidate may be the better block
@@ -926,14 +971,81 @@ def select_plane_tk(
     return tk
 
 
-def _probe_plane_compile(analyzed, domain, origins, tk) -> bool | None:
-    """AOT-compile the plane kernel. True: compiles. False: deterministic
-    rejection. None: transient transport failure (do not persist)."""
+def _probe_plane_time(analyzed, domain, origins, tk, variant) -> float:
+    """Per-step seconds of the candidate kernel, measured by chaining steps
+    on-device in one jitted fori_loop (single calls disappear in the axon
+    tunnel's ~1-2 ms dispatch jitter) and differencing two chain lengths."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    if variant == "split":
+        from gt4py_tpu.cartesian.backend import pallas_split
+
+        fn = pallas_split.build_plane_split_fn(
+            analyzed, domain, origins, tk=tk, interpret=False
+        )
+    else:
+        fn = build_plane_fn(analyzed, domain, origins, tk=tk, interpret=False)
+
+    shapes, scalar_shapes = _probe_arg_shapes(analyzed, domain, origins)
+    arrays = {n: jnp.zeros(s.shape, s.dtype) for n, s in shapes.items()}
+    scalars = {n: jnp.zeros((), s.dtype) for n, s in scalar_shapes.items()}
+    padded = {n: fn.encode(n, arrays[n]) for n in fn.reads}
+
+    def chain(n):
+        @jax.jit
+        def f(p):
+            def body(i, st):
+                out = fn.call_padded(st, scalars)
+                return {**st, **out}
+
+            return lax.fori_loop(0, n, body, p)
+
+        return f
+
+    def sync(tree):
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        np.asarray(leaf.ravel()[0])
+
+    n_lo, n_hi = 2, 42
+    f_lo, f_hi = chain(n_lo), chain(n_hi)
+
+    def timed(f):
+        sync(padded)
+        t0 = time.perf_counter()
+        r = f(padded)
+        sync(r)
+        return time.perf_counter() - t0
+
+    timed(f_lo)
+    timed(f_hi)
+    lo = min(timed(f_lo) for _ in range(2))
+    hi = min(timed(f_hi) for _ in range(2))
+    est = (hi - lo) / (n_hi - n_lo)
+    if est <= 0 or est > hi / n_hi:
+        est = hi / n_hi
+    return est
+
+
+def _probe_plane_compile(analyzed, domain, origins, tk, variant="plane") -> bool | None:
+    """AOT-compile the plane/split kernel. True: compiles. False:
+    deterministic rejection. None: transient transport failure (don't
+    persist)."""
     import jax
 
     shapes, scalars = _probe_arg_shapes(analyzed, domain, origins)
     try:
-        fn = build_plane_fn(analyzed, domain, origins, tk=tk, interpret=False)
+        if variant == "split":
+            from gt4py_tpu.cartesian.backend import pallas_split
+
+            fn = pallas_split.build_plane_split_fn(
+                analyzed, domain, origins, tk=tk, interpret=False
+            )
+        else:
+            fn = build_plane_fn(analyzed, domain, origins, tk=tk, interpret=False)
         jax.jit(lambda arrays, sc: fn(arrays, sc)).lower(shapes, scalars).compile()
         return True
     except PallasUnsupported:

@@ -444,6 +444,10 @@ PYTHON_BUILTIN_FUNCS = {"abs": "abs", "min": "min", "max": "max"}
 
 # --- stencil decorator --------------------------------------------------------
 
+#: extra per-backend options accepted by ``stencil(**kwargs)``; anything
+#: else is a loud error (typos must not silently change semantics).
+SUPPORTED_BACKEND_OPTS = frozenset({"inline_temporaries"})
+
 
 def stencil(
     backend: Optional[str] = None,
@@ -481,6 +485,30 @@ def stencil(
         raise ValueError(f"Invalid 'name' string ('{name}')")
     if not isinstance(rebuild, bool):
         raise ValueError(f"Invalid 'rebuild' bool value ('{rebuild}')")
+    # Unknown extra kwargs are rejected loudly: they would otherwise become
+    # silently-ignored backend options (reference validates backend_opts
+    # against Backend.options, backend/base.py:75).
+    unknown = set(kwargs) - SUPPORTED_BACKEND_OPTS
+    if unknown:
+        import difflib
+
+        all_names = sorted(
+            SUPPORTED_BACKEND_OPTS
+            | {
+                "backend", "definition", "build_info", "dtypes", "externals",
+                "format_source", "name", "rebuild", "cache_settings",
+                "raise_if_not_cached", "literal_int_precision",
+                "literal_float_precision",
+            }
+        )
+        hints = []
+        for k in sorted(unknown):
+            close = difflib.get_close_matches(k, all_names, n=1)
+            hints.append(f"'{k}'" + (f" (did you mean '{close[0]}'?)" if close else ""))
+        raise ValueError(
+            f"Unknown stencil option(s): {', '.join(hints)}. "
+            f"Supported backend options: {sorted(SUPPORTED_BACKEND_OPTS)}"
+        )
 
     build_options = dict(
         backend=backend or "jax",

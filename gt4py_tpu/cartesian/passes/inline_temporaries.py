@@ -89,9 +89,22 @@ class _Substituter(eve.NodeTranslator):
         return node
 
 
-def inline_temporaries(stencil: gtir.Stencil) -> gtir.Stencil:
+def inline_temporaries(
+    stencil: gtir.Stencil, *, expansion_cap: Optional[int] = None
+) -> gtir.Stencil:
     """Return a new stencil with inlinable temporaries substituted and dead
-    temporary assignments removed."""
+    temporary assignments removed.
+
+    ``expansion_cap`` bounds recompute per def: forward reads x defining
+    expression's access count. Single-forward-read defs always inline (no
+    recompute is introduced). The value-based Pallas plane evaluators use a
+    smaller cap than the default: they hold temporaries as VMEM values, so
+    a multi-read temporary with a non-trivial def (hdiff's flux limiters)
+    is cheaper computed once and sliced than recomputed per shifted read
+    (measured ~15% of the whole kernel), while trivial defs (a 2-access
+    difference) still inline."""
+    if expansion_cap is None:
+        expansion_cap = _EXPANSION_CAP
     temps = {t.name for t in stencil.temporaries}
 
     new_loops: list[gtir.VerticalLoop] = []
@@ -132,11 +145,10 @@ def inline_temporaries(stencil: gtir.Stencil) -> gtir.Stencil:
                     and stmt.target.name in temps
                     and _inlinable_def(stmt)
                     and _n_accesses(stmt.value) <= _SIZE_CAP
-                    and _forward_reads(idx, stmt.target.name, stmt.value)
-                    * _n_accesses(stmt.value)
-                    <= _EXPANSION_CAP
                 ):
-                    defs[stmt.target.name] = stmt.value
+                    n_fwd = _forward_reads(idx, stmt.target.name, stmt.value)
+                    if n_fwd <= 1 or n_fwd * _n_accesses(stmt.value) <= expansion_cap:
+                        defs[stmt.target.name] = stmt.value
                 new_body.append(stmt)
             new_sections.append(
                 gtir.VerticalSection(

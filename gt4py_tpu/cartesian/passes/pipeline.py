@@ -45,6 +45,13 @@ class AnalyzedStencil:
     field_infos: dict[str, FieldInfo]
     parameter_infos: dict[str, ParameterInfo]
     domain_info: DomainInfo
+    #: the lowered stencil BEFORE temporary inlining (for backends that
+    #: prefer materialized temporaries over recompute, e.g. the value-based
+    #: Pallas plane kernels); None when inlining was disabled anyway.
+    pre_inline_stencil: "gtir.Stencil | None" = None
+    _materialized: "AnalyzedStencil | None" = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
     @property
     def name(self) -> str:
@@ -58,6 +65,31 @@ class AnalyzedStencil:
             if info.access & AccessKind.WRITE
         ]
 
+    def materialized_variant(self) -> "AnalyzedStencil":
+        """This analysis re-done with a small recompute cap: non-trivial
+        multi-read temporaries stay materialized (computed once) instead of
+        being recomputed per shifted read site. Field halo demands of this
+        variant are a subset of the primary's, so arrays validated against
+        the primary are always sufficient."""
+        if self._materialized is not None:
+            return self._materialized
+        if self.pre_inline_stencil is None:
+            self._materialized = self
+            return self
+        from gt4py_tpu.cartesian.passes.inline_temporaries import inline_temporaries
+
+        stencil = inline_temporaries(self.pre_inline_stencil, expansion_cap=6)
+        extents = ExtentAnalysis(stencil)
+        self._materialized = AnalyzedStencil(
+            stencil=stencil,
+            stmt_extents=extents.stmt_extents,
+            field_extents=extents.field_extents,
+            field_infos=self.field_infos,
+            parameter_infos=self.parameter_infos,
+            domain_info=self.domain_info,
+        )
+        return self._materialized
+
 
 def analyze(definition: Callable, options: dict) -> AnalyzedStencil:
     stencil = frontend.parse_stencil(definition, options)
@@ -70,9 +102,11 @@ def analyze(definition: Callable, options: dict) -> AnalyzedStencil:
 
     detect_races(stencil)
     infer_dtypes(stencil)
+    pre_inline: "gtir.Stencil | None" = None
     if options.get("backend_opts", {}).get("inline_temporaries", True):
         from gt4py_tpu.cartesian.passes.inline_temporaries import inline_temporaries
 
+        pre_inline = stencil
         stencil = inline_temporaries(stencil)
     extents = ExtentAnalysis(stencil)
 
@@ -121,6 +155,7 @@ def analyze(definition: Callable, options: dict) -> AnalyzedStencil:
         field_infos=field_infos,
         parameter_infos=parameter_infos,
         domain_info=domain_info,
+        pre_inline_stencil=pre_inline,
     )
 
 
