@@ -360,6 +360,10 @@ def main() -> None:
         tpoints = ni * nj * nk
         results["tridiag_Ggps"] = round(tpoints / t_tri / 1e9, 3)
         results["tridiag_us_per_step"] = round(t_tri * 1e6, 1)
+        # minimal semantic traffic: read inf/diag/sup/rhs, write out (f32)
+        tri_bytes = 5 * tpoints * 4
+        tfrac = (tri_bytes / t_tri) / peak_bw if peak_bw == peak_bw else float("nan")
+        results["tridiag_roofline_frac"] = round(tfrac, 3) if tfrac == tfrac else None
     except Exception as e:
         results["tridiag_error"] = f"{type(e).__name__}: {e}"[:200]
 

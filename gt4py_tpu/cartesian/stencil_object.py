@@ -323,7 +323,10 @@ class StencilObject:
         if exec_info is not None:
             exec_info["run_end_time"] = time.perf_counter()
 
-        # Write results back into the passed objects.
+        self._write_back(results, used_infos)
+
+    def _write_back(self, results, used_infos) -> None:
+        """Rebind written results on the passed objects."""
         from gt4py_tpu.cartesian.backend.base import NativeResult
 
         for name, new_array in results.items():
@@ -377,29 +380,54 @@ class StencilObject:
 
 
 class FrozenStencil:
-    """Stencil with pre-validated origin/domain: skips all per-call
-    normalization (reference stencil_object.py:95)."""
+    """Stencil with pre-resolved origin/domain (reference
+    stencil_object.py:95): origins are normalized ONCE at freeze time and
+    the call path goes straight to the backend — no signature binding, no
+    per-call validation/normalization, no instrumentation hooks. This is
+    the hot-loop entry point for model drivers calling the same stencil
+    with fixed geometry every timestep."""
+
+    __slots__ = (
+        "stencil_object", "origin", "domain",
+        "_origins3", "_used_fields", "_scalar_info",
+    )
 
     def __init__(self, stencil_object: StencilObject, origin, domain):
-        self.stencil_object = stencil_object
-        self.origin = (
-            origin
-            if isinstance(origin, dict)
-            else {name: tuple(origin) for name in stencil_object.field_info}
-        )
-        self.domain = tuple(domain)
+        so = stencil_object
+        self.stencil_object = so
+        self.domain = tuple(int(d) for d in domain)
+        self.origin = so._normalize_origins({}, origin)
+
+        # Pre-resolve per-field full (i, j, k) origins (the mask expansion
+        # _run_backend does per call).
+        self._origins3: dict[str, tuple[int, int, int]] = {}
+        self._used_fields: list[str] = []
+        for name, finfo in so.field_info.items():
+            if finfo.access == AccessKind.NONE:
+                continue
+            self._used_fields.append(name)
+            mask = finfo.domain_mask
+            o = list(self.origin[name][: finfo.domain_ndim])
+            full = [0, 0, 0]
+            pos = 0
+            for ax in range(3):
+                if mask[ax]:
+                    full[ax] = o[pos]
+                    pos += 1
+            self._origins3[name] = tuple(full)
+        self._scalar_info = [
+            (name, pinfo.dtype)
+            for name, pinfo in so.parameter_info.items()
+            if pinfo.access != AccessKind.NONE
+        ]
 
     def __call__(self, **kwargs) -> None:
-        field_args = {
-            name: kwargs.get(name) for name in self.stencil_object.field_info
+        so = self.stencil_object
+        used_infos = {n: _arg_info(kwargs[n]) for n in self._used_fields}
+        scalars = {
+            n: np.asarray(kwargs[n], dtype=dt)[()] for n, dt in self._scalar_info
         }
-        param_args = {
-            name: kwargs.get(name) for name in self.stencil_object.parameter_info
-        }
-        self.stencil_object._call_run(
-            field_args,
-            param_args,
-            self.domain,
-            self.origin,
-            validate_args=False,
+        results = so._backend.run_from_infos(
+            used_infos, scalars, self.domain, self._origins3
         )
+        so._write_back(results, used_infos)

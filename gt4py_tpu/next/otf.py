@@ -78,6 +78,38 @@ def _dynamic_key(value: Any) -> Any:
     return ("scalar", spec.dtype.str)
 
 
+def _provider_fingerprint(provider: Any) -> Any:
+    """Content fingerprint of an offset provider (reference hashes the
+    provider, otf/compiled_program.py:495-539). ``id()`` keys are unsound:
+    a GC'd connectivity followed by a new allocation at the same address
+    would silently reuse the wrong compiled variant. The hash is computed
+    once and cached on the provider object."""
+    cached = getattr(provider, "_gt4py_fingerprint", None)
+    if cached is not None:
+        return cached
+
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(type(provider).__name__.encode())
+    table = getattr(provider, "table", None)
+    if table is not None:
+        h.update(np.asarray(table).tobytes())
+        h.update(repr(getattr(provider, "skip_value", None)).encode())
+        for attr in ("source_dim", "codomain", "neighbor_dim", "domain_dim"):
+            h.update(repr(getattr(provider, attr, None)).encode())
+    else:
+        # CartesianConnectivity-style providers: structural fields only.
+        state = getattr(provider, "__dict__", None)
+        h.update(repr(state if state is not None else provider).encode())
+    fp = h.hexdigest()
+    try:
+        object.__setattr__(provider, "_gt4py_fingerprint", fp)
+    except (AttributeError, TypeError):
+        pass  # slots/frozen without room: recompute per call
+    return fp
+
+
 class CompiledProgramsPool:
     """Executable cache for one program definition
     (reference otf/compiled_program.py:333).
@@ -107,7 +139,9 @@ class CompiledProgramsPool:
                 dynamics.append((name, _dynamic_key(value)))
         op_key = None
         if offset_provider:
-            op_key = tuple(sorted((k, id(v)) for k, v in offset_provider.items()))
+            op_key = tuple(
+                sorted((k, _provider_fingerprint(v)) for k, v in offset_provider.items())
+            )
         return (
             tuple(_dynamic_key(a) for a in args),
             tuple(dynamics),

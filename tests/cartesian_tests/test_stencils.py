@@ -193,3 +193,40 @@ def test_storage_roundtrip(backend, rng):
     b = storage.zeros((5, 5, 5), backend="jax")
     st(a, b)
     np.testing.assert_allclose(b.asnumpy(), data)
+
+
+@pytest.mark.parametrize("backend", FAST_BACKENDS)
+def test_frozen_stencil_matches_normal_call(backend, rng):
+    """freeze() pre-resolves geometry and skips validation; results must
+    match the normal call path exactly (reference stencil_object.py:95)."""
+    from gt4py_tpu import storage
+
+    st = build(defs.horizontal_diffusion, backend)
+    shape = (20, 19, 4)
+    in_field = rng.random(shape)
+    coeff = rng.random(shape)
+    out_a = np.zeros(shape)
+    st(
+        in_field.copy(), out_a, coeff.copy(),
+        origin=(2, 2, 0), domain=(16, 15, 4),
+    )
+
+    frozen = st.freeze(origin=(2, 2, 0), domain=(16, 15, 4))
+    out_b = storage.zeros(shape, backend=backend)
+    frozen(
+        in_field=storage.from_array(in_field, backend=backend),
+        out_field=out_b,
+        coeff=storage.from_array(coeff, backend=backend),
+    )
+    np.testing.assert_allclose(np.asarray(out_b), out_a, rtol=1e-12)
+
+
+@pytest.mark.parametrize("backend", FAST_BACKENDS)
+def test_frozen_stencil_with_scalars_and_per_field_origins(backend, rng):
+    st = build(defs.scalar_inputs, backend)
+    a = rng.random((6, 6, 3))
+    expected = a * 3.5
+    frozen = st.freeze(origin={"field_a": (0, 0, 0)}, domain=(6, 6, 3))
+    buf = a.copy()
+    frozen(field_a=buf, scalar_in=3.5)
+    np.testing.assert_allclose(buf, expected)

@@ -76,6 +76,41 @@ def test_fingerprint_stability_and_sensitivity():
 # --- compiled programs pool -------------------------------------------------
 
 
+def test_pool_offset_provider_content_key():
+    """Offset providers key the pool by CONTENT fingerprint, not id():
+    a GC'd connectivity replaced by a different table at the same address
+    must NOT reuse the compiled variant (reference hashes the provider,
+    otf/compiled_program.py:495-539)."""
+    from gt4py_tpu.next.common import Connectivity
+    from gt4py_tpu.next.otf import _provider_fingerprint
+
+    E = Dimension("E")
+    V = Dimension("V")
+    E2V = Dimension("E2V")
+
+    def conn(table):
+        return Connectivity(
+            np.asarray(table, dtype=np.int32), domain_dims=(E, E2V), codomain=V
+        )
+
+    c1 = conn([[0, 1], [1, 2]])
+    c2 = conn([[0, 1], [1, 2]])
+    c3 = conn([[2, 1], [1, 0]])
+    assert _provider_fingerprint(c1) == _provider_fingerprint(c2)  # same content
+    assert _provider_fingerprint(c1) != _provider_fingerprint(c3)  # different table
+
+    # id-aliasing scenario: same address, different content -> different key
+    import gc
+
+    addr_keys = {}
+    for tbl in ([[0, 1], [1, 2]], [[2, 1], [1, 0]]):
+        c = conn(tbl)
+        addr_keys[_provider_fingerprint(c)] = id(c)
+        del c
+        gc.collect()
+    assert len(addr_keys) == 2
+
+
 def test_pool_reuses_and_respecializes():
     builds = []
 
