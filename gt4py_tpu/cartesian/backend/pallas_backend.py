@@ -42,6 +42,11 @@ class PallasBackend(JaxBackend):
     def __init__(self, analyzed, options):
         super().__init__(analyzed, options)
         self._native_cache: dict[Any, Any] = {}
+        #: kernel strategy that served the most recent call: "split",
+        #: "plane", "staged", "tiled", or "xla" (fallback). Surfaced on
+        #: ``exec_info["pallas_strategy"]`` so tests/users can assert the
+        #: fast path actually ran (no silent fallback).
+        self.last_strategy: str | None = None
 
     # -- fallback path (public-layout arrays, XLA or tiled kernel) ----------
 
@@ -60,9 +65,17 @@ class PallasBackend(JaxBackend):
                 f"'{self.analyzed.name}': {e}",
                 stacklevel=2,
             )
-            return super()._build(domain, origins_key)
+            self.last_strategy = "xla"
+            xla = super()._build(domain, origins_key)
+
+            def xla_call(written_arrays, read_arrays, scalars):
+                self.last_strategy = "xla"
+                return xla(written_arrays, read_arrays, scalars)
+
+            return xla_call
 
         written = self.written
+        strategy = getattr(pallas_fn, "strategy", "pallas")
 
         def fn(written_arrays, read_arrays, scalars):
             arrays = {**read_arrays, **written_arrays}
@@ -78,9 +91,12 @@ class PallasBackend(JaxBackend):
             # wider than the split kernel carries — fall back transparently.
             nonlocal xla_fallback
             if xla_fallback is not None:
+                self.last_strategy = "xla"
                 return xla_fallback(written_arrays, read_arrays, scalars)
             try:
-                return jfn(written_arrays, read_arrays, scalars)
+                result = jfn(written_arrays, read_arrays, scalars)
+                self.last_strategy = strategy
+                return result
             except PallasUnsupported as e:
                 warnings.warn(
                     f"tpu:pallas falling back to XLA path for stencil "
@@ -88,6 +104,7 @@ class PallasBackend(JaxBackend):
                     stacklevel=2,
                 )
                 xla_fallback = super(PallasBackend, self)._build(domain, origins_key)
+                self.last_strategy = "xla"
                 return xla_fallback(written_arrays, read_arrays, scalars)
 
         return call
@@ -105,6 +122,8 @@ class PallasBackend(JaxBackend):
             entry = self._build_native(domain, origins, infos)
             self._native_cache[key] = entry
         if entry is _FALLBACK:
+            # public-layout path (XLA or pallas via _build; _build records
+            # the strategy)
             return super().run_from_infos(infos, scalars, domain, origins)
         result = entry(infos, scalars)
         if result is None:  # call-time PallasUnsupported inside the runner
@@ -191,7 +210,10 @@ class PallasBackend(JaxBackend):
         _donate = _os.environ.get("GT4PY_PALLAS_DONATE", "0") == "1"
         jit_step = jax.jit(step, donate_argnums=(0,) if _donate else ())
 
+        strategy = getattr(pfn, "strategy", "pallas")
+
         def runner(infos, scalars):
+            self.last_strategy = strategy
             natives = {}
             for n in pfn.reads:
                 info = infos[n]

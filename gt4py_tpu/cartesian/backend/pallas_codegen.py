@@ -602,6 +602,7 @@ def _build_tiled_fn(
             out[n] = jnp.transpose(r, (1, 2, 0))
         return out
 
+    fn.strategy = "tiled"
     return fn
 
 
@@ -1294,4 +1295,5 @@ def build_plane_fn(
     fn.call_padded = call_padded
     fn.reads = tuple(reads)
     fn.writes = tuple(writes)
+    fn.strategy = "plane"
     return fn

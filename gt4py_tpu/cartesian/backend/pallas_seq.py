@@ -331,6 +331,7 @@ def build_staged_fn(
     fn.call_padded = call_padded
     fn.reads = tuple(geo.fields)
     fn.writes = tuple(written_fields)
+    fn.strategy = "staged"
     return fn
 
 

@@ -348,6 +348,7 @@ def build_plane_split_fn(
     fn.reads = tuple(reads)
     fn.writes = tuple(writes)
     fn.layout = "split"
+    fn.strategy = "split"
     return fn
 
 

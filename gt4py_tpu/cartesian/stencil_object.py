@@ -322,6 +322,9 @@ class StencilObject:
             )
         if exec_info is not None:
             exec_info["run_end_time"] = time.perf_counter()
+            strategy = getattr(self._backend, "last_strategy", None)
+            if strategy is not None:
+                exec_info["pallas_strategy"] = strategy
 
         self._write_back(results, used_infos)
 

@@ -7,11 +7,13 @@ pin JAX_PLATFORMS — override both the env var and the live config."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("GT4PY_TEST_PLATFORM", "cpu") != "tpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("GT4PY_TEST_PLATFORM", "cpu") != "tpu":
+    jax.config.update("jax_platforms", "cpu")

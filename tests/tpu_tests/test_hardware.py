@@ -1,0 +1,80 @@
+"""Hardware test tier: Pallas strategies vs the XLA backend on a REAL TPU.
+
+Run with the platform pin lifted (the default conftest pins CPU):
+
+    GT4PY_TEST_PLATFORM=tpu python -m pytest tests/tpu_tests -m tpu -q
+
+This is the pytest-marker form of the reference's per-backend hardware
+matrices (reference tests/next_tests/definitions.py:124-208, ADR 0015);
+``run_on_tpu.py`` remains as a standalone wrapper.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU attached (set GT4PY_TEST_PLATFORM=tpu to lift the CPU pin)")
+    return jax.devices()[0]
+
+
+def test_hdiff_plane_matches_xla(tpu):
+    from tests.tpu_tests import run_on_tpu
+
+    run_on_tpu.check_hdiff_plane()
+
+
+def test_tridiag_staged_matches_xla(tpu):
+    from tests.tpu_tests import run_on_tpu
+
+    run_on_tpu.check_tridiag_staged()
+
+
+def test_flagships_serve_native_strategies_on_hardware(tpu):
+    """On real TPU (Mosaic compiles, probes run) the flagship classes must
+    be served by their kernel strategies — not the XLA fallback."""
+    from gt4py_tpu import storage
+    from gt4py_tpu.cartesian import gtscript
+    from gt4py_tpu.cartesian.gtscript import FORWARD, PARALLEL, computation, interval
+
+    F = gtscript.Field[np.float32]
+    rng = np.random.default_rng(0)
+
+    def smooth(inp: F, out: F):
+        with computation(PARALLEL), interval(...):
+            out = 0.25 * (inp[1, 0, 0] + inp[-1, 0, 0] + inp[0, 1, 0] + inp[0, -1, 0])
+
+    st = gtscript.stencil(
+        backend="tpu:pallas", definition=smooth, literal_float_precision=32
+    )
+    shape = (132, 132, 16)
+    a = storage.from_array(rng.random(shape, dtype=np.float32), backend="tpu:pallas")
+    b = storage.zeros(shape, dtype=np.float32, backend="tpu:pallas")
+    exec_info = {}
+    st(a, b, origin=(2, 2, 0), domain=(128, 128, 16), exec_info=exec_info)
+    assert exec_info["pallas_strategy"] == "split"
+
+    def cumsum(inp: F, out: F):
+        with computation(FORWARD):
+            with interval(0, 1):
+                out = inp
+            with interval(1, None):
+                out = out[0, 0, -1] + inp
+
+    st2 = gtscript.stencil(
+        backend="tpu:pallas", definition=cumsum, literal_float_precision=32
+    )
+    c = storage.from_array(rng.random(shape, dtype=np.float32), backend="tpu:pallas")
+    d = storage.zeros(shape, dtype=np.float32, backend="tpu:pallas")
+    exec_info = {}
+    st2(c, d, exec_info=exec_info)
+    assert exec_info["pallas_strategy"] == "staged"
+    np.testing.assert_allclose(
+        np.asarray(d), np.cumsum(np.asarray(c), axis=2), rtol=2e-5
+    )
