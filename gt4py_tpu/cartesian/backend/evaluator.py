@@ -197,7 +197,17 @@ def _apply_binop(xp, op, left, right):
     if op == A.POW:
         return xp.power(left, right)
     if op == A.MATMUL:
-        raise NotImplementedError("'@' on data-dimension fields is not supported yet")
+        # '@' on data-dimension fields (reference visit_MatMult,
+        # gtscript_frontend.py:1506): grid axes (always rank 3 here) are
+        # batch dims; the trailing data dims multiply. NumPy's 1-D vector
+        # special case doesn't apply to batched operands, so vectors get an
+        # explicit trailing/leading axis.
+        ld, rd = left.ndim - 3, right.ndim - 3
+        if ld == 2 and rd == 1:
+            return xp.matmul(left, right[..., None])[..., 0]
+        if ld == 1 and rd == 2:
+            return xp.matmul(left[..., None, :], right)[..., 0, :]
+        return xp.matmul(left, right)
     if op == C.EQ:
         return xp.equal(left, right)
     if op == C.NE:
@@ -570,7 +580,9 @@ class Evaluator:
         ext = self.analyzed.stmt_extents[stmt]
         ctx = _Ctx(ext, ks, ke, k_seq)
         if isinstance(stmt, gtir.Assign):
-            value = self._broadcast(self.eval_expr(stmt.value, ctx), ctx)
+            value = self._broadcast_target(
+                self.eval_expr(stmt.value, ctx), ctx, stmt.target
+            )
             mask = self._full_mask(stmt, ctx)
             self._write(stmt.target, value, mask, ctx)
         elif isinstance(stmt, gtir.While):
@@ -587,7 +599,7 @@ class Evaluator:
             mask = rmask if mask is None else self.ops.xp.logical_and(mask, rmask)
         return mask
 
-    def _exec_while(self, stmt: gtir.While, ctx: _Ctx) -> None:
+    def _exec_while(self, stmt: gtir.While, ctx: _Ctx, outer_mask=None) -> None:
         xp = self.ops.xp
 
         involved = sorted(
@@ -602,17 +614,27 @@ class Evaluator:
         def eval_mask() -> Any:
             cond = self._broadcast(self.eval_expr(stmt.cond, ctx), ctx)
             extra = self._full_mask(stmt, ctx)
-            return cond if extra is None else xp.logical_and(cond, extra)
+            if extra is not None:
+                cond = xp.logical_and(cond, extra)
+            if outer_mask is not None:
+                cond = xp.logical_and(cond, outer_mask)
+            return cond
 
         def apply_body(mask) -> None:
             for s in stmt.body:
                 if isinstance(s, gtir.Assign):
-                    value = self._broadcast(self.eval_expr(s.value, ctx), ctx)
+                    value = self._broadcast_target(
+                        self.eval_expr(s.value, ctx), ctx, s.target
+                    )
                     smask = self._full_mask(s, ctx)
                     total = mask if smask is None else xp.logical_and(mask, smask)
                     self._write(s.target, value, total, ctx)
+                elif isinstance(s, gtir.While):
+                    # nested while: the outer iteration mask gates the inner
+                    # loop (points done with the outer loop must not change)
+                    self._exec_while(s, ctx, outer_mask=mask)
                 else:
-                    raise NotImplementedError("Nested while loops are not supported yet")
+                    raise TypeError(type(s).__name__)
 
         if self.ops.kind == "numpy":
             mask = eval_mask()
@@ -673,8 +695,7 @@ class Evaluator:
             value = value[..., None]  # re-add K axis (length 1)
             value = self._expand_missing(value, (dims[0], dims[1], True), Ni, Nj, Nk)
             if access.data_index:
-                idx = tuple(self._eval_static_index(e, ctx) for e in access.data_index)
-                value = value[(Ellipsis,) + idx]
+                value = self._apply_data_index(value, access.data_index, ctx)
             return value
 
         w = self._get_window(name)
@@ -682,6 +703,7 @@ class Evaluator:
         f_ext = self.f_ext[name]
         origin = self.origins.get(name, (0, 0, 0))
         di, dj, dk = access.offset
+        data_ndim = self.data_ndims.get(name, 0)
 
         starts = []
         sizes = []
@@ -701,8 +723,6 @@ class Evaluator:
             xp = self.ops.xp
             window = self.ops.slice_nd(w, starts, sizes) if starts else w
             window = self._expand_missing(window, (dims[0], dims[1], True), Ni, Nj, Nk)
-            if window.ndim > 3:
-                raise NotImplementedError("Variable-K reads of data-dim fields")
             if access.abs_k is not None:
                 kidx = xp.asarray(self.eval_expr(access.abs_k, ctx)) - f_ext.k[0]
             else:
@@ -711,15 +731,25 @@ class Evaluator:
                 koff = self.eval_expr(access.koffset, ctx)
                 kidx = xp.asarray(base + dk + k_iota + koff - f_ext.k[0])
             kidx = xp.broadcast_to(kidx.astype(np.int64), (Ni, Nj, Nk))
-            return self.ops.take_along_k(
-                xp.broadcast_to(window, (Ni, Nj, window.shape[2])), kidx
+            data_shape = tuple(window.shape[3:])
+            if data_shape:
+                # data-dim fields: gather K per gridpoint, broadcast the
+                # index over the trailing data dims
+                kidx = xp.broadcast_to(
+                    kidx.reshape((Ni, Nj, Nk) + (1,) * len(data_shape)),
+                    (Ni, Nj, Nk) + data_shape,
+                )
+            value = self.ops.take_along_k(
+                xp.broadcast_to(window, (Ni, Nj) + tuple(window.shape[2:])), kidx
             )
+            if access.data_index:
+                value = self._apply_data_index(value, access.data_index, ctx)
+            return value
 
         value = self.ops.slice_nd(w, starts, sizes)
         value = self._expand_missing(value, dims, Ni, Nj, Nk)
         if access.data_index:
-            idx = tuple(self._eval_static_index(e, ctx) for e in access.data_index)
-            value = value[(Ellipsis,) + idx]
+            value = self._apply_data_index(value, access.data_index, ctx)
         return value
 
     def _expand_missing(self, value, dims, Ni, Nj, Nk) -> Any:
@@ -738,7 +768,30 @@ class Evaluator:
             return int(value)
         if hasattr(value, "ndim") and value.ndim == 0:
             return value  # traced scalar index
-        raise NotImplementedError("Per-gridpoint data-dimension indices are not supported")
+        return None  # per-gridpoint index: caller gathers
+
+    def _apply_data_index(self, value, index_exprs, ctx: _Ctx):
+        """Index the trailing data dimensions; scalar indices slice,
+        per-gridpoint (array-valued) indices gather along the data axis
+        (reference gtscript_frontend.py:1290 data-dims subscripting)."""
+        xp = self.ops.xp
+        axis = 3  # first data axis after (I, J, K)
+        for expr in index_exprs:
+            idx = self._eval_static_index(expr, ctx)
+            if idx is not None:
+                value = value[(slice(None),) * axis + (idx,)]
+                continue
+            iv = self._broadcast(self.eval_expr(expr, ctx), ctx)
+            iv = xp.asarray(iv).astype(np.int64)
+            iv = xp.clip(iv, 0, value.shape[axis] - 1)
+            # broadcast the (I, J, K)-shaped index over remaining data dims
+            iv = xp.broadcast_to(
+                iv.reshape(iv.shape[:3] + (1,) * (value.ndim - 3)),
+                value.shape[:axis] + (1,) + value.shape[axis + 1 :],
+            )
+            value = xp.take_along_axis(value, iv, axis=axis)
+            value = xp.squeeze(value, axis=axis)
+        return value
 
     def _write(self, target: gtir.FieldAccess, value, mask, ctx: _Ctx) -> None:
         xp = self.ops.xp
@@ -752,7 +805,7 @@ class Evaluator:
         Ni, Nj, Nk = self._window_shape(ctx)
         w = self._get_window(name) if (self.win.get(name) is not None or mask is not None or target.data_index) else None
 
-        value = xp.broadcast_to(xp.asarray(value), (Ni, Nj, Nk))
+        value = self._broadcast_target(value, ctx, target)
 
         starts = []
         shape_out = []
@@ -793,7 +846,7 @@ class Evaluator:
             mask is None
             and not target.data_index
             and tuple(shape_out) == tuple(w.shape[: len(shape_out)])
-            and not self.data_ndims.get(name, 0)
+            and (not self.data_ndims.get(name, 0) or value.shape == w.shape)
             and all(isinstance(s, (int, np.integer)) and s == 0 for s in starts)
         ):
             if self.ops.kind == "numpy":
@@ -802,27 +855,37 @@ class Evaluator:
                 self.win[name] = value
             return
 
+        def _expand_mask(m, like):
+            if m is not None and like.ndim > m.ndim:
+                m = m.reshape(m.shape + (1,) * (like.ndim - m.ndim))
+            return m
+
         if mask is not None:
             if squeeze_axes:
                 mask = xp.squeeze(mask, axis=squeeze_axes)
             old = self.ops.slice_nd(w, starts, shape_out)
             if target.data_index:
                 idx = tuple(self._eval_static_index(e, ctx) for e in target.data_index)
-                old_elem = old[(Ellipsis,) + idx]
-                sel = xp.where(mask, value, old_elem)
-                if self.ops.kind == "numpy":
-                    old[(Ellipsis,) + idx] = sel
-                    new = old
+                if any(i is None for i in idx):
+                    new = self._set_data_index(old, target.data_index, value, mask, ctx)
                 else:
-                    new = old.at[(Ellipsis,) + idx].set(sel)
+                    old_elem = old[(Ellipsis,) + idx]
+                    sel = xp.where(_expand_mask(mask, old_elem), value, old_elem)
+                    if self.ops.kind == "numpy":
+                        old[(Ellipsis,) + idx] = sel
+                        new = old
+                    else:
+                        new = old.at[(Ellipsis,) + idx].set(sel)
             else:
-                new = xp.where(mask, value, old)
+                new = xp.where(_expand_mask(mask, value), value, old)
             self.win[name] = self.ops.update_nd(w, starts, new)
         else:
             if target.data_index:
                 idx = tuple(self._eval_static_index(e, ctx) for e in target.data_index)
                 old = self.ops.slice_nd(w, starts, shape_out)
-                if self.ops.kind == "numpy":
+                if any(i is None for i in idx):
+                    block = self._set_data_index(old, target.data_index, value, None, ctx)
+                elif self.ops.kind == "numpy":
                     old[(Ellipsis,) + idx] = value
                     block = old
                 else:
@@ -830,6 +893,36 @@ class Evaluator:
                 self.win[name] = self.ops.update_nd(w, starts, block)
             else:
                 self.win[name] = self.ops.update_nd(w, starts, value)
+
+    def _set_data_index(self, old, index_exprs, value, mask, ctx: _Ctx):
+        """Per-gridpoint data-index WRITE: blend ``value`` into ``old`` at
+        the (possibly array-valued) data indices via one-hot selection
+        (data dims are small, so the select is cheap and scatter-free)."""
+        xp = self.ops.xp
+        dd = old.ndim - 3
+        if len(index_exprs) != dd:
+            raise NotImplementedError(
+                "partial per-gridpoint data-dimension writes are not supported"
+            )
+        cond = None
+        for d, expr in enumerate(index_exprs):
+            iv = self._eval_static_index(expr, ctx)
+            if iv is None:
+                iv = self._broadcast(self.eval_expr(expr, ctx), ctx)
+            iv = xp.asarray(iv).astype(np.int64)
+            iv = iv.reshape(iv.shape + (1,) * dd) if iv.ndim == 3 else iv
+            shape_iota = (1, 1, 1) + tuple(
+                old.shape[3 + t] if t == d else 1 for t in range(dd)
+            )
+            iota = xp.arange(old.shape[3 + d], dtype=np.int64).reshape(shape_iota)
+            c = iota == iv
+            cond = c if cond is None else xp.logical_and(cond, c)
+        if mask is not None:
+            cond = xp.logical_and(cond, mask.reshape(mask.shape + (1,) * dd))
+        valx = xp.asarray(value)
+        if valx.ndim == 3:
+            valx = valx.reshape(valx.shape + (1,) * dd)
+        return xp.where(cond, valx, old)
 
     def _region_mask(self, hmasks, ctx: _Ctx) -> Any:
         xp = self.ops.xp
@@ -851,6 +944,33 @@ class Evaluator:
     def _broadcast(self, value, ctx: _Ctx) -> Any:
         shape = self._window_shape(ctx)
         return self.ops.xp.broadcast_to(self.ops.xp.asarray(value), shape)
+
+    def _broadcast_target(self, value, ctx: _Ctx, target: gtir.FieldAccess) -> Any:
+        """Broadcast an assignment's RHS to the target's full value shape —
+        (Ni, Nj, Nk) plus the remaining (unindexed) data dimensions for
+        vector/matrix assignments like ``out = mat @ vec`` (reference
+        unrolls these in defir_to_gtir.py:123,195; here they stay whole)."""
+        xp = self.ops.xp
+        shape = self._window_shape(ctx)
+        dd = self._data_shape(target.name)
+        rest = dd[len(target.data_index):] if dd else ()
+        if rest:
+            value = xp.asarray(value)
+            # a grid-shaped value (leading dims == window) gets new trailing
+            # axes; pure data values ((M,) constants) trail-align naturally
+            if value.ndim == 3 and tuple(value.shape) == shape:
+                value = value.reshape(value.shape + (1,) * len(rest))
+            return xp.broadcast_to(value, shape + rest)
+        return xp.broadcast_to(xp.asarray(value), shape)
+
+    def _data_shape(self, name: str) -> tuple[int, ...]:
+        info = self.analyzed.field_infos.get(name)
+        if info is not None:
+            return tuple(info.data_dims or ())
+        w = self.win.get(name)
+        if w is not None and w.ndim > 3:
+            return tuple(w.shape[3:])
+        return ()
 
     # -- expression evaluation --------------------------------------------
 

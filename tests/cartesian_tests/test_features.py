@@ -368,3 +368,118 @@ def test_missing_annotation_rejected():
 
     with pytest.raises(GTScriptDefinitionError):
         build(bad, "numpy")
+
+
+# --- matmul / vector assignment / per-gridpoint data indices ------------------
+
+FieldMat = gtscript.Field[(np.float64, (3, 3))]
+
+
+def matmul_stencil(mat: FieldMat, vec: FieldVec, out: FieldVec):
+    with computation(PARALLEL), interval(...):
+        out = mat @ vec
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_matmul_data_dims(backend):
+    """'@' on data-dimension fields (reference gtscript_frontend.py:1506)
+    with a whole-vector assignment (reference defir_to_gtir.py:123)."""
+    st = build(matmul_stencil, backend)
+    rng = np.random.default_rng(2)
+    mat = rng.random((3, 3, 2, 3, 3))
+    vec = rng.random((3, 3, 2, 3))
+    out = np.zeros((3, 3, 2, 3))
+    st(mat, vec, out)
+    np.testing.assert_allclose(out, np.einsum("...mn,...n->...m", mat, vec))
+
+
+def vector_scale(vec: FieldVec, out: FieldVec, factor: float):
+    with computation(PARALLEL), interval(...):
+        out = vec * factor
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_vector_assignment(backend):
+    st = build(vector_scale, backend)
+    rng = np.random.default_rng(3)
+    vec = rng.random((4, 3, 2, 3))
+    out = np.zeros((4, 3, 2, 3))
+    st(vec, out, factor=2.5)
+    np.testing.assert_allclose(out, vec * 2.5)
+
+
+def dynamic_component_read(vec: FieldVec, sel: gtscript.Field[np.int64], out: Field3D):
+    with computation(PARALLEL), interval(...):
+        out = vec[0, 0, 0][sel]
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_per_gridpoint_data_index_read(backend):
+    st = build(dynamic_component_read, backend)
+    rng = np.random.default_rng(4)
+    vec = rng.random((4, 3, 2, 3))
+    sel = rng.integers(0, 3, (4, 3, 2))
+    out = np.zeros((4, 3, 2))
+    st(vec, sel, out)
+    np.testing.assert_allclose(out, np.take_along_axis(vec, sel[..., None], 3)[..., 0])
+
+
+def dynamic_component_write(vec: FieldVec, sel: gtscript.Field[np.int64], src: Field3D):
+    with computation(PARALLEL), interval(...):
+        vec[0, 0, 0][sel] = src
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_per_gridpoint_data_index_write(backend):
+    st = build(dynamic_component_write, backend)
+    rng = np.random.default_rng(5)
+    vec = np.zeros((4, 3, 2, 3))
+    sel = rng.integers(0, 3, (4, 3, 2))
+    src = rng.random((4, 3, 2))
+    st(vec, sel, src)
+    expected = np.zeros_like(vec)
+    np.put_along_axis(expected, sel[..., None], src[..., None], axis=3)
+    np.testing.assert_allclose(vec, expected)
+
+
+def var_k_vector(vec: FieldVec, idx: gtscript.Field[np.int64], out: FieldVec):
+    with computation(PARALLEL), interval(...):
+        out = vec[0, 0, idx]
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_variable_k_on_data_dims(backend):
+    st = build(var_k_vector, backend)
+    rng = np.random.default_rng(6)
+    vec = rng.random((3, 3, 6, 3))
+    idx = rng.integers(-2, 3, (3, 3, 6))
+    out = np.zeros((3, 3, 6, 3))
+    st(vec, idx, out)
+    kk = np.clip(np.arange(6)[None, None, :] + idx, 0, 5)
+    np.testing.assert_allclose(
+        out, np.take_along_axis(vec, kk[..., None], axis=2)
+    )
+
+
+def nested_while(a: Field3D, b: Field3D):
+    with computation(PARALLEL), interval(...):
+        while a < 8.0:
+            while b < 4.0:
+                b = b + 1.0
+            a = a + b
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_nested_while(backend):
+    st = build(nested_while, backend)
+    a = np.array([[[1.0, 7.5]], [[9.0, 0.0]]])
+    b = np.array([[[0.0, 3.5]], [[1.0, 4.0]]])
+    exp_a, exp_b = a.copy(), b.copy()
+    for i in np.ndindex(exp_a.shape):
+        while exp_a[i] < 8.0:
+            while exp_b[i] < 4.0:
+                exp_b[i] += 1.0
+            exp_a[i] += exp_b[i]
+    st(a, b)
+    np.testing.assert_allclose(a, exp_a)
+    np.testing.assert_allclose(b, exp_b)
