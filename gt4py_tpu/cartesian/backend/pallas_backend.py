@@ -144,9 +144,12 @@ class PallasBackend(JaxBackend):
         if not hasattr(pfn, "call_padded"):
             return _FALLBACK  # tiled strategy: no native-layout API
         nk = domain[2]
+        tables = set(getattr(pfn, "tables", ()))
         # Native chaining needs the domain to cover each field's K extent
         # (the padded buffer holds exactly the domain's K rows).
         for n in pfn.reads:
+            if n in tables:
+                continue  # GlobalTables pass through untouched
             if origins[n][2] != 0 or infos[n].shape[2] != nk:
                 return _FALLBACK
 

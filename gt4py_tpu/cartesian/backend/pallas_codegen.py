@@ -59,7 +59,19 @@ _LANE = 128
 _SUBLANE = 8
 
 
-def _check_supported(analyzed: AnalyzedStencil, *, interpret: bool) -> None:
+#: widest GlobalTable (total entries) served natively via one-hot lookup
+#: (this Mosaic toolchain has no N-D gather — "Only 2D gather is supported")
+_MAX_TABLE_ONEHOT = 64
+
+
+def _check_supported(
+    analyzed: AnalyzedStencil,
+    *,
+    interpret: bool,
+    allow_while: bool = False,
+    allow_k_gather: bool = False,
+    allow_tables: bool = False,
+) -> None:
     from gt4py_tpu import eve
 
     if not interpret:
@@ -74,27 +86,46 @@ def _check_supported(analyzed: AnalyzedStencil, *, interpret: bool) -> None:
                 raise PallasUnsupported(f"64-bit temporary '{t.name}'")
     for p in analyzed.stencil.params:
         if isinstance(p, gtir.GlobalTableDecl):
-            raise PallasUnsupported("GlobalTable")
+            if not allow_tables:
+                raise PallasUnsupported("GlobalTable")
+            if int(np.prod(p.shape)) > _MAX_TABLE_ONEHOT:
+                raise PallasUnsupported(
+                    f"GlobalTable '{p.name}' too large for one-hot lookup"
+                )
         if isinstance(p, gtir.FieldDecl):
             if p.data_dims:
                 raise PallasUnsupported("data dimensions")
             if p.dimensions != (True, True, True):
                 raise PallasUnsupported("non-IJK field")
     for _, _, stmt in analyzed.stencil.walk_stmts():
-        if isinstance(stmt, gtir.While):
-            # lax.while_loop over mutable blocks hangs the Pallas
-            # interpreter; route while-stencils through the XLA path.
+        if isinstance(stmt, gtir.While) and not allow_while:
             raise PallasUnsupported("while loop")
         for node in eve.walk_values(stmt):
             if isinstance(node, gtir.FieldAccess):
-                if node.koffset is not None or node.abs_k is not None:
+                if (
+                    node.koffset is not None or node.abs_k is not None
+                ) and not allow_k_gather:
                     raise PallasUnsupported("variable/absolute K offset")
-                if node.data_index:
+                if node.data_index and not (
+                    allow_tables
+                    and node.name in analyzed.field_infos
+                    and not analyzed.field_infos[node.name].axes
+                ):
                     raise PallasUnsupported("data index")
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _table_2d(shape: tuple[int, ...]) -> tuple[int, int]:
+    """SMEM layout for a GlobalTable: 2-D, minor = last table dim."""
+    if len(shape) == 1:
+        return (1, shape[0])
+    lead = 1
+    for s in shape[:-1]:
+        lead *= s
+    return (lead, shape[-1])
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -114,8 +145,12 @@ class _Plan:
         self.field_ext: dict[str, Extent] = {}
         self.reads: list[str] = []
         self.writes: list[str] = []
+        self.table_shapes: dict[str, tuple[int, ...]] = {}
         for name, info in analyzed.field_infos.items():
             if info.access == AccessKind.NONE:
+                continue
+            if not info.axes:  # GlobalTable: SMEM operand, not a stream
+                self.table_shapes[name] = tuple(info.data_dims)
                 continue
             self.field_ext[name] = analyzed.field_extents.get(name, Extent.zeros())
             self.reads.append(name)  # all accessed fields get DMA'd in
@@ -134,10 +169,17 @@ class _Plan:
         # the K window only budgets the field's domain-escaping extent
         # (ext.k), so K blocking would read past the window — keep the
         # whole K range in one block when any static K offset exists.
+        # Variable/absolute K reads gather over the whole domain K range,
+        # so they force full-K blocks too.
         from gt4py_tpu import eve
 
         self.has_k_offset_reads = any(
-            isinstance(node, gtir.FieldAccess) and node.offset[2] != 0
+            isinstance(node, gtir.FieldAccess)
+            and (
+                node.offset[2] != 0
+                or node.koffset is not None
+                or node.abs_k is not None
+            )
             for _, _, stmt in self.stencil.walk_stmts()
             for node in eve.walk_values(stmt)
         )
@@ -303,6 +345,9 @@ def _probe_arg_shapes(analyzed, domain, origins):
     for name, info in analyzed.field_infos.items():
         if info.access == AccessKind.NONE:
             continue
+        if not info.axes:  # GlobalTable
+            shapes[name] = jax.ShapeDtypeStruct(tuple(info.data_dims), np.dtype(info.dtype))
+            continue
         ext = analyzed.field_extents.get(name, Extent.zeros())
         oi, oj, ok = origins[name]
         shapes[name] = jax.ShapeDtypeStruct(
@@ -427,12 +472,19 @@ def _build_tiled_fn(
     # full operands is never wanted).
     _field_space = getattr(pltpu.MemorySpace, "HBM", pl.ANY) if not interpret else pl.ANY
 
-    _check_supported(analyzed, interpret=interpret)
+    _check_supported(
+        analyzed,
+        interpret=interpret,
+        allow_while=True,
+        allow_k_gather=True,
+        allow_tables=True,
+    )
     ni, nj, nk = domain
     plan = _Plan(analyzed, domain, origins)
     TI, TJ, TK = plan.ti, plan.tj, plan.tk
     reads = plan.reads
     writes = plan.writes
+    tables = sorted(plan.table_shapes)
     scalar_names = [
         n for n, i in analyzed.parameter_infos.items() if i.access != AccessKind.NONE
     ]
@@ -449,6 +501,8 @@ def _build_tiled_fn(
         pos = 0
         sref = {n: refs[pos + i] for i, n in enumerate(scalar_names)}
         pos += len(scalar_names)
+        tref = {n: refs[pos + i] for i, n in enumerate(tables)}
+        pos += len(tables)
         in_refs = {n: refs[pos + i] for i, n in enumerate(reads)}
         pos += len(reads)
         out_refs = {n: refs[pos + i] for i, n in enumerate(writes)}
@@ -488,7 +542,7 @@ def _build_tiled_fn(
         for dma in dmas:
             dma.wait()
 
-        ev = _BlockEvaluator(plan, blocks, sref, k0, i0, j0)
+        ev = _BlockEvaluator(plan, blocks, sref, k0, i0, j0, tables=tref)
         ev.run()
 
         out_dmas = []
@@ -557,11 +611,14 @@ def _build_tiled_fn(
             padded[n] = jnp.pad(kf, ((0, bk), (fi, bi), (fj, bj)))
 
         scalar_args = [jnp.asarray(scalars[n]).reshape(1, 1) for n in scalar_names]
+        table_args = [
+            jnp.asarray(arrays[n]).reshape(_table_2d(plan.table_shapes[n]))
+            for n in tables
+        ]
         in_args = [padded[n] for n in reads]
         out_shapes = [jax.ShapeDtypeStruct(padded[n].shape, padded[n].dtype) for n in writes]
-        aliases = {
-            len(scalar_names) + reads.index(n): wi for wi, n in enumerate(writes)
-        }
+        n_lead = len(scalar_names) + len(tables)
+        aliases = {n_lead + reads.index(n): wi for wi, n in enumerate(writes)}
         scratch_shapes = [
             pltpu.VMEM(plan._block_shape(n, TI, TJ, TK), dtypes[n])
             for n in plan.field_ext
@@ -579,7 +636,8 @@ def _build_tiled_fn(
             results = pl.pallas_call(
                 kernel,
                 grid=plan.grid,
-                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * len(scalar_names)
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                * (len(scalar_names) + len(tables))
                 + [pl.BlockSpec(memory_space=_field_space)] * len(reads),
                 out_specs=[pl.BlockSpec(memory_space=_field_space)] * len(writes),
                 out_shape=out_shapes,
@@ -589,7 +647,7 @@ def _build_tiled_fn(
                     vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024,
                 ),
                 interpret=interpret,
-            )(*scalar_args, *in_args)
+            )(*scalar_args, *table_args, *in_args)
         if len(writes) == 1 and not isinstance(results, (tuple, list)):
             results = (results,)
 
@@ -616,14 +674,19 @@ class _BlockEvaluator:
     global K range (k0 is traced).
     """
 
-    def __init__(self, plan: _Plan, blocks, scalars, k0, i0, j0):
+    def __init__(self, plan: _Plan, blocks, scalars, k0, i0, j0, tables=None, refs=None):
         self.plan = plan
         self.blocks = blocks
         self.scalars = scalars
+        self.tables = tables or {}
         self.k0 = k0
         self.i0 = i0
         self.j0 = j0
         self.nk = plan.domain[2]
+        #: names whose blocks are MUTABLE REFS (vs traced values)
+        self._refs = set(refs) if refs is not None else set(plan.field_ext)
+        #: while-loop body evaluation: all writes go to carried VALUES
+        self._value_mode = False
 
     def _i_base(self, name: str) -> int:
         ext = self.plan.field_ext[name]
@@ -694,8 +757,136 @@ class _BlockEvaluator:
             value = self._broadcast(self.eval_expr(stmt.value, ctx), ctx)
             mask = self._full_mask(stmt, ctx, k_interval)
             self._write(stmt.target.name, value, mask, ctx)
+        elif isinstance(stmt, gtir.While):
+            self._exec_while(stmt, ctx, k_interval)
         else:
             raise PallasUnsupported(type(stmt).__name__)
+
+    def _exec_while(self, stmt: gtir.While, ctx, k_interval, outer_mask=None) -> None:
+        """Vectorized while over the block: every involved buffer becomes a
+        carried VALUE of one ``lax.while_loop`` (value-carried loops compile
+        in Mosaic and the interpreter; ref mutation inside loop bodies does
+        not interpret reliably), body writes are masked by the per-point
+        iteration condition, and refs are stored back once after the loop."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from gt4py_tpu import eve
+        from gt4py_tpu.cartesian.passes.extents import iter_writes
+
+        involved = sorted(
+            {w.name for w in iter_writes(stmt)}
+            | {
+                a.name
+                for a in eve.walk_type(stmt, gtir.FieldAccess)
+                if a.name in self.blocks
+            }
+        )
+        nested = self._value_mode
+        ref_names = []
+        if not nested:
+            if not hasattr(self, "_ref_store"):
+                self._ref_store = {}
+            for n in involved:
+                if n in self._refs:  # a mutable ref
+                    ref_names.append(n)
+                    self._ref_store[n] = self.blocks[n]
+                    self.blocks[n] = self.blocks[n][...]  # -> carried value
+
+        def mask_now():
+            self._memo = {}
+            m = self._broadcast(self.eval_expr(stmt.cond, ctx), ctx)
+            extra = self._full_mask(stmt, ctx, k_interval)
+            if extra is not None:
+                m = jnp.logical_and(m, extra)
+            if outer_mask is not None:
+                m = jnp.logical_and(m, outer_mask)
+            return m
+
+        def body_exec(it_mask):
+            for s in stmt.body:
+                self._memo = {}
+                if isinstance(s, gtir.Assign):
+                    value = self._broadcast(self.eval_expr(s.value, ctx), ctx)
+                    smask = self._full_mask(s, ctx, None)
+                    total = (
+                        it_mask if smask is None else jnp.logical_and(it_mask, smask)
+                    )
+                    self._write(s.target.name, value, total, ctx)
+                elif isinstance(s, gtir.While):
+                    self._exec_while(s, ctx, k_interval, outer_mask=it_mask)
+                else:
+                    raise PallasUnsupported(type(s).__name__)
+
+        def cond_fn(state):
+            for n, v in zip(involved, state):
+                self.blocks[n] = v
+            # float32 sum instead of jnp.any: Mosaic lowers reduce_or/`sum`
+            # of ints through a proxy traced at COMPILE time, where the
+            # globally-enabled x64 promotes to 64-bit types the lowering
+            # then rejects; float32 accumulation never promotes.
+            return jnp.sum(mask_now().astype(jnp.float32)) > 0.0
+
+        def body_fn(state):
+            for n, v in zip(involved, state):
+                self.blocks[n] = v
+            was = self._value_mode
+            self._value_mode = True
+            body_exec(mask_now())
+            self._value_mode = was
+            return tuple(self.blocks[n] for n in involved)
+
+        state0 = tuple(self.blocks[n] for n in involved)
+        final = lax.while_loop(cond_fn, body_fn, state0)
+        for n, v in zip(involved, final):
+            self.blocks[n] = v
+        if not nested:
+            for n in ref_names:
+                ref = self._ref_store[n]
+                ref[...] = self.blocks[n]  # store the loop's result back
+                self.blocks[n] = ref
+
+    def _write_value(self, name: str, value, mask, ctx) -> None:
+        """Blend a (possibly partial) write into the carried VALUE of
+        ``name`` — used inside while-loop bodies where refs cannot mutate.
+        Mosaic lacks scatter/dynamic_update_slice on values, so the blend is
+        pad + positional-iota masks; a traced sequential k selects its row
+        by iota comparison."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        ext, ks, ke, k_seq = ctx
+        NK, NI, NJ = self._shape(ctx)
+        xi = self._i_base(name) + ext.i[0]
+        xj = self._j_base(name) + ext.j[0]
+        kb = self._k_base(name)
+        cur = self.blocks[name]
+        value = value.astype(cur.dtype)
+        if mask is not None:
+            old = self._read(gtir.FieldAccess(name=name, offset=(0, 0, 0)), ctx)
+            value = jnp.where(mask, value, old)
+        SK, SI, SJ = cur.shape
+        if k_seq is None and (kb + ks, xi, xj) == (0, 0, 0) and value.shape == cur.shape:
+            self.blocks[name] = value
+            return
+        kk = lax.broadcasted_iota(jnp.int32, cur.shape, 0)
+        if k_seq is None:
+            padded = jnp.pad(
+                value,
+                ((kb + ks, SK - kb - ke), (xi, SI - xi - NI), (xj, SJ - xj - NJ)),
+            )
+            kcond = (kk >= kb + ks) & (kk < kb + ke)
+        else:
+            padded = jnp.broadcast_to(
+                jnp.pad(value, ((0, 0), (xi, SI - xi - NI), (xj, SJ - xj - NJ))),
+                (SK, SI, SJ),
+            )
+            kcond = kk == (kb + k_seq)
+        ii = lax.broadcasted_iota(jnp.int32, cur.shape, 1)
+        jj = lax.broadcasted_iota(jnp.int32, cur.shape, 2)
+        inside = kcond & (ii >= xi) & (ii < xi + NI) & (jj >= xj) & (jj < xj + NJ)
+        self.blocks[name] = jnp.where(inside, padded, cur)
 
     def _full_mask(self, stmt, ctx, k_interval):
         import jax.numpy as jnp
@@ -757,8 +948,12 @@ class _BlockEvaluator:
     def _read(self, access: gtir.FieldAccess, ctx):
         from jax.experimental import pallas as pl
 
-        ext, ks, ke, k_seq = ctx
         name = access.name
+        if name in getattr(self.plan, "table_shapes", {}):
+            return self._table_lookup(access, ctx)
+        if access.koffset is not None or access.abs_k is not None:
+            return self._read_k_gather(access, ctx)
+        ext, ks, ke, k_seq = ctx
         block = self.blocks[name]
         di, dj, dk = access.offset
         NK, NI, NJ = self._shape(ctx)
@@ -767,12 +962,110 @@ class _BlockEvaluator:
         kb = self._k_base(name)
         if k_seq is None:
             return block[kb + ks + dk : kb + ke + dk, xi : xi + NI, xj : xj + NJ]
-        return block[pl.ds(kb + k_seq + dk, 1), xi : xi + NI, xj : xj + NJ]
+        if isinstance(k_seq, (int, np.integer)):
+            r = kb + int(k_seq) + dk
+            return block[r : r + 1, xi : xi + NI, xj : xj + NJ]
+        try:
+            return block[pl.ds(kb + k_seq + dk, 1), xi : xi + NI, xj : xj + NJ]
+        except (IndexError, TypeError):
+            # carried VALUE indexed at a traced row: one-hot reduce over K
+            import jax.numpy as jnp
+            from jax import lax
+
+            sub = block[:, xi : xi + NI, xj : xj + NJ]
+            kk = lax.broadcasted_iota(jnp.int32, sub.shape, 0)
+            sel = jnp.where(kk == (kb + k_seq + dk), sub, jnp.zeros_like(sub))
+            return jnp.sum(sel, axis=0, keepdims=True).astype(sub.dtype)
+
+    def _table_lookup(self, access: gtir.FieldAccess, ctx):
+        """GlobalTable read: scalar SMEM loads, dynamic indices via one-hot
+        selection over the (small) table — this Mosaic has no N-D gather."""
+        import jax.numpy as jnp
+
+        name = access.name
+        tref = self.tables[name]
+        shape = self.plan.table_shapes[name]
+        idx_vals = []
+        static = []
+        for e in access.data_index:
+            v = self.eval_expr(e, ctx)
+            if isinstance(v, (int, np.integer)) or (
+                isinstance(v, np.ndarray) and v.ndim == 0
+            ):
+                static.append(int(v))
+                idx_vals.append(None)
+            else:
+                static.append(None)
+                idx_vals.append(self._broadcast(v, ctx).astype(jnp.int32))
+
+        def t_at(multi):
+            row, col = (0, multi[0]) if len(shape) == 1 else (
+                int(np.ravel_multi_index(multi[:-1], shape[:-1])),
+                multi[-1],
+            )
+            return tref[row, col]
+
+        if all(s is not None for s in static):
+            return t_at(tuple(static))
+        import itertools
+
+        acc = None
+        spaces = [
+            [s] if s is not None else range(dim) for s, dim in zip(static, shape)
+        ]
+        for multi in itertools.product(*spaces):
+            cond = None
+            for d, v in enumerate(multi):
+                if static[d] is not None:
+                    continue
+                c = idx_vals[d] == v
+                cond = c if cond is None else jnp.logical_and(cond, c)
+            entry = t_at(multi)
+            acc = (
+                jnp.where(cond, entry, acc)
+                if acc is not None
+                else jnp.where(cond, entry, jnp.zeros(self._shape(ctx), tref.dtype))
+            )
+        return acc
+
+    def _read_k_gather(self, access: gtir.FieldAccess, ctx):
+        """Variable/absolute K read: one-hot select over the block's K rows
+        (full-K blocks are guaranteed — the plan forces tk == nk)."""
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+
+        ext, ks, ke, k_seq = ctx
+        name = access.name
+        block = self.blocks[name]
+        di, dj, dk = access.offset
+        NK, NI, NJ = self._shape(ctx)
+        xi = self._i_base(name) + ext.i[0] + di
+        xj = self._j_base(name) + ext.j[0] + dj
+        kb = self._k_base(name)
+        if access.abs_k is not None:
+            kidx = self._broadcast(self.eval_expr(access.abs_k, ctx), ctx)
+        else:
+            koff = self._broadcast(self.eval_expr(access.koffset, ctx), ctx)
+            if k_seq is not None:
+                kcur = k_seq
+            else:
+                from jax import lax
+
+                kcur = lax.broadcasted_iota(jnp.int32, (NK, NI, NJ), 0) + ks + self.k0
+            kidx = kcur + dk + koff
+        kidx = jnp.clip(kidx.astype(jnp.int32), 0, self.nk - 1)
+        acc = None
+        for k in range(self.nk):
+            row = block[pl.ds(kb + k, 1), xi : xi + NI, xj : xj + NJ]
+            acc = row if acc is None else jnp.where(kidx == k, row, acc)
+        return acc
 
     def _write(self, name: str, value, mask, ctx) -> None:
         import jax.numpy as jnp
         from jax.experimental import pallas as pl
 
+        if self._value_mode:
+            return self._write_value(name, value, mask, ctx)
         ext, ks, ke, k_seq = ctx
         block = self.blocks[name]
         NK, NI, NJ = self._shape(ctx)
@@ -859,8 +1152,6 @@ def _plane_eligible(analyzed: AnalyzedStencil) -> bool:
         if isinstance(p, gtir.FieldDecl) and p.dimensions != (True, True, True):
             return False
     for _, _, stmt in analyzed.stencil.walk_stmts():
-        if isinstance(stmt, gtir.While):
-            return False
         for node in eve.walk_values(stmt):
             if isinstance(node, gtir.FieldAccess):
                 if node.offset[2] != 0 or node.koffset is not None or node.abs_k is not None:
@@ -1073,8 +1364,12 @@ class _PlanePlanShim:
         self.field_ext: dict[str, Extent] = {}
         self.reads: list[str] = []
         self.writes: list[str] = []
+        self.table_shapes: dict[str, tuple[int, ...]] = {}
         for name, info in analyzed.field_infos.items():
             if info.access == AccessKind.NONE:
+                continue
+            if not info.axes:  # GlobalTable: SMEM operand, not a stream
+                self.table_shapes[name] = tuple(info.data_dims)
                 continue
             self.field_ext[name] = analyzed.field_extents.get(name, Extent.zeros())
             self.reads.append(name)
@@ -1113,8 +1408,9 @@ class _PlaneEvaluator(_BlockEvaluator):
         # temporaries are traced values. Mosaic implements neither
         # `scatter` nor `dynamic_update_slice` on values, so a partial
         # value write (temp written on a K-subinterval) blends via
-        # pad + positional masks instead.
-        if name not in self.plan.temps:
+        # pad + positional masks instead. Inside while-loop bodies
+        # (_value_mode) EVERYTHING is a carried value.
+        if name not in self.plan.temps and not self._value_mode:
             return super()._write(name, value, mask, ctx)
         import jax.numpy as jnp
         from jax import lax
@@ -1160,6 +1456,7 @@ class _PlaneEvaluator(_BlockEvaluator):
         return mask
 
 
+
 def build_plane_fn(
     analyzed: AnalyzedStencil,
     domain: tuple[int, int, int],
@@ -1175,12 +1472,15 @@ def build_plane_fn(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    _check_supported(analyzed, interpret=interpret)
+    _check_supported(
+        analyzed, interpret=interpret, allow_while=True, allow_tables=True
+    )
     ni, nj, nk = domain
     nkp = _round_up(nk, tk)
     plan = _PlanePlanShim(analyzed, domain, origins, tk, nkp)
     reads = plan.reads
     writes = plan.writes
+    tables = sorted(plan.table_shapes)
     scalar_names = [
         n for n, i in analyzed.parameter_infos.items() if i.access != AccessKind.NONE
     ]
@@ -1203,6 +1503,8 @@ def build_plane_fn(
         pos = 0
         sref = {n: refs[pos + i] for i, n in enumerate(scalar_names)}
         pos += len(scalar_names)
+        tref = {n: refs[pos + i] for i, n in enumerate(tables)}
+        pos += len(tables)
         in_refs = {n: refs[pos + i] for i, n in enumerate(reads)}
         pos += len(reads)
         out_refs = {n: refs[pos + i] for i, n in enumerate(writes)}
@@ -1224,7 +1526,7 @@ def build_plane_fn(
             blocks[n] = jnp.zeros(temp_shapes[n], dtypes[n])
 
         k0 = pl.program_id(0) * tk
-        ev = _PlaneEvaluator(plan, blocks, sref, k0, 0, 0)
+        ev = _PlaneEvaluator(plan, blocks, sref, k0, 0, 0, tables=tref, refs=set(writes))
         ev.run()
 
     def encode(n: str, a: Any) -> Any:
@@ -1232,7 +1534,10 @@ def build_plane_fn(
 
         Aligns K so domain k=0 is row 0 (per-field K origins differ;
         BlockSpec offsets are block-granular so alignment happens here).
+        GlobalTables pass through as 2-D SMEM operands.
         """
+        if n in plan.table_shapes:
+            return jnp.asarray(a).reshape(_table_2d(plan.table_shapes[n]))
         ok = origins[n][2]
         kf = jnp.transpose(a, (2, 0, 1))
         rows = kf[ok : ok + min(nk, kf.shape[0] - ok)]
@@ -1245,13 +1550,13 @@ def build_plane_fn(
         """Run the kernel on already-encoded blocks; chained stencil steps
         stay in native layout with zero per-step conversion cost."""
         scalar_args = [jnp.asarray(scalars[n]).reshape(1, 1) for n in scalar_names]
+        table_args = [padded[n] for n in tables]
         in_args = [padded[n] for n in reads]
         out_shapes = [
             jax.ShapeDtypeStruct(padded[n].shape, padded[n].dtype) for n in writes
         ]
-        aliases = {
-            len(scalar_names) + reads.index(n): wi for wi, n in enumerate(writes)
-        }
+        n_lead = len(scalar_names) + len(tables)
+        aliases = {n_lead + reads.index(n): wi for wi, n in enumerate(writes)}
 
         def block_spec(n):
             shape = padded[n].shape
@@ -1264,13 +1569,13 @@ def build_plane_fn(
             results = pl.pallas_call(
                 kernel,
                 grid=(nkp // tk,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * len(scalar_names)
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * n_lead
                 + [block_spec(n) for n in reads],
                 out_specs=[block_spec(n) for n in writes],
                 out_shape=out_shapes,
                 input_output_aliases=aliases,
                 interpret=interpret,
-            )(*scalar_args, *in_args)
+            )(*scalar_args, *table_args, *in_args)
         if len(writes) == 1 and not isinstance(results, (tuple, list)):
             results = (results,)
         return dict(zip(writes, results))
@@ -1286,14 +1591,15 @@ def build_plane_fn(
         return jnp.transpose(rows, (1, 2, 0))
 
     def fn(arrays: dict[str, Any], scalars: dict[str, Any]) -> dict[str, Any]:
-        padded = {n: encode(n, arrays[n]) for n in reads}
+        padded = {n: encode(n, arrays[n]) for n in reads + tables}
         results = call_padded(padded, scalars)
         return {n: decode(n, r, arrays[n]) for n, r in results.items()}
 
     fn.encode = encode
     fn.decode = decode
     fn.call_padded = call_padded
-    fn.reads = tuple(reads)
+    fn.reads = tuple(reads) + tuple(tables)
+    fn.tables = tuple(tables)
     fn.writes = tuple(writes)
     fn.strategy = "plane"
     return fn

@@ -90,14 +90,44 @@ def test_runtime_if(rng):
 
 
 def test_while(rng):
+    """While loops run natively (value-carried lax.while_loop inside the
+    kernel): the BACKWARD canonical stencil lands in the tiled strategy."""
     st = build(defs.while_stencil)
     a = rng.random((6, 6, 2)) * 4.0
     b = np.zeros_like(a)
     exp_a, exp_b = defs.validate_while(a, b)
-    # While stencils currently fall back to the XLA path (warned at first
-    # call, when the kernel is built).
-    with pytest.warns(UserWarning, match="falling back"):
-        st(a, b)
+    exec_info = {}
+    st(a, b, exec_info=exec_info)
+    assert exec_info["pallas_strategy"] == "tiled"
+    np.testing.assert_allclose(a, exp_a)
+    np.testing.assert_allclose(b, exp_b)
+
+
+def test_while_parallel_plane(rng):
+    """PARALLEL while loops run in the plane strategy."""
+    from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval
+
+    F = gtscript.Field[np.float64]
+
+    def grow(a: F, b: F):
+        with computation(PARALLEL), interval(...):
+            while a < 8.0:
+                while b < 4.0:
+                    b = b + 1.0
+                a = a + b
+
+    st = build(grow)
+    a = rng.random((6, 6, 3)) * 10.0
+    b = rng.random((6, 6, 3)) * 5.0
+    exp_a, exp_b = a.copy(), b.copy()
+    for i in np.ndindex(exp_a.shape):
+        while exp_a[i] < 8.0:
+            while exp_b[i] < 4.0:
+                exp_b[i] += 1.0
+            exp_a[i] += exp_b[i]
+    exec_info = {}
+    st(a, b, exec_info=exec_info)
+    assert exec_info["pallas_strategy"] == "plane"
     np.testing.assert_allclose(a, exp_a)
     np.testing.assert_allclose(b, exp_b)
 
@@ -114,18 +144,46 @@ def test_region(rng):
     np.testing.assert_allclose(a, expected)
 
 
-def test_fallback_for_unsupported(rng):
-    """Variable K offsets fall back to the XLA path with a warning."""
+def test_variable_k_served_by_tiled_kernel(rng):
+    """Variable K offsets run natively in the tiled strategy (one-hot
+    K-row selection — this Mosaic has no N-D gather)."""
     from .test_features import var_k_stencil
 
-    with pytest.warns(UserWarning, match="falling back"):
-        st = build(var_k_stencil)
-        a = rng.random((4, 4, 6))
-        idx = rng.integers(-2, 3, (4, 4, 6))
-        out = np.zeros((4, 4, 6))
-        st(a, idx, out)
+    st = build(var_k_stencil)
+    a = rng.random((4, 4, 6))
+    idx = rng.integers(-2, 3, (4, 4, 6))
+    out = np.zeros((4, 4, 6))
+    exec_info = {}
+    st(a, idx, out, exec_info=exec_info)
+    assert exec_info["pallas_strategy"] == "tiled"
     kk = np.clip(np.arange(6)[None, None, :] + idx, 0, 5)
     np.testing.assert_allclose(out, np.take_along_axis(a, kk, axis=2))
+
+
+def test_global_table_served_natively(rng):
+    from .test_features import table_lookup_plain
+
+    st = build(table_lookup_plain)
+    table = np.array([10.0, 20.0, 30.0, 40.0])
+    idx = rng.integers(0, 4, (3, 3, 2))
+    out = np.zeros((3, 3, 2))
+    exec_info = {}
+    st(idx, out, table, exec_info=exec_info)
+    assert exec_info["pallas_strategy"] in ("plane", "tiled")
+    np.testing.assert_allclose(out, table[idx])
+
+
+def test_fallback_for_unsupported(rng):
+    """Data-dimension fields still fall back to the XLA path (warned at
+    first call, when the kernel is built)."""
+    from .test_features import data_dims_stencil
+
+    with pytest.warns(UserWarning, match="falling back"):
+        st = build(data_dims_stencil)
+        vec = rng.random((3, 3, 2, 3))
+        out = np.zeros((3, 3, 2))
+        st(vec, out)
+    np.testing.assert_allclose(out, vec[..., 0] + 2 * vec[..., 1] + 3 * vec[..., 2])
 
 
 def test_k_blocked_parallel(rng, monkeypatch):
