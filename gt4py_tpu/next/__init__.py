@@ -55,3 +55,9 @@ from gt4py_tpu.next.field_utils import asnumpy  # noqa: F401
 from gt4py_tpu.next.named_collections import named_collection  # noqa: F401
 from gt4py_tpu.next.experimental import as_offset  # noqa: F401
 from gt4py_tpu.next.otf import CompilationOptions, CompiledProgramsPool  # noqa: F401
+
+# Pretty, compact reporting for DSL errors reaching the top level
+# (reference installs its excepthook on import, next/errors/excepthook.py:40).
+from gt4py_tpu.next.errors import install_excepthook as _install_excepthook
+
+_install_excepthook()

@@ -152,8 +152,10 @@ class FieldOperator:
 
 def field_operator(definition: Optional[Callable] = None, *, backend: str | None = "jax"):
     """Declare a field operator (reference decorator.py:749)."""
+    from gt4py_tpu.next.frontend_validation import validate_definition
 
     def wrap(fn):
+        validate_definition(fn, kind="field_operator")
         return functools.wraps(fn)(FieldOperator(fn, backend))
 
     return wrap(definition) if definition is not None else wrap
@@ -260,7 +262,10 @@ def scan_operator(
 ):
     """Declare a column scan operator (reference decorator.py:825)."""
 
+    from gt4py_tpu.next.frontend_validation import validate_definition
+
     def wrap(fn):
+        validate_definition(fn, kind="scan_operator")
         return functools.wraps(fn)(ScanOperator(fn, axis, forward, init, backend))
 
     return wrap(definition) if definition is not None else wrap
@@ -298,7 +303,10 @@ class Program:
 
 
 def program(definition: Optional[Callable] = None, *, backend: str | None = "jax"):
+    from gt4py_tpu.next.frontend_validation import validate_definition
+
     def wrap(fn):
+        validate_definition(fn, kind="program")
         return functools.wraps(fn)(Program(fn, backend))
 
     return wrap(definition) if definition is not None else wrap
