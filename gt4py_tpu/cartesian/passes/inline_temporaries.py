@@ -205,6 +205,28 @@ def inline_temporaries(
 def _substitute_stmt(stmt: gtir.Stmt, defs: dict[str, gtir.Expr]) -> gtir.Stmt:
     if not defs:
         return stmt
+    if isinstance(stmt, gtir.While):
+        # A while ITERATES: a def is only valid inside if nothing the loop
+        # writes invalidates it (neither the def'd temp itself nor any
+        # field its expression reads) — otherwise the substitution would
+        # freeze the iteration state at its pre-loop value.
+        from gt4py_tpu.cartesian.passes.extents import iter_writes
+
+        body_writes = {w.name for w in iter_writes(stmt)}
+        live = {
+            k: v
+            for k, v in defs.items()
+            if k not in body_writes and not (_reads_of(v) & body_writes)
+        }
+        if not live:
+            return stmt
+        sub = _Substituter(live)
+        new_cond = sub.visit(stmt.cond)
+        new_mask = sub.visit(stmt.mask) if stmt.mask is not None else None
+        new_body = [_substitute_stmt(s, live) for s in stmt.body]
+        if not sub.hit and all(a is b for a, b in zip(new_body, stmt.body)):
+            return stmt
+        return stmt.copy(cond=new_cond, mask=new_mask, body=new_body)
     sub = _Substituter(defs)
     if isinstance(stmt, gtir.Assign):
         new_value = sub.visit(stmt.value)
@@ -212,13 +234,6 @@ def _substitute_stmt(stmt: gtir.Stmt, defs: dict[str, gtir.Expr]) -> gtir.Stmt:
         if not sub.hit:
             return stmt
         return stmt.copy(value=new_value, mask=new_mask)
-    if isinstance(stmt, gtir.While):
-        new_cond = sub.visit(stmt.cond)
-        new_mask = sub.visit(stmt.mask) if stmt.mask is not None else None
-        new_body = [_substitute_stmt(s, defs) for s in stmt.body]
-        if not sub.hit and all(a is b for a, b in zip(new_body, stmt.body)):
-            return stmt
-        return stmt.copy(cond=new_cond, mask=new_mask, body=new_body)
     return stmt
 
 

@@ -31,7 +31,7 @@ def _make_test(suite: type, backend: str, dtype: np.dtype):
     symbols: dict[str, SymbolDescriptor] = suite.symbols
     domain_range = suite.domain_range
     boundary = global_boundaries(symbols)
-    max_examples = getattr(suite, "max_examples", 5)
+    max_examples = getattr(suite, "max_examples", 25)
 
     definition = suite.definition
     validation = suite.validation

@@ -12,9 +12,20 @@ from gt4py_tpu.cartesian import gtscript
 from gt4py_tpu.cartesian.gtscript import (
     BACKWARD,
     FORWARD,
+    I,
+    J,
     PARALLEL,
+    __INLINED,
+    ceil,
     computation,
+    cos,
+    exp,
+    floor,
+    horizontal,
     interval,
+    log,
+    region,
+    sin,
     sqrt,
 )
 
@@ -384,3 +395,228 @@ def vertical_advection_dycore_generic(
             utens_stage = dtr_stage * (datacol - u_pos[0, 0, 0])
 
 
+
+
+# =============================================================================
+# Canonical multi-feature registry (reference pattern:
+# tests/cartesian_tests/integration_tests/multi_feature_tests/
+# stencil_definitions.py:206-328 — 30+ stencils compiled and cross-checked
+# on every registered backend). Each entry: definition + build options;
+# the registry test runs every backend against the `numpy` oracle.
+# =============================================================================
+
+REGISTRY: dict = {}
+
+
+def register(_func=None, *, externals=None, dtypes=None, scalars=None, min_k=1):
+    def deco(func):
+        REGISTRY[func.__name__] = {
+            "definition": func,
+            "externals": externals or {},
+            "dtypes": dtypes or {},
+            "scalars": scalars or {},
+            "min_k": min_k,
+        }
+        return func
+
+    return deco(_func) if _func is not None else deco
+
+
+for _name, _mink in (
+    ("copy_stencil", 1), ("arithmetic_ops", 1), ("function_call", 1),
+    ("temporary_stencil", 1), ("runtime_if", 1), ("while_stencil", 1),
+    ("horizontal_diffusion", 1), ("tridiagonal_solver", 2),
+    ("large_k_interval", 16),
+):
+    REGISTRY[_name] = {
+        "definition": globals()[_name], "externals": {}, "dtypes": {},
+        "scalars": {"scalar_in": 1.5} if _name in ("scalar_inputs", "temporary_stencil") else {},
+        "min_k": _mink,
+    }
+REGISTRY["vertical_advection_dycore"] = {
+    "definition": vertical_advection_dycore, "externals": VADV_EXTERNALS,
+    "dtypes": {}, "scalars": {"dtr_stage": 0.15}, "min_k": 3,
+}
+
+FieldI64 = gtscript.Field[np.int64]
+FieldVec3 = gtscript.Field[(np.float64, (3,))]
+FieldMat33 = gtscript.Field[(np.float64, (3, 3))]
+FieldK = gtscript.Field[gtscript.K, np.float64]
+Table4 = gtscript.GlobalTable[(np.float64, (4,))]
+Table22 = gtscript.GlobalTable[(np.float64, (2, 2))]
+
+
+@register
+def shift_all_directions(inp: Field3D, out: Field3D):
+    with computation(PARALLEL), interval(1, -1):
+        out = (
+            inp[1, 0, 0] + inp[-1, 0, 0] + inp[0, 1, 0] + inp[0, -1, 0]
+            + inp[0, 0, 1] + inp[0, 0, -1]
+        )
+
+
+@register
+def lap_of_lap(inp: Field3D, out: Field3D):
+    with computation(PARALLEL), interval(...):
+        lap = inp[1, 0, 0] + inp[-1, 0, 0] + inp[0, 1, 0] + inp[0, -1, 0] - 4.0 * inp
+        out = lap[1, 0, 0] + lap[-1, 0, 0] + lap[0, 1, 0] + lap[0, -1, 0] - 4.0 * lap
+
+
+@register
+def native_function_zoo(a: Field3D, b: Field3D, out: Field3D):
+    with computation(PARALLEL), interval(...):
+        out = (
+            sin(a) + cos(b) + exp(-abs(a)) + log(1.0 + abs(b))
+            + min(a, b) + max(a, b) + floor(a) + ceil(b) + sqrt(abs(a) + 1.0)
+        )
+
+
+@register(externals={"USE_FAST": True, "WEIGHT": 0.25})
+def compile_time_if(inp: Field3D, out: Field3D):
+    from __externals__ import USE_FAST, WEIGHT
+
+    with computation(PARALLEL), interval(...):
+        if __INLINED(USE_FAST):
+            out = inp * WEIGHT
+        else:
+            out = inp * 0.125
+
+
+@register
+def ternary_and_masks(a: Field3D, b: Field3D, out: Field3D):
+    with computation(PARALLEL), interval(...):
+        tmp = a if a > b else b
+        if tmp > 0.5:
+            out = tmp * 2.0
+        else:
+            out = tmp - b
+
+
+@register
+def region_interaction(inp: Field3D, out: Field3D):
+    with computation(PARALLEL), interval(...):
+        out = inp
+        with horizontal(region[I[0]:I[2], :]):
+            out = inp * 10.0
+        with horizontal(region[:, J[-1]]):
+            out = 0.0
+        with horizontal(region[I[-1], J[0]]):
+            out = -1.0
+
+
+@register
+def forward_cumsum(inp: Field3D, out: Field3D):
+    with computation(FORWARD):
+        with interval(0, 1):
+            out = inp
+        with interval(1, None):
+            out = out[0, 0, -1] + inp
+
+
+@register
+def backward_cumsum(inp: Field3D, out: Field3D):
+    with computation(BACKWARD):
+        with interval(-1, None):
+            out = inp
+        with interval(0, -1):
+            out = out[0, 0, 1] + inp
+
+
+@register(min_k=6)
+def multi_section_forward(inp: Field3D, out: Field3D):
+    with computation(FORWARD):
+        with interval(0, 2):
+            out = inp * 2.0
+        with interval(2, -2):
+            out = out[0, 0, -1] + inp
+        with interval(-2, None):
+            out = out[0, 0, -1] * 0.5
+
+
+@register(min_k=2, scalars={"cs": 0.18})
+def dycore_smagorinsky_like(u: Field3D, v: Field3D, out_u: Field3D, cs: float):
+    """PARALLEL shear computation + FORWARD column damping (multi-loop
+    dycore shape: horizontal stage feeding a sequential stage)."""
+    with computation(PARALLEL), interval(...):
+        shear = (u[0, 1, 0] - u[0, -1, 0]) * 0.5 + (v[1, 0, 0] - v[-1, 0, 0]) * 0.5
+        tension = (u[1, 0, 0] - u[-1, 0, 0]) * 0.5 - (v[0, 1, 0] - v[0, -1, 0]) * 0.5
+        smag = cs * sqrt(shear * shear + tension * tension)
+    with computation(FORWARD):
+        with interval(0, 1):
+            out_u = u + smag
+        with interval(1, None):
+            out_u = u + smag + 0.1 * out_u[0, 0, -1]
+
+
+@register
+def variable_k_shift(a: Field3D, idx: FieldI64, out: Field3D):
+    with computation(PARALLEL), interval(...):
+        out = a[0, 0, idx]
+
+
+@register
+def absolute_k_reference(a: Field3D, out: Field3D):
+    with computation(PARALLEL), interval(...):
+        out = a - a.at(K=0)
+
+
+@register
+def table_lookup(idx: FieldI64, out: Field3D, table: Table4):
+    with computation(PARALLEL), interval(...):
+        out = table[idx]
+
+
+@register
+def table_lookup_2d(i0: FieldI64, i1: FieldI64, out: Field3D, table: Table22):
+    with computation(PARALLEL), interval(...):
+        out = table[i0, i1]
+
+
+@register(scalars={"alpha": 1.75})
+def vector_axpy(x: FieldVec3, y: FieldVec3, out: FieldVec3, alpha: float):
+    with computation(PARALLEL), interval(...):
+        out = x * alpha + y
+
+
+@register
+def matvec_product(mat: FieldMat33, vec: FieldVec3, out: FieldVec3):
+    with computation(PARALLEL), interval(...):
+        out = mat @ vec
+
+
+@register
+def component_extract(vec: FieldVec3, sel: FieldI64, out: Field3D):
+    with computation(PARALLEL), interval(...):
+        out = vec[0, 0, 0][sel]
+
+
+@register
+def k_profile_scale(inp: Field3D, prof: FieldK, out: Field3D):
+    with computation(PARALLEL), interval(...):
+        out = inp * prof
+
+
+@register
+def newton_sqrt_while(a: Field3D, out: Field3D):
+    with computation(PARALLEL), interval(...):
+        guess = a * 0.5 + 0.5
+        err = guess * guess - a
+        while (err > 1e-10) or (err < -1e-10):
+            guess = 0.5 * (guess + a / guess)
+            err = guess * guess - a
+        out = guess
+
+
+@register(min_k=2, scalars={"dt": 0.1})
+def heat_step(t: Field3D, out: Field3D, dt: float):
+    """Explicit heat equation step with a vertical implicit-ish smoothing
+    pass (PARALLEL laplacian + FORWARD/BACKWARD relaxations)."""
+    with computation(PARALLEL), interval(...):
+        lap = (
+            t[1, 0, 0] + t[-1, 0, 0] + t[0, 1, 0] + t[0, -1, 0] - 4.0 * t
+        )
+        out = t + dt * lap
+    with computation(FORWARD), interval(1, None):
+        out = 0.75 * out + 0.25 * out[0, 0, -1]
+    with computation(BACKWARD), interval(0, -1):
+        out = 0.75 * out + 0.25 * out[0, 0, 1]
