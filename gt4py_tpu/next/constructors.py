@@ -80,9 +80,12 @@ def as_field(
     """Wrap an array as a Field (reference constructors.py:394). When
     ``domain_spec`` is a sequence of Dimensions the ranges come from the
     array shape (optionally offset by ``origin``)."""
+    import jax
     import jax.numpy as jnp
 
-    array = jnp.asarray(np.asarray(data))
+    # Traced arrays (inside jit) wrap directly; host data goes through
+    # NumPy first so lists/array-likes normalize.
+    array = data if isinstance(data, jax.core.Tracer) else jnp.asarray(np.asarray(data))
     if dtype is not None:
         array = array.astype(_norm_dtype(dtype))
     if isinstance(domain_spec, (Domain, dict)):

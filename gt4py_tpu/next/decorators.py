@@ -134,6 +134,19 @@ class FieldOperator:
         # ffront/decorator.py:62-83, instrumentation/metrics.py:240).
         with stencil_call.wrap(name), MetricsCollector(name, "total"):
             with offset_provider_context(offset_provider):
+                if self.backend == "tpu:pallas":
+                    # Structured (cartesian-offset) operators execute on the
+                    # cartesian Pallas kernel substrate (SURVEY §7 step 8);
+                    # unstructured signatures fall through to embedded.
+                    from gt4py_tpu.next.cartesian_bridge import try_call
+
+                    if dom is None and try_call(
+                        self, args, kwargs, out, offset_provider
+                    ):
+                        return
+                    result = self.definition(*args, **kwargs)
+                    _write_out(result, out, dom)
+                    return
                 if self.backend == "jax" and self.options.enable_jit:
                     ex = self._pool.lookup(args, kwargs, offset_provider)
                     dynamic = {

@@ -14,9 +14,17 @@ from gt4py_tpu.next.common import Dimension, Domain, NamedRange, UnitRange
 from gt4py_tpu.next.embedded import Field, _promote_dims
 
 
+def _is_sym(x) -> bool:
+    return getattr(x, "_gt_symbolic_", False)
+
+
 def _reduce(field: Field, axis: Dimension, op: str, neutral) -> Field:
     import jax.numpy as jnp
 
+    if _is_sym(field):
+        from gt4py_tpu.next.cartesian_bridge import BridgeUnsupported
+
+        raise BridgeUnsupported("neighbor reductions are unstructured")
     if not isinstance(field, Field):
         raise TypeError("neighbor reductions require a Field")
     ax = field.domain.index(axis)
@@ -43,6 +51,8 @@ def min_over(field: Field, axis: Dimension) -> Field:
 
 
 def broadcast(value: Union[Field, Any], dims: tuple[Dimension, ...]) -> Field:
+    if _is_sym(value):
+        return value._builtin("broadcast", value)
     """Mark a value as broadcastable over ``dims`` (reference
     fbuiltins.py:270). Embedded: zero-size placeholder ranges get resolved
     by domain intersection in subsequent ops; scalars become 0-d fields
@@ -79,6 +89,9 @@ def broadcast(value: Union[Field, Any], dims: tuple[Dimension, ...]) -> Field:
 
 
 def where(cond: Field, a: Union[Field, Any], b: Union[Field, Any]) -> Field:
+    for x in (cond, a, b):
+        if _is_sym(x):
+            return x._builtin("where", cond, a, b)
     """Ternary select (reference fbuiltins.py:281)."""
     import jax.numpy as jnp
 
@@ -104,6 +117,8 @@ def where(cond: Field, a: Union[Field, Any], b: Union[Field, Any]) -> Field:
 
 
 def astype(field: Union[Field, Any], dtype: Any) -> Field:
+    if _is_sym(field):
+        return field._builtin("astype", field, dtype)
     import jax.numpy as jnp
 
     np_dtype = np.dtype(dtype if dtype not in (int, float, bool) else {
@@ -118,6 +133,8 @@ def _field_unary(jnp_name: str):
     def fn(x):
         import jax.numpy as jnp
 
+        if _is_sym(x):
+            return x._builtin(jnp_name, x)
         impl = getattr(jnp, jnp_name)
         if isinstance(x, Field):
             return Field(x.domain, impl(x.ndarray), x.mask)
@@ -131,6 +148,10 @@ def _field_binary(jnp_name: str):
     def fn(x, y):
         import jax.numpy as jnp
 
+        if _is_sym(x):
+            return x._builtin(jnp_name, x, y)
+        if _is_sym(y):
+            return y._builtin(jnp_name, x, y)
         impl = getattr(jnp, jnp_name)
         if isinstance(x, Field):
             return x._binary(y, impl)

@@ -28,7 +28,12 @@ ALLOWED = {
     "storage": {"core", "eve", "config"},
     "instrumentation": {"config"},
     "cartesian": {"core", "eve", "storage", "config", "instrumentation"},
-    "next": {"core", "eve", "storage", "config", "instrumentation"},
+    # Deliberate divergence from the reference's tach contract (tach.toml:
+    # next does not depend on cartesian there): here the field-view layer
+    # REUSES the cartesian kernel substrate for its structured subset
+    # (next/cartesian_bridge.py, SURVEY §7 step 8) instead of growing a
+    # second C++/kernel stack.
+    "next": {"core", "eve", "storage", "config", "instrumentation", "cartesian"},
     "parallel": {"cartesian", "next", "storage", "core", "eve", "config"},
     "testing": {"cartesian", "storage", "core", "eve", "config"},
 }
