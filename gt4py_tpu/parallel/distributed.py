@@ -32,15 +32,29 @@ class DistributedStencil:
         out = dist.apply(field_a=a, field_b=b, scalar=1.0)   # dict of written
 
     Fields are global (NI, NJ, NK) arrays (or Storages); NI/NJ must be
-    divisible by the mesh shape. Boundary condition of the global domain is
-    periodic (ICI torus wrap) — allocate a global halo and restrict the
-    domain for non-periodic physics, as in single-chip gt4py.
+    divisible by the mesh shape. ``boundary`` selects the global boundary
+    condition ("periodic" ICI torus wrap / "clamp" edge replication /
+    "zero"; one value or an (i, j) pair). ``backend`` selects the
+    per-shard compute: "jax" (fused XLA evaluator) or "tpu:pallas"
+    (the Pallas kernel strategies inside each shard; falls back to the
+    evaluator for unsupported constructs).
     """
 
-    def __init__(self, stencil: StencilObject, mesh: Optional[CartesianMesh] = None):
+    def __init__(
+        self,
+        stencil: StencilObject,
+        mesh: Optional[CartesianMesh] = None,
+        *,
+        boundary: Any = "periodic",
+        backend: Optional[str] = None,
+    ):
         self.stencil = stencil
         self.analyzed = stencil._analyzed
         self.mesh = mesh if mesh is not None else CartesianMesh()
+        self.boundary = boundary
+        self.backend = backend or (
+            "tpu:pallas" if stencil.backend == "tpu:pallas" else "jax"
+        )
         self.field_infos = self.analyzed.field_infos
         self.parameter_infos = self.analyzed.parameter_infos
         self.written = [
@@ -77,6 +91,9 @@ class DistributedStencil:
         in_specs = tuple(spec_for(n) for n in field_names)
         out_specs = tuple(spec_for(n) for n in written)
 
+        boundary = self.boundary
+        use_pallas = self.backend == "tpu:pallas"
+
         def local_step(*local_arrays):
             from gt4py_tpu.cartesian.backend.evaluator import Evaluator
 
@@ -87,7 +104,9 @@ class DistributedStencil:
                 i_lo, i_hi, j_lo, j_hi = halos[name]
                 mask = infos[name].domain_mask
                 if mask[0] and mask[1]:
-                    arr = exchange_halos_2d(arr, (i_lo, i_hi, j_lo, j_hi))
+                    arr = exchange_halos_2d(
+                        arr, (i_lo, i_hi, j_lo, j_hi), boundary=boundary
+                    )
                     if local_domain is None and mask[2]:
                         local_domain = (
                             arr.shape[0] - i_lo - i_hi,
@@ -102,8 +121,32 @@ class DistributedStencil:
                 )
             assert local_domain is not None, "Need at least one IJK field"
             scalars = dict(zip(scalar_names, local_arrays[len(field_names):]))
-            ev = Evaluator(analyzed, local_domain, origins, arrays, scalars, ns="jax")
-            out = ev.run()
+            out = None
+            if use_pallas:
+                # Pallas kernel strategies inside the shard (interpret mode
+                # off-TPU); unsupported constructs fall to the evaluator.
+                import jax as _jax
+
+                from gt4py_tpu.cartesian.backend.pallas_codegen import (
+                    PallasUnsupported,
+                    build_pallas_fn,
+                )
+
+                try:
+                    pfn = build_pallas_fn(
+                        analyzed,
+                        local_domain,
+                        origins,
+                        interpret=_jax.default_backend() != "tpu",
+                    )
+                    out = pfn(arrays, scalars)
+                except PallasUnsupported:
+                    out = None
+            if out is None:
+                ev = Evaluator(
+                    analyzed, local_domain, origins, arrays, scalars, ns="jax"
+                )
+                out = ev.run()
             results = []
             for name in written:
                 i_lo, i_hi, j_lo, j_hi = halos[name]

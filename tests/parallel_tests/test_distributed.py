@@ -91,3 +91,101 @@ def test_halo_exchange_roundtrip():
     blk = padded[: 8 + 3, : 8 + 3]
     wrapped = np.pad(global_arr, ((2, 1), (1, 2), (0, 0)), mode="wrap")
     np.testing.assert_allclose(blk, wrapped[: 8 + 3, : 8 + 3])
+
+
+def _clamped_hdiff_oracle(in_field, coeff):
+    """hdiff with clamp (edge-replication) boundaries: pad the INPUT by the
+    full halo (2) with edge mode and run the plain halo'd formula (the
+    distributed implementation computes lap at halo rows from the clamped
+    input, exactly like a single-chip run on an edge-padded array)."""
+    p = np.pad(in_field, ((2, 2), (2, 2), (0, 0)), mode="edge")
+    return defs.validate_horizontal_diffusion(p, np.pad(coeff, ((2, 2), (2, 2), (0, 0)), mode="edge"))
+
+
+def test_distributed_clamp_boundary():
+    """Non-periodic (edge-replicated) global boundaries (round-1 verdict
+    item 8): must match the np.pad(mode='edge') oracle, NOT the torus."""
+    mesh = CartesianMesh()
+    st = gtscript.stencil(backend="jax", definition=defs.horizontal_diffusion)
+    dist = DistributedStencil(st, mesh, boundary="clamp")
+
+    rng = np.random.default_rng(11)
+    shape = (32, 16, 3)
+    in_field = rng.random(shape)
+    coeff = rng.random(shape)
+    out = dist.apply(in_field=in_field, coeff=coeff, out_field=np.zeros(shape))
+    expected = _clamped_hdiff_oracle(in_field, coeff)
+    np.testing.assert_allclose(np.asarray(out["out_field"]), expected, rtol=1e-12)
+    # and it must differ from the periodic answer (sanity that the mode did
+    # something)
+    periodic = _periodic_hdiff_oracle(in_field, coeff)
+    assert not np.allclose(np.asarray(out["out_field"]), periodic)
+
+
+def test_distributed_zero_boundary_smooth():
+    """Zero-filled halos: a 4-point average with zero boundaries."""
+
+    from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval
+
+    def smooth(inp: defs.Field3D, out: defs.Field3D):
+        with computation(PARALLEL), interval(...):
+            out = 0.25 * (inp[1, 0, 0] + inp[-1, 0, 0] + inp[0, 1, 0] + inp[0, -1, 0])
+
+    mesh = CartesianMesh()
+    st = gtscript.stencil(backend="jax", definition=smooth)
+    dist = DistributedStencil(st, mesh, boundary="zero")
+    rng = np.random.default_rng(13)
+    shape = (16, 16, 2)
+    inp = rng.random(shape)
+    out = dist.apply(inp=inp, out=np.zeros(shape))
+    p = np.pad(inp, ((1, 1), (1, 1), (0, 0)))
+    expected = 0.25 * (p[2:, 1:-1] + p[:-2, 1:-1] + p[1:-1, 2:] + p[1:-1, :-2])
+    np.testing.assert_allclose(np.asarray(out["out"]), expected, rtol=1e-12)
+
+
+def test_distributed_vadv_interval_sections():
+    """The vadv dycore class (multi-section FORWARD/BACKWARD loops with
+    K-offset reads) under shard_map (round-1 verdict item 8)."""
+    mesh = CartesianMesh()
+    st = gtscript.stencil(
+        backend="jax",
+        definition=defs.vertical_advection_dycore,
+        externals=defs.VADV_EXTERNALS,
+    )
+    dist = DistributedStencil(st, mesh)
+    rng = np.random.default_rng(5)
+    # wcon is read at [1, 0, *]: give it an upper-I halo via the global
+    # periodic wrap (divisible shapes) and validate against the column
+    # oracle on the interior rows.
+    shape = (16, 8, 9)
+    utens_stage = rng.random(shape)
+    u_stage = rng.random(shape)
+    wcon = rng.random(shape)
+    u_pos = rng.random(shape)
+    utens = rng.random(shape)
+    expected = defs.validate_vertical_advection_dycore(
+        utens_stage, u_stage, wcon, u_pos, utens, 0.15
+    )
+    out = dist.apply(
+        utens_stage=utens_stage.copy(), u_stage=u_stage, wcon=wcon,
+        u_pos=u_pos, utens=utens, dtr_stage=0.15,
+    )
+    result = np.asarray(out["utens_stage"])
+    # interior I rows (the last global row reads wrapped wcon; the oracle
+    # computes ni-1 rows non-periodically — compare rows untouched by wrap)
+    np.testing.assert_allclose(result[: shape[0] - 1], expected, rtol=1e-10)
+
+
+def test_distributed_pallas_backend_in_shards():
+    """The Pallas kernel strategies serve INSIDE shard_map shards
+    (interpret mode on the CPU test mesh; round-1 verdict item 8)."""
+    mesh = CartesianMesh()
+    st = gtscript.stencil(backend="tpu:pallas", definition=defs.horizontal_diffusion)
+    dist = DistributedStencil(st, mesh, backend="tpu:pallas")
+    rng = np.random.default_rng(17)
+    shape = (32, 16, 4)
+    in_field = rng.random(shape)
+    coeff = rng.random(shape)
+    out = dist.apply(in_field=in_field, coeff=coeff, out_field=np.zeros(shape))
+    expected = _periodic_hdiff_oracle(in_field, coeff)
+    np.testing.assert_allclose(np.asarray(out["out_field"]), expected, rtol=1e-12)
