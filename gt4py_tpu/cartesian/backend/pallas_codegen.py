@@ -1163,7 +1163,7 @@ _plane_tk_cache: dict[str, int] = {}
 
 # Bump when kernel codegen changes: persisted probe results (tk choices,
 # staged ok-flags) describe the EMITTED kernel, not just the stencil.
-_KERNEL_REV = 4
+_KERNEL_REV = 5  # 5: split narrow-seed output streams
 
 
 def _plane_tk_candidates(nk: int, variant: str = "plane") -> list[int]:

@@ -183,6 +183,15 @@ def build_plane_split_fn(
     if nkp != nk:
         # K-padding rows turn every write into a masked write.
         geo.full_seed.update(writes)
+    # Write-only outputs whose domain writes cover the full main block except
+    # the I-halo rows: stream ONLY those halo rows in (a (K, <=8, nj) seed
+    # operand) instead of the whole main block — this removes a full HBM
+    # read stream per such output (hdiff: 4 streams -> 3).
+    import os as _os
+
+    narrow_seed = set()
+    if _os.environ.get("GT4PY_SPLIT_NARROW_SEED", "1") not in ("0", "", "false"):
+        narrow_seed = {n for n in writes if n not in geo.full_seed}
 
     def encode(n: str, a: Any):
         """(I, J, K) public array -> (main (K,Ipad,nj), strip or None)."""
@@ -246,14 +255,30 @@ def build_plane_split_fn(
         main_shapes = {n: padded[n][0].shape for n in reads}
         ipad = {n: main_shapes[n][1] for n in reads}
 
+        # Narrow-seed outputs: the main block is NOT an input stream; only
+        # the I-halo rows travel in, as a packed (K, lo+hi_rows, nj) operand.
+        main_stream = [n for n in reads if n not in narrow_seed]
+        seed_rows = {}  # name -> (lo, hrows)
+        for n in writes:
+            if n not in narrow_seed:
+                continue
+            lo = origins[n][0]
+            hi = lo + ni
+            hrows = lo + (ipad[n] - hi)
+            if hrows > 0:
+                seed_rows[n] = (lo, hrows)
+        seed_in = list(seed_rows)
+
         def kernel(*refs):
             pos = 0
             sref = {n: refs[pos + i] for i, n in enumerate(scalar_names)}
             pos += len(scalar_names)
-            main_in = {n: refs[pos + i] for i, n in enumerate(reads)}
-            pos += len(reads)
+            main_in = {n: refs[pos + i] for i, n in enumerate(main_stream)}
+            pos += len(main_stream)
             strip_refs = {n: refs[pos + i] for i, n in enumerate(strip_in)}
             pos += len(strip_in)
+            seed_refs = {n: refs[pos + i] for i, n in enumerate(seed_in)}
+            pos += len(seed_in)
             main_out = {n: refs[pos + i] for i, n in enumerate(writes)}
             pos += len(writes)
             strip_out_refs = {n: refs[pos + i] for i, n in enumerate(strip_out)}
@@ -264,20 +289,19 @@ def build_plane_split_fn(
             for n in reads:
                 if n in main_out:
                     oref = main_out[n]
-                    if n in geo.full_seed:
+                    if n in narrow_seed:
+                        # Domain writes cover all rows but the I-halo; seed
+                        # those from the packed narrow operand (no full main
+                        # input stream for this field).
+                        if n in seed_refs:
+                            lo, _ = seed_rows[n]
+                            hi = lo + ni
+                            if lo > 0:
+                                oref[:, 0:lo, :] = seed_refs[n][:, 0:lo, :]
+                            if hi < ipad[n]:
+                                oref[:, hi : ipad[n], :] = seed_refs[n][:, lo:, :]
+                    elif n in geo.full_seed:
                         oref[...] = main_in[n][...]
-                    else:
-                        # Seed only rows the domain writes never cover (the
-                        # aliased buffer keeps the stream VMEM-friendly in
-                        # chained loops; narrow tile operands without the
-                        # alias measured SLOWER — fresh outputs break the
-                        # ping-pong buffer reuse).
-                        lo = origins[n][0]
-                        hi = lo + ni
-                        if lo > 0:
-                            oref[:, 0:lo, :] = main_in[n][:, 0:lo, :]
-                        if hi < ipad[n]:
-                            oref[:, hi : ipad[n], :] = main_in[n][:, hi : ipad[n], :]
                     blocks_main[n] = oref
                 else:
                     blocks_main[n] = main_in[n][...]
@@ -294,7 +318,25 @@ def build_plane_split_fn(
             ev.run()
 
         scalar_args = [jnp.asarray(scalars[n]).reshape(1, 1) for n in scalar_names]
-        in_args = [padded[n][0] for n in reads] + [padded[n][1] for n in strip_in]
+        seed_args = []
+        seed_shapes = {}
+        for n in seed_in:
+            lo, hrows = seed_rows[n]
+            hi = lo + ni
+            m = padded[n][0]
+            parts = []
+            if lo > 0:
+                parts.append(m[:, 0:lo, :])
+            if hi < ipad[n]:
+                parts.append(m[:, hi:, :])
+            seed = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            seed_args.append(seed)
+            seed_shapes[n] = seed.shape
+        in_args = (
+            [padded[n][0] for n in main_stream]
+            + [padded[n][1] for n in strip_in]
+            + seed_args
+        )
         out_shapes = [
             jax.ShapeDtypeStruct(padded[n][0].shape, padded[n][0].dtype) for n in writes
         ] + [
@@ -303,27 +345,37 @@ def build_plane_split_fn(
         ]
         aliases = {}
         for wi, n in enumerate(writes):
-            aliases[len(scalar_names) + reads.index(n)] = wi
+            if n in main_stream:
+                aliases[len(scalar_names) + main_stream.index(n)] = wi
         for wi, n in enumerate(strip_out):
-            aliases[len(scalar_names) + len(reads) + strip_in.index(n)] = (
-                len(writes) + wi
-            )
+            aliases[
+                len(scalar_names) + len(main_stream) + strip_in.index(n)
+            ] = len(writes) + wi
 
         def bspec(shape):
             return pl.BlockSpec((tk, shape[1], shape[2]), lambda k: (k, 0, 0))
 
+        # PARALLEL stencils: every K grid step is independent — telling
+        # Mosaic so enables out-of-order scheduling of the block pipeline.
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            )
         with jax.enable_x64(jax.config.jax_enable_x64 if interpret else False):
             results = pl.pallas_call(
                 kernel,
                 grid=(nkp // tk,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * len(scalar_names)
-                + [bspec(main_shapes[n]) for n in reads]
-                + [bspec(padded[n][1].shape) for n in strip_in],
+                + [bspec(main_shapes[n]) for n in main_stream]
+                + [bspec(padded[n][1].shape) for n in strip_in]
+                + [bspec(seed_shapes[n]) for n in seed_in],
                 out_specs=[bspec(main_shapes[n]) for n in writes]
                 + [bspec(padded[n][1].shape) for n in strip_out],
                 out_shape=out_shapes,
                 input_output_aliases=aliases,
                 interpret=interpret,
+                **kwargs,
             )(*scalar_args, *in_args)
         if not isinstance(results, (tuple, list)):
             results = (results,)
