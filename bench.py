@@ -15,7 +15,10 @@ executions can be served from a cache. Each measurement therefore uses a
 FRESH random input, iterates the stencil step on-device inside one jitted
 ``lax.fori_loop`` (steps chained through the data so nothing can be elided),
 synchronizes by fetching a scalar, and reports (T(n_hi) - T(n_lo)) /
-(n_hi - n_lo) to cancel the constant dispatch/transfer overhead.
+(n_hi - n_lo) to cancel the constant dispatch/transfer overhead. The
+tunnel's constant overhead is ~25ms with +-3ms jitter, so the two chain
+lengths are 202/1202: a 1000-step window keeps the fit noise under
+~5us/step (202-step windows measured +-25us/step — useless).
 """
 
 from __future__ import annotations
@@ -84,7 +87,7 @@ class StepTimer:
     def sync(self, x) -> None:
         np.asarray(self.fetch(x))
 
-    def measure(self, make_chained, fresh_inputs, n_lo=2, n_hi=202, trials=3) -> float:
+    def measure(self, make_chained, fresh_inputs, n_lo=202, n_hi=1202, trials=4) -> float:
         """make_chained(n) -> jitted fn(*inputs) running n chained steps.
         fresh_inputs() -> tuple of device arrays (new values each call)."""
         f_lo = make_chained(n_lo)
@@ -196,7 +199,6 @@ def main() -> None:
             jnp.asarray(rng.random(shape, dtype=np.float32)),
             jnp.asarray(rng.random(shape, dtype=np.float32)),
         ),
-        n_lo=2, n_hi=202,
     )
     hdiff_gps = points / t_hdiff
     hdiff_bytes = 3 * points * 4  # minimal traffic: read in+coeff, write out
@@ -279,7 +281,6 @@ def main() -> None:
             lambda: tuple(
                 jnp.asarray(rng.random(vshape, dtype=np.float32)) for _ in range(5)
             ),
-            n_lo=2, n_hi=202,
         )
         vpoints = (ni - 1) * nj * nk
         results["vadv_Ggps"] = round(vpoints / t_vadv / 1e9, 3)
@@ -295,18 +296,23 @@ def main() -> None:
         from gt4py_tpu.cartesian.gtscript import computation, interval
 
         def tri32(inf, diag, sup, rhs, out):
+            # Thomas algorithm with the modified coefficients in TEMPORARIES
+            # (cp/dp live in VMEM carry rings): semantic traffic is exactly
+            # 4 reads + 1 write, matching the roofline model below. The
+            # in-place (inout sup/rhs) variant is correctness-tested in
+            # tests/; it moves 7 streams and is the wrong benchmark shape.
             with computation("FORWARD"):
                 with interval(0, 1):
-                    sup = sup / diag
-                    rhs = rhs / diag
+                    cp = sup / diag
+                    dp = rhs / diag
                 with interval(1, None):
-                    sup = sup / (diag - sup[0, 0, -1] * inf)
-                    rhs = (rhs - inf * rhs[0, 0, -1]) / (diag - sup[0, 0, -1] * inf)
+                    cp = sup / (diag - cp[0, 0, -1] * inf)
+                    dp = (rhs - inf * dp[0, 0, -1]) / (diag - cp[0, 0, -1] * inf)
             with computation("BACKWARD"):
                 with interval(-1, None):
-                    out = rhs
+                    out = dp
                 with interval(0, -1):
-                    out = rhs - sup * out[0, 0, 1]
+                    out = dp - cp * out[0, 0, 1]
 
         F32 = gtscript.Field[np.float32]
         tri32.__annotations__ = {k: F32 for k in ("inf", "diag", "sup", "rhs", "out")}
@@ -355,7 +361,6 @@ def main() -> None:
             lambda: tuple(
                 jnp.asarray(rng.random(tshape, dtype=np.float32)) for _ in range(4)
             ),
-            n_lo=2, n_hi=202,
         )
         tpoints = ni * nj * nk
         results["tridiag_Ggps"] = round(tpoints / t_tri / 1e9, 3)
@@ -479,7 +484,6 @@ def main() -> None:
                 jnp.asarray(rng.random(hshape, dtype=np.float32)),
                 jnp.asarray(rng.random(hshape, dtype=np.float32)),
             ),
-            n_lo=2, n_hi=102,
         )
         results["next_hdiff_us_per_step"] = round(t_nh * 1e6, 1)
         results["next_hdiff_vs_cartesian"] = round(t_nh / t_hdiff, 2)
@@ -535,7 +539,7 @@ def main() -> None:
                 jnp.asarray(rng.random(2 * nv, dtype=np.float32)),
                 jnp.asarray(rng.random(nv, dtype=np.float32) + 0.5),
             ),
-            n_lo=2, n_hi=102,
+            n_lo=2, n_hi=102,  # ~4ms/step: jitter is <2% already
         )
         results["fvm_nabla_us_per_step"] = round(t_nb * 1e6, 1)
         results["fvm_nabla_Mvertices_s"] = round(nv / t_nb / 1e6, 1)

@@ -1168,10 +1168,11 @@ _KERNEL_REV = 5  # 5: split narrow-seed output streams
 
 def _plane_tk_candidates(nk: int, variant: str = "plane") -> list[int]:
     # plane: tk=4 measured fastest on hdiff (110.9us vs 121.1us at tk=5);
-    # split: tk=2 measured fastest (88.5us vs 94.6us at tk=4, hdiff
-    # 256x256x80/v5e). tk>=8 trips the remote Mosaic crash on non-trivial
-    # kernels, so larger blocks come later in the probe ladder.
-    ladder = (2, 4, 5, 3, 8) if variant == "split" else (4, 5, 8, 3, 2)
+    # split: tk=4 and tk=2 tie at ~95.5us, tk=8/10 ~97us, tk>=16 ~213us
+    # (hdiff 256x256x80/v5e, long-chain timing). tk>=8 also trips the
+    # remote Mosaic crash on non-trivial kernels, so larger blocks come
+    # later in the probe ladder.
+    ladder = (4, 2, 5, 3, 8) if variant == "split" else (4, 5, 8, 3, 2)
     cands = [t for t in ladder if t <= nk and nk % t == 0]
     cands += [t for t in ladder if t <= nk and t not in cands]
     if not cands:
@@ -1302,7 +1303,10 @@ def _probe_plane_time(analyzed, domain, origins, tk, variant) -> float:
         leaf = jax.tree_util.tree_leaves(tree)[0]
         np.asarray(leaf.ravel()[0])
 
-    n_lo, n_hi = 2, 42
+    # The tunnel's constant dispatch overhead is ~25ms with +-3ms jitter:
+    # differencing a 600-step window keeps the estimate within ~5us/step
+    # (the 40-step window this started with was +-125us/step — noise).
+    n_lo, n_hi = 102, 702
     f_lo, f_hi = chain(n_lo), chain(n_hi)
 
     def timed(f):
@@ -1314,8 +1318,8 @@ def _probe_plane_time(analyzed, domain, origins, tk, variant) -> float:
 
     timed(f_lo)
     timed(f_hi)
-    lo = min(timed(f_lo) for _ in range(2))
-    hi = min(timed(f_hi) for _ in range(2))
+    lo = min(timed(f_lo) for _ in range(3))
+    hi = min(timed(f_hi) for _ in range(3))
     est = (hi - lo) / (n_hi - n_lo)
     if est <= 0 or est > hi / n_hi:
         est = hi / n_hi

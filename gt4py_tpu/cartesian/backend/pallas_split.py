@@ -33,6 +33,24 @@ the reference's generated CUDA applies per-backend
 (/root/reference/src/gt4py/cartesian/gtc/passes/oir_optimizations/caches.py:44,
 backend/gtcpp_backend.py:169); the reference has no lane-padding concern,
 so the design is original to the TPU build.
+
+Measured NEGATIVE results (v5e, hdiff 256x256x80 f32, long-chain timing —
+do not re-try without new information):
+  * XLA keeps the whole chained working set VMEM-resident (HLO shows S(1)
+    on every loop buffer; a trivial 3-stream kernel runs at ~8us/step =
+    ~10TB/s effective), so the kernel is VPU-bound: optimizations must cut
+    vector ops, not HBM streams.
+  * tk ladder: 2/4 ~95.5us, 8/10 ~97us, 16/20 ~213us (grid too coarse
+    starves the pipeline), >=40 crashes Mosaic even with vmem_limit_bytes
+    raised to 100MB.
+  * XLA-side precompute of the temp J-strips ("zone" evaluation feeding
+    the strips in as narrow operands, kernel skipping halo parts): net
+    LOSS. In-kernel halo parts cost only ~10us; replacing the halo-part
+    concat windows with roll+iota-masked patches (required because Mosaic
+    cannot concatenate an in-kernel value carrying sublane layout offset 1
+    with an offset-0 operand) costs ~7us back, and the XLA zone fusion
+    triggers full-array {1,0,2} relayout copies (~+96us) unless fenced;
+    optimization_barrier fences cost even more (~250us total).
 """
 
 from __future__ import annotations
