@@ -150,6 +150,12 @@ class PallasBackend(JaxBackend):
         for n in pfn.reads:
             if n in tables:
                 continue  # GlobalTables pass through untouched
+            finfo = self.analyzed.field_infos[n]
+            if finfo.data_dims or finfo.domain_mask != (True, True, True):
+                # Lower-dim / data-dim fields: the plane kernel serves them
+                # through the public-layout path (_build); the cross-call
+                # native cache only models plain (I, J, K) buffers.
+                return _FALLBACK
             if origins[n][2] != 0 or infos[n].shape[2] != nk:
                 return _FALLBACK
 

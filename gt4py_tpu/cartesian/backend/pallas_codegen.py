@@ -62,6 +62,9 @@ _SUBLANE = 8
 #: widest GlobalTable (total entries) served natively via one-hot lookup
 #: (this Mosaic toolchain has no N-D gather — "Only 2D gather is supported")
 _MAX_TABLE_ONEHOT = 64
+#: widest data-dimension expansion (streams per field) the plane kernels
+#: carry; dynamic data-index reads cost one select per stream.
+_MAX_DATA_STREAMS = 8
 
 
 def _check_supported(
@@ -71,6 +74,8 @@ def _check_supported(
     allow_while: bool = False,
     allow_k_gather: bool = False,
     allow_tables: bool = False,
+    allow_lower_dims: bool = False,
+    allow_data_dims: bool = False,
 ) -> None:
     from gt4py_tpu import eve
 
@@ -94,24 +99,43 @@ def _check_supported(
                 )
         if isinstance(p, gtir.FieldDecl):
             if p.data_dims:
-                raise PallasUnsupported("data dimensions")
-            if p.dimensions != (True, True, True):
+                # Each flat data index becomes one kernel stream; dynamic
+                # reads select over all of them, so cap the expansion.
+                if not allow_data_dims:
+                    raise PallasUnsupported("data dimensions")
+                if int(np.prod(p.data_dims)) > _MAX_DATA_STREAMS:
+                    raise PallasUnsupported(
+                        f"data dimensions of '{p.name}' too large"
+                    )
+            if p.dimensions != (True, True, True) and not allow_lower_dims:
                 raise PallasUnsupported("non-IJK field")
+    for t in analyzed.stencil.temporaries:
+        if t.data_dims:
+            raise PallasUnsupported("data-dimension temporary")
     for _, _, stmt in analyzed.stencil.walk_stmts():
         if isinstance(stmt, gtir.While) and not allow_while:
             raise PallasUnsupported("while loop")
+        if isinstance(stmt, gtir.Assign) and stmt.target.data_index:
+            if not all(
+                isinstance(e, gtir.Literal) for e in stmt.target.data_index
+            ):
+                raise PallasUnsupported("dynamic data index write")
         for node in eve.walk_values(stmt):
             if isinstance(node, gtir.FieldAccess):
                 if (
                     node.koffset is not None or node.abs_k is not None
                 ) and not allow_k_gather:
                     raise PallasUnsupported("variable/absolute K offset")
-                if node.data_index and not (
-                    allow_tables
-                    and node.name in analyzed.field_infos
-                    and not analyzed.field_infos[node.name].axes
-                ):
-                    raise PallasUnsupported("data index")
+                if node.data_index:
+                    is_table = (
+                        node.name in analyzed.field_infos
+                        and not analyzed.field_infos[node.name].axes
+                    )
+                    if is_table:
+                        if not allow_tables:
+                            raise PallasUnsupported("GlobalTable data index")
+                    elif not allow_data_dims:
+                        raise PallasUnsupported("data index")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -349,11 +373,17 @@ def _probe_arg_shapes(analyzed, domain, origins):
             shapes[name] = jax.ShapeDtypeStruct(tuple(info.data_dims), np.dtype(info.dtype))
             continue
         ext = analyzed.field_extents.get(name, Extent.zeros())
-        oi, oj, ok = origins[name]
-        shapes[name] = jax.ShapeDtypeStruct(
-            (oi + ni + max(0, ext.i[1]), oj + nj + max(0, ext.j[1]), ok + nk),
-            np.dtype(info.dtype),
-        )
+        oi, oj, ok = origins[name][:3]
+        bi, bj, bk = info.domain_mask
+        dims = []
+        if bi:
+            dims.append(oi + ni + max(0, ext.i[1]))
+        if bj:
+            dims.append(oj + nj + max(0, ext.j[1]))
+        if bk:
+            dims.append(ok + nk)
+        dims += list(info.data_dims)
+        shapes[name] = jax.ShapeDtypeStruct(tuple(dims), np.dtype(info.dtype))
     scalars = {
         n: jax.ShapeDtypeStruct((), np.dtype(i.dtype))
         for n, i in analyzed.parameter_infos.items()
@@ -756,7 +786,7 @@ class _BlockEvaluator:
         if isinstance(stmt, gtir.Assign):
             value = self._broadcast(self.eval_expr(stmt.value, ctx), ctx)
             mask = self._full_mask(stmt, ctx, k_interval)
-            self._write(stmt.target.name, value, mask, ctx)
+            self._write(self._target_key(stmt.target, ctx), value, mask, ctx)
         elif isinstance(stmt, gtir.While):
             self._exec_while(stmt, ctx, k_interval)
         else:
@@ -775,6 +805,9 @@ class _BlockEvaluator:
         from gt4py_tpu import eve
         from gt4py_tpu.cartesian.passes.extents import iter_writes
 
+        for a in eve.walk_type(stmt, gtir.FieldAccess):
+            if getattr(self.plan, "data_n", {}).get(a.name, 0):
+                raise PallasUnsupported("data-dim field inside while loop")
         involved = sorted(
             {w.name for w in iter_writes(stmt)}
             | {
@@ -813,7 +846,7 @@ class _BlockEvaluator:
                     total = (
                         it_mask if smask is None else jnp.logical_and(it_mask, smask)
                     )
-                    self._write(s.target.name, value, total, ctx)
+                    self._write(self._target_key(s.target, ctx), value, total, ctx)
                 elif isinstance(s, gtir.While):
                     self._exec_while(s, ctx, k_interval, outer_mask=it_mask)
                 else:
@@ -847,7 +880,18 @@ class _BlockEvaluator:
                 ref[...] = self.blocks[n]  # store the loop's result back
                 self.blocks[n] = ref
 
-    def _write_value(self, name: str, value, mask, ctx) -> None:
+    def _target_key(self, target: gtir.FieldAccess, ctx):
+        """blocks key for a write target: plain name, or (name, flat) for a
+        static data-index write to a data-dimension field."""
+        name = target.name
+        if not getattr(self.plan, "data_n", {}).get(name, 0):
+            return name
+        if not target.data_index:
+            raise PallasUnsupported(f"unindexed write to data-dim '{name}'")
+        idx = [int(np.asarray(self.eval_expr(e, ctx))) for e in target.data_index]
+        return (name, int(np.ravel_multi_index(idx, self.plan.data_shape[name])))
+
+    def _write_value(self, name, value, mask, ctx) -> None:
         """Blend a (possibly partial) write into the carried VALUE of
         ``name`` — used inside while-loop bodies where refs cannot mutate.
         Mosaic lacks scatter/dynamic_update_slice on values, so the blend is
@@ -856,15 +900,16 @@ class _BlockEvaluator:
         import jax.numpy as jnp
         from jax import lax
 
+        base = name[0] if isinstance(name, tuple) else name
         ext, ks, ke, k_seq = ctx
         NK, NI, NJ = self._shape(ctx)
-        xi = self._i_base(name) + ext.i[0]
-        xj = self._j_base(name) + ext.j[0]
-        kb = self._k_base(name)
+        xi = self._i_base(base) + ext.i[0]
+        xj = self._j_base(base) + ext.j[0]
+        kb = self._k_base(base)
         cur = self.blocks[name]
         value = value.astype(cur.dtype)
         if mask is not None:
-            old = self._read(gtir.FieldAccess(name=name, offset=(0, 0, 0)), ctx)
+            old = self._read_stream(base, cur, (0, 0, 0), ctx)
             value = jnp.where(mask, value, old)
         SK, SI, SJ = cur.shape
         if k_seq is None and (kb + ks, xi, xj) == (0, 0, 0) and value.shape == cur.shape:
@@ -946,36 +991,106 @@ class _BlockEvaluator:
     # -- reads / writes ----------------------------------------------------
 
     def _read(self, access: gtir.FieldAccess, ctx):
-        from jax.experimental import pallas as pl
-
         name = access.name
         if name in getattr(self.plan, "table_shapes", {}):
             return self._table_lookup(access, ctx)
         if access.koffset is not None or access.abs_k is not None:
             return self._read_k_gather(access, ctx)
+        if getattr(self.plan, "data_n", {}).get(name, 0):
+            return self._read_datadim(access, ctx)
+        return self._read_stream(name, self.blocks[name], access.offset, ctx)
+
+    def _read_stream(self, name: str, block, offset, ctx):
+        """One (K, I, J) stream; missing axes (size-1 in the block) are
+        broadcast to the unit shape."""
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+
         ext, ks, ke, k_seq = ctx
-        block = self.blocks[name]
-        di, dj, dk = access.offset
+        di, dj, dk = offset
         NK, NI, NJ = self._shape(ctx)
-        xi = self._i_base(name) + ext.i[0] + di
-        xj = self._j_base(name) + ext.j[0] + dj
+        bi, bj, bk = getattr(self.plan, "axes_mask", {}).get(
+            name, (True, True, True)
+        )
+        xi = self._i_base(name) + ext.i[0] + di if bi else 0
+        xj = self._j_base(name) + ext.j[0] + dj if bj else 0
+        si = NI if bi else 1
+        sj = NJ if bj else 1
+
+        def bcast(sub):
+            if sub.shape == (NK, NI, NJ):
+                return sub
+            return jnp.broadcast_to(sub, (NK, NI, NJ))
+
         kb = self._k_base(name)
+        if not bk:
+            return bcast(block[0:1, xi : xi + si, xj : xj + sj])
         if k_seq is None:
-            return block[kb + ks + dk : kb + ke + dk, xi : xi + NI, xj : xj + NJ]
+            return bcast(
+                block[kb + ks + dk : kb + ke + dk, xi : xi + si, xj : xj + sj]
+            )
         if isinstance(k_seq, (int, np.integer)):
             r = kb + int(k_seq) + dk
-            return block[r : r + 1, xi : xi + NI, xj : xj + NJ]
+            return bcast(block[r : r + 1, xi : xi + si, xj : xj + sj])
         try:
-            return block[pl.ds(kb + k_seq + dk, 1), xi : xi + NI, xj : xj + NJ]
+            return bcast(
+                block[pl.ds(kb + k_seq + dk, 1), xi : xi + si, xj : xj + sj]
+            )
         except (IndexError, TypeError):
             # carried VALUE indexed at a traced row: one-hot reduce over K
-            import jax.numpy as jnp
             from jax import lax
 
-            sub = block[:, xi : xi + NI, xj : xj + NJ]
+            sub = block[:, xi : xi + si, xj : xj + sj]
             kk = lax.broadcasted_iota(jnp.int32, sub.shape, 0)
             sel = jnp.where(kk == (kb + k_seq + dk), sub, jnp.zeros_like(sub))
-            return jnp.sum(sel, axis=0, keepdims=True).astype(sub.dtype)
+            return bcast(jnp.sum(sel, axis=0, keepdims=True).astype(sub.dtype))
+
+    def _read_datadim(self, access: gtir.FieldAccess, ctx):
+        """Data-dimension field read: streams are separate blocks keyed
+        (name, flat_index); static indices pick one, dynamic indices one-hot
+        select over the (capped) stream set."""
+        import itertools
+
+        import jax.numpy as jnp
+
+        name = access.name
+        shape_d = self.plan.data_shape[name]
+        if len(access.data_index) != len(shape_d):
+            raise PallasUnsupported(f"partial data index on '{name}'")
+        vals = [self.eval_expr(e, ctx) for e in access.data_index]
+        static = []
+        dyn = []
+        for v in vals:
+            if isinstance(v, (int, np.integer)) or (
+                isinstance(v, np.ndarray) and v.ndim == 0
+            ):
+                static.append(int(v))
+                dyn.append(None)
+            else:
+                static.append(None)
+                dyn.append(self._broadcast(v, ctx).astype(jnp.int32))
+        if all(s is not None for s in static):
+            flat = int(np.ravel_multi_index(static, shape_d))
+            return self._read_stream(
+                name, self.blocks[(name, flat)], access.offset, ctx
+            )
+        acc = None
+        spaces = [
+            [s] if s is not None else range(dim) for s, dim in zip(static, shape_d)
+        ]
+        for multi in itertools.product(*spaces):
+            cond = None
+            for d, v in enumerate(multi):
+                if static[d] is not None:
+                    continue
+                c = dyn[d] == v
+                cond = c if cond is None else jnp.logical_and(cond, c)
+            flat = int(np.ravel_multi_index(multi, shape_d))
+            val = self._read_stream(
+                name, self.blocks[(name, flat)], access.offset, ctx
+            )
+            acc = val if acc is None else jnp.where(cond, val, acc)
+        return acc
 
     def _table_lookup(self, access: gtir.FieldAccess, ctx):
         """GlobalTable read: scalar SMEM loads, dynamic indices via one-hot
@@ -1060,18 +1175,19 @@ class _BlockEvaluator:
             acc = row if acc is None else jnp.where(kidx == k, row, acc)
         return acc
 
-    def _write(self, name: str, value, mask, ctx) -> None:
+    def _write(self, name, value, mask, ctx) -> None:
         import jax.numpy as jnp
         from jax.experimental import pallas as pl
 
         if self._value_mode:
             return self._write_value(name, value, mask, ctx)
+        base = name[0] if isinstance(name, tuple) else name
         ext, ks, ke, k_seq = ctx
         block = self.blocks[name]
         NK, NI, NJ = self._shape(ctx)
-        xi = self._i_base(name) + ext.i[0]
-        xj = self._j_base(name) + ext.j[0]
-        kb = self._k_base(name)
+        xi = self._i_base(base) + ext.i[0]
+        xj = self._j_base(base) + ext.j[0]
+        kb = self._k_base(base)
         value = value.astype(block.dtype)
         if k_seq is None:
             idx = (slice(kb + ks, kb + ke), slice(xi, xi + NI), slice(xj, xj + NJ))
@@ -1149,7 +1265,14 @@ def _plane_eligible(analyzed: AnalyzedStencil) -> bool:
         if vl.loop_order != gtir.LoopOrder.PARALLEL:
             return False
     for p in analyzed.stencil.params:
-        if isinstance(p, gtir.FieldDecl) and p.dimensions != (True, True, True):
+        if not isinstance(p, gtir.FieldDecl):
+            continue
+        info = analyzed.field_infos.get(p.name)
+        written = info is not None and info.access & AccessKind.WRITE
+        # Lower-dimensional fields broadcast on read; a WRITE to one from a
+        # grid spanning its missing axes is a race (and the kernel has no
+        # reduced output stream for it) — leave those to the XLA path.
+        if written and p.dimensions != (True, True, True):
             return False
     for _, _, stmt in analyzed.stencil.walk_stmts():
         for node in eve.walk_values(stmt):
@@ -1369,6 +1492,11 @@ class _PlanePlanShim:
         self.reads: list[str] = []
         self.writes: list[str] = []
         self.table_shapes: dict[str, tuple[int, ...]] = {}
+        #: (has_I, has_J, has_K) per field; missing axes broadcast on read
+        self.axes_mask: dict[str, tuple[bool, bool, bool]] = {}
+        #: flattened data-dimension stream count (0 = plain scalar field)
+        self.data_n: dict[str, int] = {}
+        self.data_shape: dict[str, tuple[int, ...]] = {}
         for name, info in analyzed.field_infos.items():
             if info.access == AccessKind.NONE:
                 continue
@@ -1376,6 +1504,10 @@ class _PlanePlanShim:
                 self.table_shapes[name] = tuple(info.data_dims)
                 continue
             self.field_ext[name] = analyzed.field_extents.get(name, Extent.zeros())
+            self.axes_mask[name] = info.domain_mask
+            if info.data_dims:
+                self.data_n[name] = int(np.prod(info.data_dims))
+                self.data_shape[name] = tuple(info.data_dims)
             self.reads.append(name)
             if info.access & AccessKind.WRITE:
                 self.writes.append(name)
@@ -1477,7 +1609,12 @@ def build_plane_fn(
     from jax.experimental.pallas import tpu as pltpu
 
     _check_supported(
-        analyzed, interpret=interpret, allow_while=True, allow_tables=True
+        analyzed,
+        interpret=interpret,
+        allow_while=True,
+        allow_tables=True,
+        allow_lower_dims=True,
+        allow_data_dims=True,
     )
     ni, nj, nk = domain
     nkp = _round_up(nk, tk)
@@ -1501,6 +1638,19 @@ def build_plane_fn(
         )
         for n in plan.field_ext
     }
+
+    def axes_of(n):
+        return plan.axes_mask.get(n, (True, True, True))
+
+    def streams_of(n):
+        """blocks/operand keys for one field: the name itself, or one
+        (name, flat) key per flattened data index."""
+        d = plan.data_n.get(n, 0)
+        return [(n, i) for i in range(d)] if d else [n]
+
+    in_streams = [k for n in reads for k in streams_of(n)]
+    out_streams = [k for n in writes for k in streams_of(n)]
+
     def kernel(*refs):
         import jax.numpy as jnp
 
@@ -1509,9 +1659,9 @@ def build_plane_fn(
         pos += len(scalar_names)
         tref = {n: refs[pos + i] for i, n in enumerate(tables)}
         pos += len(tables)
-        in_refs = {n: refs[pos + i] for i, n in enumerate(reads)}
-        pos += len(reads)
-        out_refs = {n: refs[pos + i] for i, n in enumerate(writes)}
+        in_refs = {k: refs[pos + i] for i, k in enumerate(in_streams)}
+        pos += len(in_streams)
+        out_refs = {k: refs[pos + i] for i, k in enumerate(out_streams)}
 
         # Read-only fields are hoisted to values loaded ONCE (repeated ref
         # re-reads measured 1.6x slower on hdiff); written fields use their
@@ -1519,52 +1669,88 @@ def build_plane_fn(
         # value updates don't — Mosaic lacks scatter/dynamic_update_slice),
         # seeded from the aliased original so non-domain points survive the
         # full block write-back. Temporaries are traced values.
-        blocks: dict[str, Any] = {}
-        for n in reads:
-            if n in out_refs:
-                out_refs[n][...] = in_refs[n][...]
-                blocks[n] = out_refs[n]
+        blocks: dict[Any, Any] = {}
+        for k in in_streams:
+            if k in out_refs:
+                out_refs[k][...] = in_refs[k][...]
+                blocks[k] = out_refs[k]
             else:
-                blocks[n] = in_refs[n][...]
+                blocks[k] = in_refs[k][...]
         for n in temp_names:
             blocks[n] = jnp.zeros(temp_shapes[n], dtypes[n])
 
         k0 = pl.program_id(0) * tk
-        ev = _PlaneEvaluator(plan, blocks, sref, k0, 0, 0, tables=tref, refs=set(writes))
+        ev = _PlaneEvaluator(
+            plan, blocks, sref, k0, 0, 0, tables=tref, refs=set(out_streams)
+        )
         ev.run()
 
     def encode(n: str, a: Any) -> Any:
-        """Public (I, J, K) array -> padded kernel-native (K, I, J) block.
+        """Public array -> padded kernel-native block(s).
 
-        Aligns K so domain k=0 is row 0 (per-field K origins differ;
-        BlockSpec offsets are block-granular so alignment happens here).
-        GlobalTables pass through as 2-D SMEM operands.
+        Full fields: (I, J, K) -> (Kp, Ip, Jp), K aligned so domain k=0 is
+        row 0 (per-field K origins differ; BlockSpec offsets are
+        block-granular so alignment happens here). Lower-dimensional fields
+        keep size-1 axes for the missing dimensions. Data-dimension fields
+        produce a stacked (D, Kp, Ip, Jp) array (one kernel stream per flat
+        index). GlobalTables pass through as 2-D SMEM operands.
         """
         if n in plan.table_shapes:
             return jnp.asarray(a).reshape(_table_2d(plan.table_shapes[n]))
-        ok = origins[n][2]
-        kf = jnp.transpose(a, (2, 0, 1))
-        rows = kf[ok : ok + min(nk, kf.shape[0] - ok)]
-        pk = nkp - rows.shape[0]
-        pi = _round_up(kf.shape[1], _SUBLANE) - kf.shape[1]
-        pj = _round_up(kf.shape[2], _LANE) - kf.shape[2]
-        return jnp.pad(rows, ((0, pk), (0, pi), (0, pj)))
+        bi, bj, bk = axes_of(n)
+        nd = len(plan.data_shape.get(n, ()))
+        a = jnp.asarray(a)
+        # insert missing spatial axes -> (I, J, K, *data)
+        pos = 0
+        for present in (bi, bj, bk):
+            if not present:
+                a = jnp.expand_dims(a, pos)
+            pos += 1
+        # -> (D, K, I, J)
+        if nd:
+            spatial = (0, 1, 2)
+            dd = tuple(range(3, 3 + nd))
+            a = jnp.transpose(a, dd + (2, 0, 1))
+            a = a.reshape((plan.data_n[n],) + a.shape[nd:])
+        else:
+            a = jnp.transpose(a, (2, 0, 1))[None]
+        ok = origins[n][2] if bk else 0
+        rows = a[:, ok : ok + min(nk, a.shape[1] - ok)] if bk else a[:, :1]
+        pk = (nkp - rows.shape[1]) if bk else 0
+        pi = _round_up(rows.shape[2], _SUBLANE) - rows.shape[2] if bi else 0
+        pj = _round_up(rows.shape[3], _LANE) - rows.shape[3] if bj else 0
+        rows = jnp.pad(rows, ((0, 0), (0, pk), (0, pi), (0, pj)))
+        return rows if nd else rows[0]
+
+    def stream_arg(padded, key):
+        return padded[key][0] if isinstance(key, tuple) else padded[key]
+
+    def stream_of(padded, key):
+        if isinstance(key, tuple):
+            return padded[key[0]][key[1]]
+        return padded[key]
 
     def call_padded(padded: dict[str, Any], scalars: dict[str, Any]) -> dict[str, Any]:
         """Run the kernel on already-encoded blocks; chained stencil steps
         stay in native layout with zero per-step conversion cost."""
         scalar_args = [jnp.asarray(scalars[n]).reshape(1, 1) for n in scalar_names]
         table_args = [padded[n] for n in tables]
-        in_args = [padded[n] for n in reads]
+        in_args = [stream_of(padded, k) for k in in_streams]
         out_shapes = [
-            jax.ShapeDtypeStruct(padded[n].shape, padded[n].dtype) for n in writes
+            jax.ShapeDtypeStruct(stream_of(padded, k).shape, stream_of(padded, k).dtype)
+            for k in out_streams
         ]
         n_lead = len(scalar_names) + len(tables)
-        aliases = {n_lead + reads.index(n): wi for wi, n in enumerate(writes)}
+        aliases = {
+            n_lead + in_streams.index(k): wi for wi, k in enumerate(out_streams)
+        }
 
-        def block_spec(n):
-            shape = padded[n].shape
-            return pl.BlockSpec((tk, shape[1], shape[2]), lambda k: (k, 0, 0))
+        def block_spec(k):
+            shape = stream_of(padded, k).shape
+            name = k[0] if isinstance(k, tuple) else k
+            if axes_of(name)[2]:
+                return pl.BlockSpec((tk, shape[1], shape[2]), lambda g: (g, 0, 0))
+            return pl.BlockSpec((1, shape[1], shape[2]), lambda g: (0, 0, 0))
 
         # x64 trace context crashes the remote Mosaic compiler (see the
         # tiled strategy); kernel dtypes are explicit so this scope only
@@ -1574,25 +1760,50 @@ def build_plane_fn(
                 kernel,
                 grid=(nkp // tk,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * n_lead
-                + [block_spec(n) for n in reads],
-                out_specs=[block_spec(n) for n in writes],
+                + [block_spec(k) for k in in_streams],
+                out_specs=[block_spec(k) for k in out_streams],
                 out_shape=out_shapes,
                 input_output_aliases=aliases,
                 interpret=interpret,
             )(*scalar_args, *table_args, *in_args)
-        if len(writes) == 1 and not isinstance(results, (tuple, list)):
+        if not isinstance(results, (tuple, list)):
             results = (results,)
-        return dict(zip(writes, results))
+        out: dict[str, Any] = {}
+        for n in writes:
+            ks = streams_of(n)
+            if plan.data_n.get(n, 0):
+                out[n] = jnp.stack(
+                    [results[out_streams.index(k)] for k in ks], axis=0
+                )
+            else:
+                out[n] = results[out_streams.index(n)]
+        return out
 
     def decode(n: str, r: Any, original: Any) -> Any:
-        """Padded (K, I, J) result -> public (I, J, K) array, reassembling
-        K rows outside the domain from the original field content."""
-        kf = jnp.transpose(original, (2, 0, 1))
+        """Padded kernel-native result -> public array, reassembling K rows
+        outside the domain from the original field content. Written fields
+        are full-IJK (plane eligibility), optionally with data dims."""
+        nd = len(plan.data_shape.get(n, ()))
+        original = jnp.asarray(original)
+        if nd:
+            dd = tuple(range(3, 3 + nd))
+            kf = jnp.transpose(original, dd + (2, 0, 1))  # (*data, K, I, J)
+            kf = kf.reshape((plan.data_n[n],) + kf.shape[nd:])
+        else:
+            kf = jnp.transpose(original, (2, 0, 1))[None]
+            r = r[None]
         ok = origins[n][2]
-        rows = r[: min(nk, kf.shape[0] - ok), : kf.shape[1], : kf.shape[2]]
-        if ok > 0 or ok + rows.shape[0] < kf.shape[0]:
-            rows = jnp.concatenate([kf[:ok], rows, kf[ok + rows.shape[0] :]], axis=0)
-        return jnp.transpose(rows, (1, 2, 0))
+        nrows = min(nk, kf.shape[1] - ok)
+        rows = r[:, :nrows, : kf.shape[2], : kf.shape[3]]
+        if ok > 0 or ok + nrows < kf.shape[1]:
+            rows = jnp.concatenate(
+                [kf[:, :ok], rows, kf[:, ok + nrows :]], axis=1
+            )
+        # (D, K, I, J) -> (I, J, K, *data)
+        out = jnp.transpose(rows, (2, 3, 1, 0))
+        if nd:
+            return out.reshape(out.shape[:3] + plan.data_shape[n])
+        return out[..., 0]
 
     def fn(arrays: dict[str, Any], scalars: dict[str, Any]) -> dict[str, Any]:
         padded = {n: encode(n, arrays[n]) for n in reads + tables}

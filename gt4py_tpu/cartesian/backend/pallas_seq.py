@@ -64,19 +64,38 @@ def staged_eligible(analyzed: AnalyzedStencil, *, interpret: bool) -> bool:
         for t in analyzed.stencil.temporaries:
             if t.dtype is not None and np.dtype(t.dtype).itemsize == 8:
                 return False
+    datadim_reads: set[str] = set()
     for p in analyzed.stencil.params:
         if isinstance(p, gtir.GlobalTableDecl):
             return False
         if isinstance(p, gtir.FieldDecl) and (
             p.data_dims or p.dimensions != (True, True, True)
         ):
+            # Lower-dim / data-dim fields ride as READ-only streams
+            # (broadcast planes / one stream per flat data index); writes
+            # to them have no reduced output stream here.
+            info = analyzed.field_infos.get(p.name)
+            if info is None or info.access & AccessKind.WRITE:
+                return False
+            if p.data_dims:
+                from gt4py_tpu.cartesian.backend.pallas_codegen import (
+                    _MAX_DATA_STREAMS,
+                )
+
+                if int(np.prod(p.data_dims)) > _MAX_DATA_STREAMS:
+                    return False
+                datadim_reads.add(p.name)
+    for t in analyzed.stencil.temporaries:
+        if t.data_dims:
             return False
     for _, _, stmt in analyzed.stencil.walk_stmts():
         if isinstance(stmt, gtir.While):
             return False
         for node in eve.walk_values(stmt):
             if isinstance(node, gtir.FieldAccess):
-                if node.koffset is not None or node.abs_k is not None or node.data_index:
+                if node.koffset is not None or node.abs_k is not None:
+                    return False
+                if node.data_index and node.name not in datadim_reads:
                     return False
     # K-halo reads: the staged geometry drops K rows outside [0, nk) in
     # encode() and clamps plane indices, so a read whose section interval
@@ -190,11 +209,20 @@ class _StagedGeometry:
         self.nk = nk
         self.field_ext: dict[str, Extent] = {}
         self.fields: list[str] = []
+        #: (has_I, has_J, has_K) per field; missing axes broadcast on read
+        self.axes_mask: dict[str, tuple[bool, bool, bool]] = {}
+        #: flattened data-dimension stream count (0 = plain scalar field)
+        self.data_n: dict[str, int] = {}
+        self.data_shape: dict[str, tuple[int, ...]] = {}
         for name, info in analyzed.field_infos.items():
             if info.access == AccessKind.NONE:
                 continue
             self.field_ext[name] = analyzed.field_extents.get(name, Extent.zeros())
             self.fields.append(name)
+            self.axes_mask[name] = info.domain_mask
+            if info.data_dims:
+                self.data_n[name] = int(np.prod(info.data_dims))
+                self.data_shape[name] = tuple(info.data_dims)
         self.temps = {t.name: t for t in analyzed.stencil.temporaries}
         for t in analyzed.stencil.temporaries:
             self.field_ext[t.name] = analyzed.field_extents.get(t.name, Extent.zeros())
@@ -270,6 +298,13 @@ def build_staged_fn(
 
         fuse = _os.environ.get("GT4PY_PALLAS_FUSE_STAGES", "0") not in ("0", "", "false")
     fused = None
+    has_nonplain = any(
+        geo.axes_mask.get(n) not in (None, (True, True, True))
+        or geo.data_n.get(n, 0)
+        for n in geo.fields
+    )
+    if fuse and has_nonplain:
+        fuse = False  # fused scratch model assumes plain (K, I, J) buffers
     if fuse and len(stages) >= 2:
         cross = _cross_names(geo, stages)
         if cross is not None and _fuse_scratch_bytes(geo, cross) <= _FUSE_SCRATCH_BUDGET:
@@ -290,13 +325,30 @@ def build_staged_fn(
         ]
 
     def encode(n: str, a: Any) -> Any:
-        ok = origins[n][2]
-        kf = jnp.transpose(a, (2, 0, 1))
-        rows = kf[ok : ok + min(nk, kf.shape[0] - ok)]
-        pk = nk - rows.shape[0]
-        pi = _round_up(kf.shape[1], _SUBLANE) - kf.shape[1]
-        pj = _round_up(kf.shape[2], _LANE) - kf.shape[2]
-        return jnp.pad(rows, ((0, pk), (0, pi), (0, pj)))
+        """Public array -> padded (K, I, J) buffer; lower-dim fields keep
+        size-1 axes; data-dim fields stack to (D, K, I, J) (one stream per
+        flat index)."""
+        bi, bj, bk = geo.axes_mask.get(n, (True, True, True))
+        nd = len(geo.data_shape.get(n, ()))
+        a = jnp.asarray(a)
+        pos = 0
+        for present in (bi, bj, bk):
+            if not present:
+                a = jnp.expand_dims(a, pos)
+            pos += 1
+        if nd:
+            dd = tuple(range(3, 3 + nd))
+            a = jnp.transpose(a, dd + (2, 0, 1))
+            a = a.reshape((geo.data_n[n],) + a.shape[nd:])
+        else:
+            a = jnp.transpose(a, (2, 0, 1))[None]
+        ok = origins[n][2] if bk else 0
+        rows = a[:, ok : ok + min(nk, a.shape[1] - ok)] if bk else a[:, :1]
+        pk = (nk - rows.shape[1]) if bk else 0
+        pi = _round_up(rows.shape[2], _SUBLANE) - rows.shape[2] if bi else 0
+        pj = _round_up(rows.shape[3], _LANE) - rows.shape[3] if bj else 0
+        rows = jnp.pad(rows, ((0, 0), (0, pk), (0, pi), (0, pj)))
+        return rows if nd else rows[0]
 
     def decode(n: str, r: Any, original: Any) -> Any:
         kf = jnp.transpose(original, (2, 0, 1))
@@ -384,9 +436,14 @@ def _build_stage_call(
     # seeded), so the "saved" input stream comes back with interest.
     seeded = list(written_bufs)
 
-    # Input spec list: (name, dk) pairs — only streams actually consumed:
-    # dk=0 original reads, shifted original reads, and seeds.
-    spec_keys: list[tuple[str, int]] = []
+    # Input spec list: (stream_key, dk) pairs — only streams actually
+    # consumed: dk=0 original reads, shifted original reads, and seeds.
+    # Data-dimension fields expand to one stream per flat index.
+    def skeys(name):
+        d = geo.data_n.get(name, 0)
+        return [(name, f) for f in range(d)] if d else [name]
+
+    spec_keys: list[tuple[Any, int]] = []
     for name, dk in sorted(stage.orig_reads):
         if not is_buffer(name):
             if dk != 0:
@@ -396,8 +453,9 @@ def _build_stage_call(
                     f"original-value K-offset read of loop-local temporary '{name}'"
                 )
             continue
-        if (name, dk) not in spec_keys:
-            spec_keys.append((name, dk))
+        for sk in skeys(name):
+            if (sk, dk) not in spec_keys:
+                spec_keys.append((sk, dk))
     for name in seeded:
         if (name, 0) not in spec_keys:
             spec_keys.append((name, 0))
@@ -502,13 +560,23 @@ def _build_stage_call(
     def stage_call(state: dict[str, Any], scalars: dict[str, Any]) -> dict[str, Any]:
         buf_shapes = {n: state[n].shape[1:] for n in read_names}
 
+        def stream_of(key):
+            if isinstance(key, tuple):
+                return state[key[0]][key[1]]
+            return state[key]
+
         def clampk(idx):
             return jnp.clip(idx, 0, nk - 1)
 
-        def spec_for(name, dk):
-            shape = state[name].shape
+        def spec_for(key, dk):
+            shape = stream_of(key).shape
+            name = key[0] if isinstance(key, tuple) else key
 
-            if (name, dk) in const_specs:
+            if not geo.axes_mask.get(name, (True, True, True))[2]:
+                # K-less stream: one constant plane for the whole walk.
+                def index_map(s):
+                    return (0, 0, 0)
+            elif (key, dk) in const_specs:
                 # Ring-seed stream: only the step-0 content is consumed, so
                 # pin the plane index to its step-0 value (one DMA total).
                 k0 = (k_end - 1) if backward else k_start
@@ -524,7 +592,7 @@ def _build_stage_call(
             return pl.BlockSpec((1, shape[1], shape[2]), index_map)
 
         scalar_args = [jnp.asarray(scalars[n]).reshape(1, 1) for n in scalar_names]
-        in_args = [state[n] for n, _ in spec_keys]
+        in_args = [stream_of(k) for k, _ in spec_keys]
         out_shapes = [
             jax.ShapeDtypeStruct(state[n].shape, state[n].dtype) for n in written_bufs
         ]
@@ -689,6 +757,8 @@ class _SeqPlaneEvaluator(_BlockEvaluator):
 
         ext, ks, ke, k_seq = ctx
         name = access.name
+        if self.geo.data_n.get(name, 0):
+            return self._read_datadim_seq(access, ctx)
         di, dj, dk = access.offset
         NK, NI, NJ = self._shape(ctx)
         xi = self._i_base(name) + ext.i[0] + di
@@ -716,11 +786,72 @@ class _SeqPlaneEvaluator(_BlockEvaluator):
             return self.cross_scratch[name][
                 pl.ds(kidx, 1), xi : xi + NI, xj : xj + NJ
             ]
-        if (name, dk) in self.in_refs:
-            return self.in_refs[(name, dk)][0:1, xi : xi + NI, xj : xj + NJ]
-        if dk == 0 and (name, 0) in self.in_refs:
-            return self.in_refs[(name, 0)][0:1, xi : xi + NI, xj : xj + NJ]
-        raise PallasUnsupported(f"unresolvable read {name}[{di},{dj},{dk}]")
+        return self._orig_stream_read(name, name, access, ctx)
+
+    def _orig_stream_read(self, skey, name, access, ctx):
+        """Read one original-input stream (plain, lower-dim broadcast, or a
+        single data-dim stream keyed (name, flat))."""
+        import jax.numpy as jnp
+
+        ext, _, _, _ = ctx
+        di, dj, dk = access.offset
+        NK, NI, NJ = self._shape(ctx)
+        bi, bj, bk = self.geo.axes_mask.get(name, (True, True, True))
+        xi = self._i_base(name) + ext.i[0] + di if bi else 0
+        xj = self._j_base(name) + ext.j[0] + dj if bj else 0
+        si = NI if bi else 1
+        sj = NJ if bj else 1
+        ref = self.in_refs.get((skey, dk if bk else 0))
+        if ref is None and dk == 0:
+            ref = self.in_refs.get((skey, 0))
+        if ref is None:
+            raise PallasUnsupported(f"unresolvable read {name}[{di},{dj},{dk}]")
+        sub = ref[0:1, xi : xi + si, xj : xj + sj]
+        if sub.shape != (1, NI, NJ):
+            sub = jnp.broadcast_to(sub, (1, NI, NJ))
+        return sub
+
+    def _read_datadim_seq(self, access: gtir.FieldAccess, ctx):
+        """Data-dim field read: static indices pick one stream, dynamic
+        indices one-hot select over the (capped) stream set."""
+        import itertools
+
+        import jax.numpy as jnp
+
+        name = access.name
+        shape_d = self.geo.data_shape[name]
+        if len(access.data_index) != len(shape_d):
+            raise PallasUnsupported(f"partial data index on '{name}'")
+        vals = [self.eval_expr(e, ctx) for e in access.data_index]
+        static = []
+        dyn = []
+        for v in vals:
+            if isinstance(v, (int, np.integer)) or (
+                isinstance(v, np.ndarray) and v.ndim == 0
+            ):
+                static.append(int(v))
+                dyn.append(None)
+            else:
+                static.append(None)
+                dyn.append(self._broadcast(v, ctx).astype(jnp.int32))
+        if all(s is not None for s in static):
+            flat = int(np.ravel_multi_index(static, shape_d))
+            return self._orig_stream_read((name, flat), name, access, ctx)
+        acc = None
+        spaces = [
+            [s] if s is not None else range(dim) for s, dim in zip(static, shape_d)
+        ]
+        for multi in itertools.product(*spaces):
+            cond = None
+            for d, v in enumerate(multi):
+                if static[d] is not None:
+                    continue
+                c = dyn[d] == v
+                cond = c if cond is None else jnp.logical_and(cond, c)
+            flat = int(np.ravel_multi_index(multi, shape_d))
+            val = self._orig_stream_read((name, flat), name, access, ctx)
+            acc = val if acc is None else jnp.where(cond, val, acc)
+        return acc
 
     @property
     def backward_(self) -> bool:

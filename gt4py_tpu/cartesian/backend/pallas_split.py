@@ -84,6 +84,11 @@ def split_eligible(analyzed: AnalyzedStencil, domain) -> bool:
     for name, ext in analyzed.field_extents.items():
         if ext.j[1] - ext.j[0] > 8:
             return False
+    for p in analyzed.stencil.params:
+        if isinstance(p, gtir.FieldDecl) and (
+            p.dimensions != (True, True, True) or p.data_dims
+        ):
+            return False  # lower-dim/data-dim fields run the plane strategy
     return True
 
 

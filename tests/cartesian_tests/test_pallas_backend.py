@@ -173,17 +173,40 @@ def test_global_table_served_natively(rng):
     np.testing.assert_allclose(out, table[idx])
 
 
-def test_fallback_for_unsupported(rng):
-    """Data-dimension fields still fall back to the XLA path (warned at
-    first call, when the kernel is built)."""
+def test_data_dims_served_natively(rng):
+    """Data-dimension fields run as plane-kernel streams — no fallback
+    warning (the round-1 fallback list is closed; see test_pallas_dims.py
+    for the full lower-dim/data-dim matrix)."""
+    import warnings
+
     from .test_features import data_dims_stencil
 
-    with pytest.warns(UserWarning, match="falling back"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
         st = build(data_dims_stencil)
         vec = rng.random((3, 3, 2, 3))
         out = np.zeros((3, 3, 2))
-        st(vec, out)
+        exec_info = {}
+        st(vec, out, exec_info=exec_info)
+    assert exec_info["pallas_strategy"] == "plane"
     np.testing.assert_allclose(out, vec[..., 0] + 2 * vec[..., 1] + 3 * vec[..., 2])
+
+
+def test_fallback_for_unsupported(rng):
+    """A write to a lower-dim field from a K-spanning loop is one of the
+    few remaining fallback classes (warned at first call)."""
+    from .test_features import Field3D, FieldIJ
+
+    def write_surf(a: Field3D, surf: FieldIJ):
+        with computation(PARALLEL), interval(0, 1):
+            surf = a[0, 0, 0]
+
+    with pytest.warns(UserWarning, match="falling back"):
+        st = build(write_surf)
+        a = rng.random((4, 4, 3))
+        surf = np.zeros((4, 4))
+        st(a, surf)
+    np.testing.assert_allclose(surf, a[:, :, 0])
 
 
 def test_k_blocked_parallel(rng, monkeypatch):
