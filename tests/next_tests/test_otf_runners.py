@@ -1,0 +1,93 @@
+"""Compile runners and variant enumeration for the OTF pool.
+
+Reference parity: worker-process variant compilation
+(/root/reference/src/gt4py/next/otf/compilation_tasks.py:136) and
+static-descriptor cross products (otf/compiled_program.py). Domains are
+always compile-time static under XLA, so the reference's static_domains
+knob has no separate surface here (see CompilationOptions docstring).
+"""
+
+import numpy as np
+import pytest
+
+import gt4py_tpu.next as gtx
+from gt4py_tpu.next import Dimension
+from gt4py_tpu.next.otf import CompilationOptions
+
+IDim = Dimension("IDim")
+
+
+# Module-level so the process runner can pickle the operator definition.
+@gtx.field_operator
+def scaled_sum(a, b, f: float):
+    return (a + b) * f
+
+
+def _fields():
+    rng = np.random.default_rng(0)
+    a = gtx.as_field([IDim], rng.random(16, dtype=np.float64))
+    b = gtx.as_field([IDim], rng.random(16, dtype=np.float64))
+    out = gtx.zeros({IDim: 16}, dtype=np.float64)
+    return a, b, out
+
+
+@pytest.mark.parametrize("runner", ["sync", "thread"])
+def test_async_runner_correctness(runner, recwarn):
+    op = scaled_sum.with_compilation_options(
+        options=CompilationOptions(
+            static_params=("f",), async_compile=True, runner=runner
+        )
+    )
+    a, b, out = _fields()
+    op(a, b, out=out, f=3.0)
+    op.wait_for_compilation()
+    np.testing.assert_allclose(
+        np.asarray(out.ndarray), (np.asarray(a.ndarray) + np.asarray(b.ndarray)) * 3.0
+    )
+    assert len(op._pool) == 1
+
+
+def test_compile_variant_cross_product():
+    op = scaled_sum.with_compilation_options(
+        options=CompilationOptions(static_params=("f",))
+    )
+    a, b, out = _fields()
+    op.compile(a, b, f=[1.0, 2.0, 3.0])
+    assert len(op._pool) == 3
+    # Calls with precompiled statics hit the pool without growing it.
+    op(a, b, out=out, f=2.0)
+    assert len(op._pool) == 3
+    np.testing.assert_allclose(
+        np.asarray(out.ndarray), (np.asarray(a.ndarray) + np.asarray(b.ndarray)) * 2.0
+    )
+
+
+def test_process_runner_ships_or_falls_back():
+    # The only spawn-based test (a child process re-imports jax, ~40s):
+    # keep exactly one to cover the genuine ship-back path.
+    """On the CPU test platform the process path either genuinely ships the
+    serialized executable back or degrades to a thread with a warning —
+    both must produce correct results."""
+    op = scaled_sum.with_compilation_options(
+        options=CompilationOptions(
+            static_params=("f",), async_compile=True, runner="process",
+            compile_workers=1,
+        )
+    )
+    a, b, out = _fields()
+    op(a, b, out=out, f=0.5)
+    np.testing.assert_allclose(
+        np.asarray(out.ndarray), (np.asarray(a.ndarray) + np.asarray(b.ndarray)) * 0.5
+    )
+
+
+def test_field_operator_pickles():
+    import pickle
+
+    blob = pickle.dumps(scaled_sum)
+    clone = pickle.loads(blob)
+    a, b, out = _fields()
+    clone(a, b, out=out, f=2.0)
+    np.testing.assert_allclose(
+        np.asarray(out.ndarray), (np.asarray(a.ndarray) + np.asarray(b.ndarray)) * 2.0
+    )
