@@ -19,7 +19,9 @@ from gt4py_tpu.next.embedded import Field
 
 
 def _norm_dtype(dtype: Any) -> np.dtype:
-    if dtype in (int, float, bool):
+    # Identity checks: ``np.dtype('float64') == float`` is True in numpy,
+    # so a membership test would send dtype OBJECTS into the builtin map.
+    if dtype is int or dtype is float or dtype is bool:
         return np.dtype({int: np.int64, float: np.float64, bool: np.bool_}[dtype])
     return np.dtype(dtype if dtype is not None else np.float64)
 
