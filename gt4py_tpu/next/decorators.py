@@ -63,9 +63,37 @@ def _write_out(result: Any, out: Any, domain: Optional[Domain]) -> None:
             )
             for nr in target.ranges
         )
-        out.ndarray = jnp.asarray(out.ndarray).at[out_slices].set(value)
+        if _xp_of(out) is np:
+            buf = np.array(out.ndarray, copy=True)
+            buf[out_slices] = np.asarray(value)
+            out.ndarray = buf
+        else:
+            out.ndarray = jnp.asarray(out.ndarray).at[out_slices].set(value)
     else:
-        out.ndarray = jnp.asarray(value)
+        out.ndarray = (
+            np.asarray(value) if _xp_of(out) is np else jnp.asarray(value)
+        )
+
+
+def _xp_of(f: Field):
+    from gt4py_tpu.next.embedded import _xp
+
+    return _xp(f.ndarray)
+
+
+def _as_numpy(obj: Any) -> Any:
+    """Convert Field pytrees to NumPy-backed Fields: the independent-oracle
+    execution mode (reference "roundtrip" embedded-NumPy backend) — all
+    arithmetic then runs through NumPy, never XLA."""
+    if isinstance(obj, Field):
+        return Field(
+            obj.domain,
+            np.asarray(obj.ndarray),
+            None if obj.mask is None else np.asarray(obj.mask),
+        )
+    if isinstance(obj, tuple):
+        return tuple(_as_numpy(o) for o in obj)
+    return obj
 
 
 @dataclasses.dataclass
@@ -165,6 +193,15 @@ class FieldOperator:
         # ffront/decorator.py:62-83, instrumentation/metrics.py:240).
         with stencil_call.wrap(name), MetricsCollector(name, "total"):
             with offset_provider_context(offset_provider):
+                if self.backend == "numpy":
+                    # Independent oracle: run the definition on NumPy-backed
+                    # fields (reference roundtrip backend role — foreign
+                    # arithmetic to validate the jax path against).
+                    np_args = tuple(_as_numpy(a) for a in args)
+                    np_kwargs = {k: _as_numpy(v) for k, v in kwargs.items()}
+                    result = self.definition(*np_args, **np_kwargs)
+                    _write_out(result, out, dom)
+                    return
                 if self.backend == "tpu:pallas":
                     # Structured (cartesian-offset) operators execute on the
                     # cartesian Pallas kernel substrate (SURVEY §7 step 8);
@@ -262,6 +299,8 @@ class ScanOperator:
         import jax.numpy as jnp
         from jax import lax
 
+        if self.backend == "numpy":
+            args = tuple(_as_numpy(a) for a in args)
         field_args = [a for a in args if isinstance(a, Field)]
         if not field_args:
             raise ValueError("scan operator requires at least one Field argument")
@@ -294,19 +333,43 @@ class ScanOperator:
         def broadcast_init(value):
             return jnp.broadcast_to(jnp.asarray(value), non_k_shape)
 
-        init = jax.tree_util.tree_map(broadcast_init, self.init)
+        from gt4py_tpu.next.embedded import _xp
 
-        scan_xs = tuple(
-            jnp.moveaxis(a, k_axis, 0) if hasattr(a, "ndim") and a.ndim == len(dims) else
-            jnp.broadcast_to(a, (nk,) + non_k_shape)
-            for a in aligned
-        )
-        _, stacked = lax.scan(body, init, scan_xs, reverse=not self.forward)
+        if _xp(field_args[0].ndarray) is np:
+            # NumPy oracle mode: plain Python level loop (reference
+            # embedded scan semantics, no lax.scan — foreign arithmetic).
+            def np_bcast(value):
+                return np.broadcast_to(np.asarray(value), non_k_shape)
+
+            carry = jax.tree_util.tree_map(np_bcast, self.init)
+            xs = tuple(
+                np.moveaxis(a, k_axis, 0)
+                if hasattr(a, "ndim") and a.ndim == len(dims)
+                else np.broadcast_to(a, (nk,) + non_k_shape)
+                for a in aligned
+            )
+            levels = []
+            order = range(nk) if self.forward else range(nk - 1, -1, -1)
+            for k in order:
+                carry = self.definition(carry, *(x[k] for x in xs), **kwargs)
+                levels.append(carry)
+            if not self.forward:
+                levels.reverse()
+            stacked = jax.tree_util.tree_map(lambda *ls: np.stack(ls), *levels)
+        else:
+            init = jax.tree_util.tree_map(broadcast_init, self.init)
+
+            scan_xs = tuple(
+                jnp.moveaxis(a, k_axis, 0) if hasattr(a, "ndim") and a.ndim == len(dims) else
+                jnp.broadcast_to(a, (nk,) + non_k_shape)
+                for a in aligned
+            )
+            _, stacked = lax.scan(body, init, scan_xs, reverse=not self.forward)
         # stacked: pytree of (nk, *non_k_shape)
 
         def to_field(arr):
-            out = jnp.moveaxis(arr, 0, k_axis)
-            return Field(dom, out)
+            xp = np if isinstance(arr, np.ndarray) else jnp
+            return Field(dom, xp.moveaxis(arr, 0, k_axis))
 
         return jax.tree_util.tree_map(to_field, stacked)
 

@@ -78,6 +78,31 @@ def _promote_dims(a: tuple[Dimension, ...], b: tuple[Dimension, ...]) -> tuple[D
     return tuple(result)
 
 
+def _xp(arr):
+    """Array namespace of a backing array. NumPy-backed fields stay in
+    NumPy end-to-end — that is the independent ORACLE mode (reference
+    "roundtrip"/embedded NumPy backend, nd_array_field.py:136's
+    NumPyArrayField): results never route through XLA, so the jax path
+    can be validated against genuinely foreign arithmetic."""
+    if isinstance(arr, (np.ndarray, np.generic)):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def _iota(xp, shape, axis, dtype=np.int32):
+    if xp is np:
+        n = shape[axis]
+        view = np.arange(n, dtype=dtype).reshape(
+            (1,) * axis + (n,) + (1,) * (len(shape) - axis - 1)
+        )
+        return np.broadcast_to(view, shape)
+    from jax import lax
+
+    return lax.broadcasted_iota(dtype, shape, axis)
+
+
 @dataclasses.dataclass
 class Field:
     """Discrete field over a Domain, backed by a jnp array (one axis per
@@ -203,8 +228,7 @@ class Field:
         """Per-point variable shift along ``dim`` (reference experimental
         ``as_offset``, ffront/experimental.py:17): out(p) = self(p + idx(p)
         along dim). Out-of-range positions clamp to the field boundary."""
-        import jax.numpy as jnp
-        from jax import lax
+        xp = _xp(self.ndarray)
 
         dims = _promote_dims(self.dims, idx.dims)
         if dim not in dims:
@@ -213,10 +237,10 @@ class Field:
         _, b = idx._aligned(dims, self)
         axis = dom.dims.index(dim)
         n = a.shape[axis]
-        base = lax.broadcasted_iota(jnp.int32, a.shape, axis)
-        pos = jnp.clip(base + b.astype(jnp.int32), 0, n - 1)
-        pos = jnp.broadcast_to(pos, a.shape)
-        return Field(dom, jnp.take_along_axis(a, pos, axis=axis))
+        base = _iota(xp, a.shape, axis)
+        pos = xp.clip(base + b.astype(np.int32), 0, n - 1)
+        pos = xp.broadcast_to(pos, a.shape)
+        return Field(dom, xp.take_along_axis(a, pos, axis=axis))
 
     def _shift_cartesian(self, dim: Dimension, index: int) -> "Field":
         """out(i) = self(i + index)  ⇔ domain range shifted by -index."""
@@ -225,7 +249,7 @@ class Field:
         return Field(self.domain.replace(dim, new_range), self.ndarray, self.mask)
 
     def _remap_connectivity(self, conn: Connectivity) -> "Field":
-        import jax.numpy as jnp
+        xp = _xp(self.ndarray)
 
         if self.domain.ndim == 0 or conn.codomain not in self.domain:
             raise ValueError(
@@ -235,8 +259,8 @@ class Field:
         table = conn.table
         own_start = self.domain[conn.codomain].unit_range.start
         idx = table - own_start
-        safe_idx = jnp.clip(idx, 0, self.ndarray.shape[axis] - 1)
-        gathered = jnp.take(self.ndarray, safe_idx, axis=axis)
+        safe_idx = xp.clip(np.asarray(idx) if xp is np else idx, 0, self.ndarray.shape[axis] - 1)
+        gathered = xp.take(self.ndarray, safe_idx, axis=axis)
         # gathered axes: dims[:axis] + (source, neighbor) + dims[axis+1:]
         new_ranges = (
             self.domain.ranges[:axis]
@@ -251,7 +275,7 @@ class Field:
             valid = (table != conn.skip_value).reshape(
                 (1,) * axis + table.shape + (1,) * (self.ndarray.ndim - axis - 1)
             )
-            mask = jnp.broadcast_to(valid, gathered.shape)
+            mask = xp.broadcast_to(np.asarray(valid) if xp is np else valid, gathered.shape)
         # Move the (source, neighbor) axes to the front (reference puts the
         # new source dim where the codomain dim was; keep in place).
         return Field(Domain(new_ranges), gathered, mask)
@@ -295,14 +319,14 @@ class Field:
     # -- arithmetic --------------------------------------------------------
 
     def _binary(self, other, op) -> "Field":
-        import jax.numpy as jnp
+        xp = _xp(self.ndarray)
 
         if isinstance(other, Field):
             dims = _promote_dims(self.dims, other.dims)
             dom, a = self._aligned(dims, other)
             _, b = other._aligned(dims, self)
             result = op(a, b)
-            mask = _combine_masks(jnp, self, other, dims)
+            mask = _combine_masks(xp, self, other, dims)
             return Field(dom, result, mask)
         result = op(self.ndarray, other)
         return Field(self.domain, result, self.mask)
@@ -342,7 +366,7 @@ class Field:
         perm = [self.domain.index(d) for d in own_dims]
         if perm != sorted(perm):
             arr = arr.transpose(perm)
-        import jax.numpy as jnp
+        xp = _xp(arr)
 
         shape = []
         expand = []
@@ -354,8 +378,8 @@ class Field:
                 expand.append(i)
             shape.append(size)
         for i in expand:
-            arr = jnp.expand_dims(arr, i)
-        arr = jnp.broadcast_to(arr, tuple(shape))
+            arr = xp.expand_dims(arr, i)
+        arr = xp.broadcast_to(arr, tuple(shape))
         return dom, arr
 
     def __add__(self, o):
@@ -393,29 +417,19 @@ class Field:
         return self
 
     def __abs__(self):
-        import jax.numpy as jnp
-
-        return Field(self.domain, jnp.abs(self.ndarray), self.mask)
+        return Field(self.domain, _xp(self.ndarray).abs(self.ndarray), self.mask)
 
     def __invert__(self):
-        import jax.numpy as jnp
-
-        return Field(self.domain, jnp.logical_not(self.ndarray), self.mask)
+        return Field(self.domain, _xp(self.ndarray).logical_not(self.ndarray), self.mask)
 
     def __and__(self, o):
-        import jax.numpy as jnp
-
-        return self._binary(o, jnp.logical_and)
+        return self._binary(o, _xp(self.ndarray).logical_and)
 
     def __or__(self, o):
-        import jax.numpy as jnp
-
-        return self._binary(o, jnp.logical_or)
+        return self._binary(o, _xp(self.ndarray).logical_or)
 
     def __xor__(self, o):
-        import jax.numpy as jnp
-
-        return self._binary(o, jnp.logical_xor)
+        return self._binary(o, _xp(self.ndarray).logical_xor)
 
     def __eq__(self, o):  # type: ignore[override]
         return self._binary(o, lambda a, b: a == b)
@@ -442,7 +456,7 @@ class Field:
         return f"Field({self.domain}, dtype={self.dtype})"
 
 
-def _combine_masks(jnp, a: Field, b, dims):
+def _combine_masks(xp, a: Field, b, dims):
     if a.mask is None and (not isinstance(b, Field) or b.mask is None):
         return None
     parts = []
@@ -453,7 +467,7 @@ def _combine_masks(jnp, a: Field, b, dims):
             parts.append(arr)
     out = parts[0]
     for p in parts[1:]:
-        out = jnp.logical_and(out, p)
+        out = xp.logical_and(out, p)
     return out
 
 

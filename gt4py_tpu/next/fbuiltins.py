@@ -11,7 +11,7 @@ from typing import Any, Union
 import numpy as np
 
 from gt4py_tpu.next.common import Dimension, Domain, NamedRange, UnitRange
-from gt4py_tpu.next.embedded import Field, _promote_dims
+from gt4py_tpu.next.embedded import Field, _promote_dims, _xp
 
 
 def _is_sym(x) -> bool:
@@ -19,8 +19,6 @@ def _is_sym(x) -> bool:
 
 
 def _reduce(field: Field, axis: Dimension, op: str, neutral) -> Field:
-    import jax.numpy as jnp
-
     if _is_sym(field):
         from gt4py_tpu.next.cartesian_bridge import BridgeUnsupported
 
@@ -29,9 +27,10 @@ def _reduce(field: Field, axis: Dimension, op: str, neutral) -> Field:
         raise TypeError("neighbor reductions require a Field")
     ax = field.domain.index(axis)
     arr = field.ndarray
+    xp = _xp(arr)
     if field.mask is not None:
-        arr = jnp.where(field.mask, arr, np.asarray(neutral, dtype=field.dtype))
-    result = getattr(jnp, op)(arr, axis=ax)
+        arr = xp.where(field.mask, arr, np.asarray(neutral, dtype=field.dtype))
+    result = getattr(xp, op)(arr, axis=ax)
     new_domain = Domain(field.domain.ranges[:ax] + field.domain.ranges[ax + 1:])
     return Field(new_domain, result)
 
@@ -57,8 +56,6 @@ def broadcast(value: Union[Field, Any], dims: tuple[Dimension, ...]) -> Field:
     fbuiltins.py:270). Embedded: zero-size placeholder ranges get resolved
     by domain intersection in subsequent ops; scalars become 0-d fields
     carrying the dim set."""
-    import jax.numpy as jnp
-
     if isinstance(value, Field):
         new_dims = _promote_dims(value.dims, tuple(dims))
         ranges = []
@@ -80,6 +77,8 @@ def broadcast(value: Union[Field, Any], dims: tuple[Dimension, ...]) -> Field:
         f.ndarray = arr
         f.mask = None
         return f
+    import jax.numpy as jnp
+
     arr = jnp.asarray(value).reshape((1,) * len(dims))
     f = object.__new__(Field)
     f.domain = Domain(tuple(NamedRange(d, UnitRange.infinite()) for d in dims))
@@ -93,8 +92,6 @@ def where(cond: Field, a: Union[Field, Any], b: Union[Field, Any]) -> Field:
         if _is_sym(x):
             return x._builtin("where", cond, a, b)
     """Ternary select (reference fbuiltins.py:281)."""
-    import jax.numpy as jnp
-
     operands = [x for x in (cond, a, b) if isinstance(x, Field)]
     dims = operands[0].dims
     for o in operands[1:]:
@@ -113,7 +110,8 @@ def where(cond: Field, a: Union[Field, Any], b: Union[Field, Any]) -> Field:
     dom_a, arr_a = align(a)
     dom_b, arr_b = align(b)
     dom = dom_c or dom_a or dom_b
-    return Field(dom, jnp.where(arr_c, arr_a, arr_b))
+    xp = _xp(operands[0].ndarray)
+    return Field(dom, xp.where(arr_c, arr_a, arr_b))
 
 
 def astype(field: Union[Field, Any], dtype: Any) -> Field:
@@ -121,9 +119,11 @@ def astype(field: Union[Field, Any], dtype: Any) -> Field:
         return field._builtin("astype", field, dtype)
     import jax.numpy as jnp
 
-    np_dtype = np.dtype(dtype if dtype not in (int, float, bool) else {
-        int: np.int64, float: np.float64, bool: np.bool_
-    }[dtype])
+    # identity checks: np.dtype('float64') == float is True in numpy
+    if dtype is int or dtype is float or dtype is bool:
+        np_dtype = np.dtype({int: np.int64, float: np.float64, bool: np.bool_}[dtype])
+    else:
+        np_dtype = np.dtype(dtype)
     if isinstance(field, Field):
         return Field(field.domain, field.ndarray.astype(np_dtype), field.mask)
     return jnp.asarray(field).astype(np_dtype)
@@ -131,14 +131,14 @@ def astype(field: Union[Field, Any], dtype: Any) -> Field:
 
 def _field_unary(jnp_name: str):
     def fn(x):
-        import jax.numpy as jnp
-
         if _is_sym(x):
             return x._builtin(jnp_name, x)
-        impl = getattr(jnp, jnp_name)
         if isinstance(x, Field):
+            impl = getattr(_xp(x.ndarray), jnp_name)
             return Field(x.domain, impl(x.ndarray), x.mask)
-        return impl(x)
+        import jax.numpy as jnp
+
+        return getattr(jnp, jnp_name)(x)
 
     fn.__name__ = jnp_name
     return fn
@@ -146,18 +146,17 @@ def _field_unary(jnp_name: str):
 
 def _field_binary(jnp_name: str):
     def fn(x, y):
-        import jax.numpy as jnp
-
         if _is_sym(x):
             return x._builtin(jnp_name, x, y)
         if _is_sym(y):
             return y._builtin(jnp_name, x, y)
-        impl = getattr(jnp, jnp_name)
         if isinstance(x, Field):
-            return x._binary(y, impl)
+            return x._binary(y, getattr(_xp(x.ndarray), jnp_name))
         if isinstance(y, Field):
-            return y._rbinary(x, impl)
-        return impl(x, y)
+            return y._rbinary(x, getattr(_xp(y.ndarray), jnp_name))
+        import jax.numpy as jnp
+
+        return getattr(jnp, jnp_name)(x, y)
 
     fn.__name__ = jnp_name
     return fn
