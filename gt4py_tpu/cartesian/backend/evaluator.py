@@ -76,32 +76,16 @@ class _NamespaceOps:
             self.xp = np
 
     def slice_nd(self, arr, starts, sizes):
-        if all(isinstance(s, (int, np.integer)) for s in starts):
-            idx = tuple(slice(int(s), int(s) + int(z)) for s, z in zip(starts, sizes))
-            idx = idx + (slice(None),) * (arr.ndim - len(starts))
-            return arr[idx]
-        assert self.kind == "jax"
-        import jax.lax as lax
+        from gt4py_tpu.core import ndarray_utils
 
-        full_starts = list(starts) + [0] * (arr.ndim - len(starts))
-        full_sizes = list(sizes) + list(arr.shape[len(starts):])
-        return lax.dynamic_slice(arr, full_starts, full_sizes)
+        if self.kind != "jax":
+            assert all(isinstance(s, (int, np.integer)) for s in starts)
+        return ndarray_utils.slice_nd(arr, starts, sizes, xp=self.xp)
 
     def update_nd(self, arr, starts, value):
-        if self.kind == "numpy":
-            idx = tuple(
-                slice(int(s), int(s) + int(z)) for s, z in zip(starts, value.shape)
-            )
-            idx = idx + (slice(None),) * (arr.ndim - len(starts))
-            arr[idx] = value
-            return arr
-        if all(isinstance(s, (int, np.integer)) for s in starts):
-            idx = tuple(slice(int(s), int(s) + z) for s, z in zip(starts, value.shape))
-            return arr.at[idx].set(value)
-        import jax.lax as lax
+        from gt4py_tpu.core import ndarray_utils
 
-        full_starts = list(starts) + [0] * (arr.ndim - len(starts))
-        return lax.dynamic_update_slice(arr, value, full_starts)
+        return ndarray_utils.update_nd(arr, starts, value, xp=self.xp)
 
     def take_along_k(self, arr, idx):
         xp = self.xp

@@ -32,6 +32,11 @@ from gt4py_tpu.eve.concepts import (
     field,
 )
 from gt4py_tpu.eve.pattern_matching import ObjectPattern, get_differences
+from gt4py_tpu.eve.type_validation import (
+    TypeValidationError,
+    assert_type,
+    simple_type_validator,
+)
 from gt4py_tpu.eve.traits import (
     SymbolTableTrait,
     VisitorWithSymbolTable,

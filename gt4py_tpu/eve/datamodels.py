@@ -26,68 +26,14 @@ class ValidationError(TypeError):
 
 
 def _check_type(value: Any, annotation: Any, name: str) -> None:
-    """Best-effort structural check of ``value`` against ``annotation``."""
-    if annotation is Any or isinstance(annotation, str):
-        return
-    origin = get_origin(annotation)
-    if origin is None:
-        if isinstance(annotation, type) and not isinstance(value, annotation):
-            # bool is an int subclass; ints are acceptable floats.
-            if annotation is float and isinstance(value, int):
-                return
-            raise ValidationError(
-                f"Field '{name}' expects {annotation.__name__}, got "
-                f"{type(value).__name__} ({value!r})"
-            )
-        return
-    if origin is Union:
-        errors = []
-        for arm in get_args(annotation):
-            if arm is type(None) and value is None:
-                return
-            try:
-                _check_type(value, arm, name)
-                return
-            except ValidationError as e:
-                errors.append(str(e))
-        raise ValidationError(
-            f"Field '{name}' matches no Union arm of {annotation}: {value!r}"
-        )
-    if origin in (list, set, frozenset):
-        if not isinstance(value, origin):
-            raise ValidationError(f"Field '{name}' expects {origin.__name__}")
-        (arg,) = get_args(annotation) or (Any,)
-        for v in value:
-            _check_type(v, arg, name)
-        return
-    if origin is tuple:
-        if not isinstance(value, tuple):
-            raise ValidationError(f"Field '{name}' expects tuple")
-        args = get_args(annotation)
-        if len(args) == 2 and args[1] is Ellipsis:
-            for v in value:
-                _check_type(v, args[0], name)
-        elif args:
-            if len(args) != len(value):
-                raise ValidationError(
-                    f"Field '{name}' expects a {len(args)}-tuple, got {len(value)}"
-                )
-            for v, a in zip(value, args):
-                _check_type(v, a, name)
-        return
-    if origin is dict:
-        if not isinstance(value, dict):
-            raise ValidationError(f"Field '{name}' expects dict")
-        args = get_args(annotation)
-        if args:
-            for k, v in value.items():
-                _check_type(k, args[0], name)
-                _check_type(v, args[1], name)
-        return
-    if isinstance(origin, type) and not isinstance(value, origin):
-        raise ValidationError(
-            f"Field '{name}' expects {origin.__name__}, got {type(value).__name__}"
-        )
+    """Structural check (delegates to the standalone kit,
+    eve/type_validation.py; ValidationError subclasses its error)."""
+    from gt4py_tpu.eve import type_validation
+
+    try:
+        type_validation.assert_type(value, annotation, name)
+    except type_validation.TypeValidationError as e:
+        raise ValidationError(str(e)) from None
 
 
 def validator(field_name: str):

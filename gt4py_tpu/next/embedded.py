@@ -92,15 +92,9 @@ def _xp(arr):
 
 
 def _iota(xp, shape, axis, dtype=np.int32):
-    if xp is np:
-        n = shape[axis]
-        view = np.arange(n, dtype=dtype).reshape(
-            (1,) * axis + (n,) + (1,) * (len(shape) - axis - 1)
-        )
-        return np.broadcast_to(view, shape)
-    from jax import lax
+    from gt4py_tpu.core.ndarray_utils import broadcast_iota
 
-    return lax.broadcasted_iota(dtype, shape, axis)
+    return broadcast_iota(xp, shape, axis, dtype)
 
 
 @dataclasses.dataclass
