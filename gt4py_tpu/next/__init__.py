@@ -15,6 +15,7 @@ from gt4py_tpu.next.common import (  # noqa: F401
     promote_dims,
     Dimension,
     DimensionKind,
+    Dims,
     Domain,
     FieldOffset,
     GridType,

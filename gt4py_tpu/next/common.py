@@ -86,6 +86,20 @@ class DimCondition:
     value: int
 
 
+class Dims:
+    """Annotation-only dimension list: ``Field[Dims[I, J], float]``
+    (reference common.py ``Dims`` variadic generic). Subscripting yields
+    the plain dimension tuple consumed by ``Field.__class_getitem__``."""
+
+    def __class_getitem__(cls, dims) -> tuple["Dimension", ...]:
+        if not isinstance(dims, tuple):
+            dims = (dims,)
+        for d in dims:
+            if not isinstance(d, Dimension):
+                raise TypeError(f"Dims[...] expects Dimension instances, got {d!r}")
+        return dims
+
+
 # Sentinel bounds for unbounded ranges (reference common.py:159 Infinity).
 _NEG_INF = -(2**62)
 _POS_INF = 2**62

@@ -108,6 +108,9 @@ class FieldOperator:
     definition: Callable
     backend: Optional[str] = "jax"
     options: Any = None  # CompilationOptions; None -> defaults
+    # Deduced signature (next/type_deduction.py) when the definition is
+    # annotated; None = legacy unannotated operator (deduction off).
+    type_info: Any = None
 
     def __post_init__(self):
         from gt4py_tpu.next.otf import CompilationOptions, CompiledProgramsPool
@@ -129,12 +132,12 @@ class FieldOperator:
         self.__post_init__()
 
     def with_backend(self, backend: Optional[str]) -> "FieldOperator":
-        return FieldOperator(self.definition, backend, self.options)
+        return FieldOperator(self.definition, backend, self.options, self.type_info)
 
     def with_compilation_options(self, options=None, **kwargs) -> "FieldOperator":
         """Reference decorator.py:111 (`with_compilation_options`)."""
         opts = options if options is not None else self.options.replace(**kwargs)
-        return FieldOperator(self.definition, self.backend, opts)
+        return FieldOperator(self.definition, self.backend, opts, self.type_info)
 
     def _make_executable(self, args, kwargs) -> Callable:
         import jax
@@ -183,6 +186,13 @@ class FieldOperator:
         if out is None:
             # Called from inside another field operator: plain application.
             return self.definition(*args, **kwargs)
+        if self.type_info is not None:
+            from gt4py_tpu.next.type_deduction import check_call_args
+
+            check_call_args(
+                self.type_info, args, kwargs,
+                name=getattr(self.definition, "__name__", "field_operator"),
+            )
         from gt4py_tpu.instrumentation.hooks import stencil_call
         from gt4py_tpu.instrumentation.metrics import MetricsCollector
         from gt4py_tpu.next.common import domain as make_domain
@@ -237,8 +247,11 @@ def field_operator(definition: Optional[Callable] = None, *, backend: str | None
 
     def wrap(fn):
         validate_definition(fn, kind="field_operator")
+        from gt4py_tpu.next.type_deduction import deduce
+
+        info = deduce(fn, kind="field_operator")
         _publish_definition(fn)
-        return functools.wraps(fn)(FieldOperator(fn, backend))
+        return functools.wraps(fn)(FieldOperator(fn, backend, None, info))
 
     return wrap(definition) if definition is not None else wrap
 
@@ -272,9 +285,13 @@ class ScanOperator:
     forward: bool
     init: Any
     backend: Optional[str] = "jax"
+    # Deduced signature (next/type_deduction.py); params[0] is the carry.
+    type_info: Any = None
 
     def with_backend(self, backend: Optional[str]) -> "ScanOperator":
-        return ScanOperator(self.definition, self.axis, self.forward, self.init, backend)
+        return ScanOperator(
+            self.definition, self.axis, self.forward, self.init, backend, self.type_info
+        )
 
     def __call__(
         self,
@@ -284,6 +301,19 @@ class ScanOperator:
         domain: Optional[Union[Domain, dict]] = None,
         **kwargs,
     ):
+        if self.type_info is not None and out is not None:
+            from gt4py_tpu.next.type_deduction import OperatorTypeInfo, check_call_args
+
+            names = list(self.type_info.params)
+            trimmed = OperatorTypeInfo(
+                params={n: self.type_info.params[n] for n in names[1:]},
+                returns=self.type_info.returns,
+            )
+            check_call_args(
+                trimmed, args, kwargs,
+                name=getattr(self.definition, "__name__", "scan_operator"),
+                element_only=True,
+            )
         with offset_provider_context(offset_provider):
             result = self._apply(args, kwargs)
         if out is None:
@@ -391,7 +421,10 @@ def scan_operator(
 
     def wrap(fn):
         validate_definition(fn, kind="scan_operator")
-        return functools.wraps(fn)(ScanOperator(fn, axis, forward, init, backend))
+        from gt4py_tpu.next.type_deduction import deduce
+
+        info = deduce(fn, kind="scan_operator")
+        return functools.wraps(fn)(ScanOperator(fn, axis, forward, init, backend, info))
 
     return wrap(definition) if definition is not None else wrap
 

@@ -120,6 +120,26 @@ class Field:
                 f"{self.domain} shape {expected}"
             )
 
+    # Annotation syntax: ``Field[Dims[I, J], float]`` yields a
+    # :class:`gt4py_tpu.next.type_system.FieldType` spec usable as a DSL
+    # parameter/return annotation (reference common.py Field generic,
+    # consumed by ffront type deduction).
+    def __class_getitem__(cls, item):
+        from gt4py_tpu.next.type_system import FieldType
+
+        if not (isinstance(item, tuple) and len(item) == 2):
+            raise TypeError(
+                "Field[...] annotations take two arguments: Field[Dims[...], dtype]"
+            )
+        dims, dtype = item
+        if isinstance(dims, Dimension):
+            dims = (dims,)
+        if not (
+            isinstance(dims, tuple) and all(isinstance(d, Dimension) for d in dims)
+        ):
+            raise TypeError(f"Field[...] expects Dims[...] first, got {dims!r}")
+        return FieldType(dims=tuple(dims), dtype=np.dtype(dtype))
+
     # -- interface ---------------------------------------------------------
 
     @property

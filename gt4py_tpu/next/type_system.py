@@ -103,6 +103,39 @@ def from_value(value: Any) -> TypeSpec:
     raise TypeError(f"Cannot deduce a TypeSpec for {value!r}")
 
 
+def from_annotation(ann: Any, globalns: Optional[dict] = None) -> Optional[TypeSpec]:
+    """TypeSpec of a DSL annotation (reference type_translation.py
+    ``from_type_hint``): ``Field[Dims[I, J], float]`` evaluates to a
+    :class:`FieldType` via ``Field.__class_getitem__``; scalar kinds and
+    ``tuple[...]`` compose. Returns None for annotations the DSL does not
+    type (deduction then skips the parameter)."""
+    import typing
+
+    import inspect
+
+    if ann is None or ann is inspect.Parameter.empty:
+        return None
+    if isinstance(ann, str):
+        try:
+            ann = eval(ann, globalns or {})  # noqa: S307 — annotation string
+        except Exception:
+            return None
+    if isinstance(ann, TypeSpec):
+        return ann
+    if isinstance(ann, Dimension):
+        return DimensionType(ann)
+    origin = typing.get_origin(ann)
+    if origin is tuple:
+        parts = tuple(from_annotation(a, globalns) for a in typing.get_args(ann))
+        if any(p is None for p in parts):
+            return None
+        return TupleType(types=parts)
+    try:
+        return ScalarType(np.dtype(ann))
+    except TypeError:
+        return None
+
+
 def promote(*types: ScalarType) -> ScalarType:
     """NumPy promotion over scalar kinds (reference type_info.promote)."""
     return ScalarType(np.result_type(*(t.dtype for t in types)))
