@@ -55,7 +55,18 @@ from gt4py_tpu.next.fbuiltins import (  # noqa: F401
 from gt4py_tpu.next.field_utils import asnumpy  # noqa: F401
 from gt4py_tpu.next.named_collections import named_collection  # noqa: F401
 from gt4py_tpu.next.experimental import as_offset  # noqa: F401
-from gt4py_tpu.next.otf import CompilationOptions, CompiledProgramsPool  # noqa: F401
+from gt4py_tpu.next.otf import (  # noqa: F401
+    CompilationOptions,
+    CompiledProgramsPool,
+    MultiWorkflow,
+    NamedStepSequence,
+)
+from gt4py_tpu.next import stages  # noqa: F401
+from gt4py_tpu.next.backend import (  # noqa: F401
+    Backend,
+    Transforms,
+    resolve as resolve_backend,
+)
 
 # Pretty, compact reporting for DSL errors reaching the top level
 # (reference installs its excepthook on import, next/errors/excepthook.py:40).

@@ -140,9 +140,24 @@ class FieldOperator:
         return FieldOperator(self.definition, self.backend, opts, self.type_info)
 
     def _make_executable(self, args, kwargs) -> Callable:
-        import jax
+        from gt4py_tpu.next.backend import Backend, resolve
 
         statics = {k: v for k, v in kwargs.items() if k in self.options.static_params}
+        dynamic = {k: v for k, v in kwargs.items() if k not in statics}
+        be = resolve(self.backend) if isinstance(self.backend, (str, Backend)) else None
+        if be is not None and be.kind == "jax":
+            # Build through the backend's Transforms workflow (reference
+            # backend.py:154 Backend.compile): user-replaced steps apply.
+            return be.make_executable(
+                self.definition,
+                op_kind="field_operator",
+                static_args=tuple(sorted(statics.items())),
+                type_info=self.type_info,
+                args=args,
+                kwargs=dynamic,
+            )
+        import jax
+
         fn = functools.partial(self.definition, **statics) if statics else self.definition
         return jax.jit(fn)
 
@@ -203,7 +218,10 @@ class FieldOperator:
         # ffront/decorator.py:62-83, instrumentation/metrics.py:240).
         with stencil_call.wrap(name), MetricsCollector(name, "total"):
             with offset_provider_context(offset_provider):
-                if self.backend == "numpy":
+                from gt4py_tpu.next.backend import backend_kind
+
+                kind = backend_kind(self.backend)
+                if kind == "numpy":
                     # Independent oracle: run the definition on NumPy-backed
                     # fields (reference roundtrip backend role — foreign
                     # arithmetic to validate the jax path against).
@@ -212,7 +230,7 @@ class FieldOperator:
                     result = self.definition(*np_args, **np_kwargs)
                     _write_out(result, out, dom)
                     return
-                if self.backend == "tpu:pallas":
+                if kind == "pallas":
                     # Structured (cartesian-offset) operators execute on the
                     # cartesian Pallas kernel substrate (SURVEY §7 step 8);
                     # unstructured signatures fall through to embedded.
@@ -225,7 +243,7 @@ class FieldOperator:
                     result = self.definition(*args, **kwargs)
                     _write_out(result, out, dom)
                     return
-                if self.backend == "jax" and self.options.enable_jit:
+                if kind == "jax" and self.options.enable_jit:
                     ex = self._pool.lookup(args, kwargs, offset_provider)
                     dynamic = {
                         k: v
@@ -329,7 +347,9 @@ class ScanOperator:
         import jax.numpy as jnp
         from jax import lax
 
-        if self.backend == "numpy":
+        from gt4py_tpu.next.backend import backend_kind
+
+        if backend_kind(self.backend) == "numpy":
             args = tuple(_as_numpy(a) for a in args)
         field_args = [a for a in args if isinstance(a, Field)]
         if not field_args:

@@ -343,6 +343,36 @@ def step(fn: Callable[[S], T]) -> Workflow[S, T]:
     return Workflow(fn)
 
 
+@dataclasses.dataclass(frozen=True)
+class NamedStepSequence:
+    """A workflow whose steps are the dataclass fields, executed in field
+    order (reference NamedStepSequence, otf/workflow.py:97). Subclass with
+    step fields; customize a pipeline with ``dataclasses.replace`` /
+    :meth:`replace` — that is the user-controllable transform-pipeline
+    surface (reference backend ``Transforms`` replacement idiom)."""
+
+    def step_order(self, inp: Any) -> list[str]:
+        """Step names to execute, in order. Override for per-input
+        ordering (reference MultiWorkflow, otf/workflow.py:165)."""
+        return [f.name for f in dataclasses.fields(self)]
+
+    def __call__(self, inp: Any) -> Any:
+        for name in self.step_order(inp):
+            step_fn = getattr(self, name)
+            if step_fn is None:
+                continue
+            inp = step_fn(inp)
+        return inp
+
+    def replace(self, **kwargs: Any) -> "NamedStepSequence":
+        return dataclasses.replace(self, **kwargs)
+
+
+class MultiWorkflow(NamedStepSequence):
+    """Alias making the per-input-step-order variant searchable by its
+    reference name (otf/workflow.py:165): override :meth:`step_order`."""
+
+
 class CachedStep(Workflow[S, T]):
     """Step with persistent result caching keyed by a fingerprint of the
     input (reference CachedStep via FileCache, otf/workflow.py +
