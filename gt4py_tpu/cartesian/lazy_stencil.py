@@ -18,28 +18,28 @@ class LazyStencil:
         self._implementation: Optional[StencilObject] = None
 
     @property
-    def field_info(self):
-        return self.implementation.field_info
-
-    def check_syntax(self) -> None:
-        from gt4py_tpu.cartesian.passes import analyze
+    def builder(self):
+        """The underlying StencilBuilder (reference lazy_stencil.py
+        exposes its builder for staged builds)."""
+        from gt4py_tpu.cartesian.stencil_builder import StencilBuilder
 
         options = dict(self.build_options)
         options.setdefault("backend", self.backend)
         options.setdefault("externals", {})
         options.setdefault("dtypes", {})
-        analyze(self.definition, options)
+        return StencilBuilder(self.definition, options=options)
+
+    @property
+    def field_info(self):
+        return self.implementation.field_info
+
+    def check_syntax(self) -> None:
+        self.builder.check_syntax()
 
     @property
     def implementation(self) -> StencilObject:
         if self._implementation is None:
-            from gt4py_tpu.cartesian import loader
-
-            options = dict(self.build_options)
-            options.setdefault("backend", self.backend)
-            options.setdefault("externals", {})
-            options.setdefault("dtypes", {})
-            self._implementation = loader.load_stencil(self.definition, options)
+            self._implementation = self.builder.build()
         return self._implementation
 
     def __call__(self, *args, **kwargs) -> None:
