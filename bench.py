@@ -546,6 +546,74 @@ def main() -> None:
     except Exception as e:
         results["next_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # --- copy + Laplacian at 48^3 (reference lap_cartesian_vs_next example
+    # config, BASELINE.md configs row). Tiny workload: tracks dispatch +
+    # small-domain kernel efficiency rather than HBM bandwidth. -----------
+    try:
+        def copy48(src: "Field3F", dst: "Field3F"):
+            with gtscript.computation("PARALLEL"), gtscript.interval(...):
+                dst = src[0, 0, 0]
+
+        def lap48(src: "Field3F", dst: "Field3F"):
+            with gtscript.computation("PARALLEL"), gtscript.interval(...):
+                dst = -4.0 * src[0, 0, 0] + (
+                    src[1, 0, 0] + src[-1, 0, 0] + src[0, 1, 0] + src[0, -1, 0]
+                )
+
+        n48 = 48
+        lhalo = 1
+        lshape = (n48 + 2 * lhalo, n48 + 2 * lhalo, n48)
+        ldomain = (n48, n48, n48)
+        for label, defn in (("copy48", copy48), ("lap48", lap48)):
+            stl = gtscript.stencil(backend="jax", definition=defn, **s32)
+            lorigins = {"src": (lhalo, lhalo, 0), "dst": (lhalo, lhalo, 0)}
+            lfn = None
+            if on_tpu:
+                try:
+                    lfn = build_pallas_fn(stl._analyzed, ldomain, lorigins)
+                    if not hasattr(lfn, "call_padded"):
+                        lfn = None
+                except Exception:
+                    lfn = None
+
+            def make_l(n, _lfn=lfn, _st=stl, _origins=lorigins):
+                if _lfn is not None:
+                    @jax.jit
+                    def f(src):
+                        p = _lfn.encode("src", src)
+                        zero = jax.tree_util.tree_map(jnp.zeros_like, p)
+
+                        def body(i, carry):
+                            a, b = carry
+                            r = _lfn.call_padded({"src": a, "dst": b}, {})
+                            return (r["dst"], a)
+
+                        a, _ = lax.fori_loop(0, n, body, (p, zero))
+                        return a
+                    return f
+
+                @jax.jit
+                def f(src):
+                    def body(i, carry):
+                        a, b = carry
+                        ev = Evaluator(
+                            _st._analyzed, ldomain, _origins,
+                            {"src": a, "dst": b}, {}, ns="jax",
+                        )
+                        return (ev.run()["dst"], a)
+                    a, _ = lax.fori_loop(0, n, body, (src, jnp.zeros_like(src)))
+                    return a
+                return f
+
+            t_l = timer.measure(
+                make_l,
+                lambda: (jnp.asarray(rng.random(lshape, dtype=np.float32)),),
+            )
+            results[f"{label}_us_per_step"] = round(t_l * 1e6, 2)
+            results[f"{label}_Ggps"] = round(n48 ** 3 / t_l / 1e9, 3)
+    except Exception as e:
+        results["lap48_error"] = f"{type(e).__name__}: {e}"[:200]
+
     target = 0.80
     vs_baseline = round(hdiff_frac / target, 3) if hdiff_frac == hdiff_frac else None
     out = {
