@@ -158,6 +158,15 @@ class TemplatedGenerator(NodeVisitor):
             return {k: self.visit(v, **kwargs) for k, v in node.items()}
         return node
 
+    # Collections must RENDER (visited element list), not traverse — the
+    # base NodeVisitor's visit_list/visit_tuple return None by design and
+    # would otherwise shadow the collection branch of visit() above.
+    def visit_list(self, node: list, **kwargs: Any) -> Any:
+        return [self.visit(v, **kwargs) for v in node]
+
+    def visit_tuple(self, node: tuple, **kwargs: Any) -> Any:
+        return tuple(self.visit(v, **kwargs) for v in node)
+
     def generic_dump(self, node: Node, children: dict[str, Any]) -> str:
         raise NotImplementedError(
             f"No template for node type {type(node).__name__} in "
