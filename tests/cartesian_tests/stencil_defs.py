@@ -620,3 +620,117 @@ def heat_step(t: Field3D, out: Field3D, dt: float):
         out = 0.75 * out + 0.25 * out[0, 0, -1]
     with computation(BACKWARD), interval(0, -1):
         out = 0.75 * out + 0.25 * out[0, 0, 1]
+
+
+FieldBool = gtscript.Field[np.bool_]
+FieldF32 = gtscript.Field[np.float32]
+FieldI32 = gtscript.Field[np.int32]
+FieldI8 = gtscript.Field[np.int8]
+
+
+@register
+def dtype_zoo(
+    flag: FieldBool,
+    tiny: FieldI8,
+    idx32: FieldI32,
+    big: FieldI64,
+    f32: FieldF32,
+    f64: Field3D,
+):
+    """Literal assignment across the dtype spectrum (reference data_types
+    class: per-dtype fields written with in-range literals)."""
+    with computation(PARALLEL), interval(...):
+        flag = True
+        tiny = 101
+        idx32 = 1000000007
+        big = 123456789012345
+        f32 = 0.8125
+        f64 = 0.333251953125
+
+
+@register
+def land_mask(height: Field3D, mask: FieldBool):
+    """Boolean field computed from a comparison (reference form_land_mask)."""
+    with computation(PARALLEL), interval(...):
+        mask = height >= 0.5
+
+
+@register(min_k=3)
+def bool_elif_koffset(base: Field3D, marker: FieldBool, hi: Field3D, lo: Field3D):
+    """Bool-field elif chain with K-offset reads of the condition field
+    (reference set_inner_as_kord class)."""
+    with computation(PARALLEL), interval(1, -1):
+        gap = 0.0
+        if marker and marker[0, 0, -1]:
+            hi = base
+        elif marker and marker[0, 0, 1]:
+            lo = base
+        else:
+            gap = hi - lo
+            hi = hi + 0.125 * gap
+
+
+@register(min_k=3)
+def nested_conditional_locals(src: Field3D, dst: Field3D):
+    """Local scalars declared inside nested conditionals, different
+    computations re-declaring the same local (reference
+    local_var_inside_nested_conditional class)."""
+    with computation(PARALLEL), interval(0, 2):
+        fallback = 2.0
+        if src[0, 0, 0] > 0.3:
+            bump = 4.0
+            if bump + src < dst:
+                fallback = 3.0
+            else:
+                fallback = 4.0
+            dst = bump + fallback
+    with computation(FORWARD), interval(2, None):
+        if src[0, 0, 0] < 0.3:
+            bump = 6.0
+            dst = bump
+
+
+@register(scalars={"c": 0.5})
+def param_multibranch(src: Field3D, dst: Field3D, c: float):
+    """Scalar-parameter if/elif/else (reference multibranch_param_conditional)."""
+    with computation(PARALLEL), interval(...):
+        if c > 0.0:
+            dst = src + src[1, 0, 0]
+        elif c < -1.0:
+            dst = src - src[1, 0, 0]
+        else:
+            dst = src
+
+
+@register(externals={"EXTRA_SMOOTH": False})
+def empty_computation_inlined(src: Field3D, dst: Field3D):
+    """A computation emptied by __INLINED(False) must still compile
+    (reference allow_empty_computation)."""
+    from __externals__ import EXTRA_SMOOTH
+
+    with computation(FORWARD), interval(...):
+        dst = src
+    with computation(PARALLEL), interval(...):
+        if __INLINED(EXTRA_SMOOTH):
+            dst = abs(src)
+
+
+@register(min_k=3)
+def single_level_offset(src: Field3D, dst: Field3D):
+    """Single-level interval with a horizontal offset read (reference
+    single_level_with_offset)."""
+    with computation(PARALLEL), interval(1, 2):
+        dst = 0.5 * (src[1, 0, 0] + src[-1, 0, 0])
+
+
+@register
+def region_conditional(src: Field3D, dst: Field3D):
+    """Runtime conditional inside horizontal regions (reference
+    horizontal_region_with_conditional)."""
+    with computation(PARALLEL), interval(...):
+        dst = src
+        with horizontal(region[I[0]:I[2], :], region[I[-2]:I[-1] + 1, :]):
+            if src > 0.4:
+                dst = src + 1.0
+            else:
+                dst = 0.0
