@@ -202,12 +202,11 @@ class FieldOperator:
             # Called from inside another field operator: plain application.
             return self.definition(*args, **kwargs)
         if self.type_info is not None:
-            from gt4py_tpu.next.type_deduction import check_call_args
+            from gt4py_tpu.next.type_deduction import check_call_args, check_out_arg
 
-            check_call_args(
-                self.type_info, args, kwargs,
-                name=getattr(self.definition, "__name__", "field_operator"),
-            )
+            op_name = getattr(self.definition, "__name__", "field_operator")
+            check_call_args(self.type_info, args, kwargs, name=op_name)
+            check_out_arg(self.type_info, out, name=op_name)
         from gt4py_tpu.instrumentation.hooks import stencil_call
         from gt4py_tpu.instrumentation.metrics import MetricsCollector
         from gt4py_tpu.next.common import domain as make_domain

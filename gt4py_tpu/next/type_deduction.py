@@ -810,6 +810,44 @@ def check_call_args(
         )
 
 
+def check_out_arg(info: OperatorTypeInfo, out: Any, *, name: str) -> None:
+    """Validate the ``out=`` field(s) against the deduced return type
+    (reference decorator.py out-argument type checking). Dims must cover
+    the return dims with a matching dtype; tuples check element-wise."""
+    declared = info.returns
+    if declared is None or declared is UNKNOWN or out is None:
+        return
+    _check_out(declared, out, name, "out")
+
+
+def _check_out(declared: Any, out: Any, name: str, path: str) -> None:
+    from gt4py_tpu.next.embedded import Field
+
+    if isinstance(declared, ts.TupleType):
+        if not isinstance(out, tuple) or len(out) != len(declared.types):
+            raise errors.DSLTypeError(
+                None,
+                f"{name}(): '{path}' must be a {len(declared.types)}-tuple "
+                f"matching the return type {declared}.",
+            )
+        for i, (d, o) in enumerate(zip(declared.types, out)):
+            _check_out(d, o, name, f"{path}[{i}]")
+        return
+    if isinstance(declared, ts.FieldType):
+        if not isinstance(out, Field):
+            raise errors.DSLTypeError(
+                None, f"{name}(): '{path}' must be a Field (returns {declared})."
+            )
+        missing = [d for d in out.dims if d not in declared.dims]
+        if missing:
+            raise errors.DSLTypeError(
+                None,
+                f"{name}(): '{path}' has dimension(s) "
+                f"{', '.join(d.value for d in missing)} not produced by the "
+                f"operator (returns {declared}).",
+            )
+
+
 def _element_accepts(declared: Any, value: Any, got: ts.TypeSpec) -> bool:
     """Scan-operator argument rule: element dtype must match; dims are
     free (the scan axis and any vectorized dims are implicit)."""

@@ -307,3 +307,24 @@ def test_scan_operator_call_time_check():
     bad = gtx.as_field([K], np.ones(5, np.float32))
     with pytest.raises(DSLTypeError, match="float64"):
         cumsum(bad, out=out)
+
+
+def test_out_dims_validated_against_return():
+    out_bad = gtx.zeros({I: 4, J: 4})
+    f = gtx.as_field([I], np.arange(4.0))
+    with pytest.raises(DSLTypeError, match="not produced by the operator"):
+        _scale2(f, out=out_bad)
+
+
+def test_out_non_field_rejected():
+    f = gtx.as_field([I], np.arange(4.0))
+    with pytest.raises(DSLTypeError, match="must be a Field"):
+        _scale2(f, out=np.zeros(4))
+
+
+def test_out_subdomain_accepted():
+    # out over a SUBSET of the return dims/extent is fine (partial write).
+    f = gtx.as_field([I], np.arange(6.0))
+    out = gtx.zeros({I: (1, 5)})
+    _scale2(f, out=out)
+    np.testing.assert_allclose(out.asnumpy(), 2 * np.arange(1.0, 5.0))
