@@ -20,7 +20,7 @@ class TestBackwardCumsum(StencilTestSuite):
     dtypes = [np.float64]
     domain_range = [(1, 6), (1, 6), (2, 8)]
     symbols = dict(inp=field(in_range=(-3, 3)), acc=field(in_range=(0, 0)))
-    max_examples = 6
+    max_examples = 10
 
     def definition(inp, acc):
         with gtscript.computation("BACKWARD"):
@@ -47,7 +47,7 @@ class TestFluxLimiter(StencilTestSuite):
         inp=field(in_range=(-4, 4), boundary=((2, 2), (0, 0), (0, 0))),
         out=field(in_range=(0, 0)),
     )
-    max_examples = 6
+    max_examples = 10
 
     def definition(inp, out):
         with gtscript.computation("PARALLEL"), gtscript.interval(...):
@@ -68,7 +68,7 @@ class TestHorizontalRegion(StencilTestSuite):
     dtypes = [np.float64]
     domain_range = [(3, 9), (3, 9), (1, 4)]
     symbols = dict(inp=field(in_range=(-5, 5)), out=field(in_range=(-5, 5)))
-    max_examples = 6
+    max_examples = 10
 
     def definition(inp, out):
         with gtscript.computation("PARALLEL"), gtscript.interval(...):
@@ -91,7 +91,7 @@ class TestWhileNewton(StencilTestSuite):
     dtypes = [np.float64]
     domain_range = [(1, 6), (1, 6), (1, 4)]
     symbols = dict(a=field(in_range=(1.0, 16.0)), out=field(in_range=(0, 0)))
-    max_examples = 6
+    max_examples = 10
 
     def definition(a, out):
         with gtscript.computation("PARALLEL"), gtscript.interval(...):
@@ -116,7 +116,7 @@ class TestThreeSectionScan(StencilTestSuite):
     dtypes = [np.float64]
     domain_range = [(1, 5), (1, 5), (4, 9)]
     symbols = dict(inp=field(in_range=(-2, 2)), out=field(in_range=(0, 0)))
-    max_examples = 6
+    max_examples = 10
 
     def definition(inp, out):
         with gtscript.computation("FORWARD"):
@@ -146,7 +146,7 @@ class TestFieldCondition(StencilTestSuite):
     symbols = dict(
         a=field(in_range=(-5, 5)), b=field(in_range=(-5, 5)), out=field(in_range=(0, 0))
     )
-    max_examples = 6
+    max_examples = 10
 
     def definition(a, b, out):
         with gtscript.computation("PARALLEL"), gtscript.interval(...):
@@ -166,7 +166,7 @@ class TestAbsoluteK(StencilTestSuite):
     dtypes = [np.float64]
     domain_range = [(1, 6), (1, 6), (2, 7)]
     symbols = dict(a=field(in_range=(-4, 4)), out=field(in_range=(0, 0)))
-    max_examples = 6
+    max_examples = 10
 
     def definition(a, out):
         with gtscript.computation("PARALLEL"), gtscript.interval(...):
@@ -187,7 +187,7 @@ class TestNativeFunctions(StencilTestSuite):
         b=field(in_range=(-2, 2)),
         out=field(in_range=(0, 0)),
     )
-    max_examples = 6
+    max_examples = 10
 
     def definition(a, b, out):
         with gtscript.computation("PARALLEL"), gtscript.interval(...):
@@ -214,7 +214,7 @@ class TestIntegerArithmetic(StencilTestSuite):
     symbols = dict(
         a=field(in_range=(-20, 20)), b=field(in_range=(1, 7)), out=field(in_range=(0, 0))
     )
-    max_examples = 6
+    max_examples = 10
 
     def definition(a, b, out):
         with gtscript.computation("PARALLEL"), gtscript.interval(...):
@@ -234,7 +234,7 @@ class TestMaskedScanCarry(StencilTestSuite):
     dtypes = [np.float64]
     domain_range = [(1, 5), (1, 5), (3, 8)]
     symbols = dict(inp=field(in_range=(-3, 3)), out=field(in_range=(0, 0)))
-    max_examples = 6
+    max_examples = 10
 
     def definition(inp, out):
         with gtscript.computation("FORWARD"):
