@@ -37,7 +37,9 @@ def _write_out(result: Any, out: Any, domain: Optional[Domain]) -> None:
     target = out.domain
     if domain is not None:
         target = domain
-    # Restrict the result to the target domain.
+    # Restrict the result to the target domain. A broadcast-placeholder
+    # axis (unbounded range, size-1 array axis — fbuiltins.broadcast)
+    # keeps its single element here and expands below.
     slices = []
     for nr in target.ranges:
         if nr.dim not in result.domain:
@@ -45,7 +47,10 @@ def _write_out(result: Any, out: Any, domain: Optional[Domain]) -> None:
                 f"Output dimension {nr.dim} missing from result {result.domain}"
             )
         rr = result.domain[nr.dim].unit_range
-        slices.append(slice(nr.unit_range.start - rr.start, nr.unit_range.stop - rr.start))
+        if not rr.is_finite:
+            slices.append(slice(0, 1))
+        else:
+            slices.append(slice(nr.unit_range.start - rr.start, nr.unit_range.stop - rr.start))
     perm = [result.domain.index(nr.dim) for nr in target.ranges]
     arr = result.ndarray
     if perm != sorted(perm):
@@ -54,6 +59,10 @@ def _write_out(result: Any, out: Any, domain: Optional[Domain]) -> None:
     else:
         arr = arr[tuple(slices)]
     value = arr.astype(out.dtype)
+    target_shape = tuple(len(nr.unit_range) for nr in target.ranges)
+    if tuple(value.shape) != target_shape:
+        xp_v = np if _xp_of(out) is np else jnp
+        value = xp_v.broadcast_to(value, target_shape)
     if domain is not None and target is not out.domain:
         # Partial write: update the sub-block of out.
         out_slices = tuple(
