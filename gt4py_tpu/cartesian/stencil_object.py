@@ -141,6 +141,14 @@ class StencilObject:
             mask = field_info.domain_mask
             upper = tuple(u for u, m in zip(field_info.boundary.upper, mask) if m)
             field_origin = origin[name]
+            if len(info.shape) < field_info.domain_ndim:
+                # Wrong-rank arrays get the dedicated ndim diagnostic in
+                # _validate_args — don't crash the max-domain scan first.
+                raise ValueError(
+                    f"Storage for '{name}' has {len(info.shape)} dimensions but "
+                    f"the API signature expects "
+                    f"{field_info.domain_ndim + len(field_info.data_dims)}"
+                )
             pos = 0
             for ax_idx, present in enumerate(mask):
                 if not present:
