@@ -5,6 +5,8 @@ docs/user/cartesian/lang_design.rst) exercised feature by feature."""
 import numpy as np
 import pytest
 
+from gt4py_tpu import storage
+
 from gt4py_tpu.cartesian import gtscript
 from gt4py_tpu.cartesian.frontend import GTScriptDefinitionError, GTScriptSyntaxError
 from gt4py_tpu.cartesian.gtscript import (
@@ -496,3 +498,50 @@ def test_with_clause_error_surfaces_cause():
 
     with pytest.raises(GTScriptSyntaxError, match="NameError.*UNDEFINED_ORDER"):
         gtscript.stencil(backend="numpy", definition=bad)
+
+
+def test_function_multi_return():
+    """gtscript.function returning a tuple unpacked in the stencil
+    (reference gtscript_frontend multi-value returns)."""
+
+    @gtscript.function
+    def split_pm(x):
+        return x + 1.0, x - 1.0
+
+    def st(a: Field3D, p: Field3D, m: Field3D):
+        with computation(PARALLEL), interval(...):
+            p, m = split_pm(a)
+
+    s = gtscript.stencil(backend="numpy", definition=st)
+    a = storage.from_array(np.arange(8.0).reshape(2, 2, 2), backend="numpy")
+    p = storage.zeros((2, 2, 2), backend="numpy")
+    m = storage.zeros((2, 2, 2), backend="numpy")
+    s(a, p, m)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(a) + 1.0)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(a) - 1.0)
+
+
+def test_function_defaults_kwargs_nested():
+    """Defaults, keyword arguments, and nested gtscript.function calls all
+    inline (reference CallInliner breadth)."""
+
+    @gtscript.function
+    def axpb(x, a=2.0, b=1.0):
+        return a * x + b
+
+    @gtscript.function
+    def twice_axpb(x):
+        return axpb(axpb(x, b=0.5), a=3.0)
+
+    def st(src: Field3D, dst: Field3D):
+        with computation(PARALLEL), interval(...):
+            dst = twice_axpb(src) + axpb(src, 1.0, 0.0)
+
+    s = gtscript.stencil(backend="numpy", definition=st)
+    src = storage.from_array(np.arange(8.0).reshape(2, 2, 2), backend="numpy")
+    dst = storage.zeros((2, 2, 2), backend="numpy")
+    s(src, dst)
+    x = np.asarray(src)
+    np.testing.assert_allclose(
+        np.asarray(dst), (3.0 * (2.0 * x + 0.5) + 1.0) + x
+    )
