@@ -88,9 +88,15 @@ class StepTimer:
     def sync(self, x) -> None:
         np.asarray(self.fetch(x))
 
-    def measure(self, make_chained, fresh_inputs, n_lo=202, n_hi=3202, trials=6) -> float:
+    def measure(
+        self, make_chained, fresh_inputs, n_lo=202, n_hi=3202, trials=6, label=""
+    ) -> float:
         """make_chained(n) -> jitted fn(*inputs) running n chained steps.
-        fresh_inputs() -> tuple of device arrays (new values each call)."""
+        fresh_inputs() -> tuple of device arrays (new values each call).
+        Wall-time per phase goes to stderr (budget diagnostics)."""
+        wall0 = time.perf_counter()
+        if not label:
+            label = getattr(make_chained, "__name__", "workload").removeprefix("make_")
         f_lo = make_chained(n_lo)
         f_hi = make_chained(n_hi)
 
@@ -104,10 +110,17 @@ class StepTimer:
             return time.perf_counter() - t0
 
         timed(f_lo)  # warm compile + cache paths
+        warm_done = time.perf_counter()
         timed(f_hi)
         lo = min(timed(f_lo) for _ in range(trials))
         hi = min(timed(f_hi) for _ in range(trials))
         est = (hi - lo) / (n_hi - n_lo)
+        print(
+            f"[bench] {label or 'workload'}: compile+warm "
+            f"{warm_done - wall0:.1f}s, measure "
+            f"{time.perf_counter() - warm_done:.1f}s",
+            file=sys.stderr,
+        )
         # Dispatch jitter can exceed the lo-run runtime and push the fit
         # negative; fall back to the amortized upper bound (slightly
         # pessimistic: includes one dispatch + the encode prologue).

@@ -83,6 +83,15 @@ class StencilObject:
     def name(self) -> str:
         return self._analyzed.name
 
+    def pretty_ir(self) -> str:
+        """Canonical text form of the analyzed GTIR (cartesian/gtir_pretty.py
+        — the reference's pretty-printer role: IR snapshots for debugging,
+        golden tests, bug reports). Round-trips through
+        ``gtir_pretty.parse``."""
+        from gt4py_tpu.cartesian.gtir_pretty import pretty
+
+        return pretty(self._analyzed.stencil)
+
     # -- origin/domain machinery (parity with reference :263-530) -----------
 
     @staticmethod

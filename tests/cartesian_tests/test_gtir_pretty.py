@@ -159,3 +159,14 @@ def test_parse_errors_are_informative():
         parse("stencil x {")
     with pytest.raises(SyntaxError):
         parse("stencil x { bogus }")
+
+
+def test_stencil_object_pretty_ir():
+    from gt4py_tpu.cartesian import gtscript
+
+    st = gtscript.stencil(
+        backend="numpy", definition=defs.REGISTRY["copy_stencil"]["definition"]
+    )
+    text = st.pretty_ir()
+    assert text.startswith("stencil copy_stencil")
+    assert strip_locations(parse(text)) == strip_locations(st._analyzed.stencil)
