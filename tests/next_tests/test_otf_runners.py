@@ -91,3 +91,43 @@ def test_field_operator_pickles():
     np.testing.assert_allclose(
         np.asarray(out.ndarray), (np.asarray(a.ndarray) + np.asarray(b.ndarray)) * 2.0
     )
+
+
+def test_pool_thread_safety():
+    """Concurrent first-calls race the pool's compile-on-miss path
+    (reference CompiledProgramsPool locks); every thread must see a
+    correct result and the pool must not compile-per-thread forever."""
+    import threading
+
+    import numpy as np
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dimension
+
+    I = Dimension("I")
+
+    @gtx.field_operator
+    def triple(a):
+        return a * 3.0
+
+    data = np.arange(16.0)
+    errors = []
+    barrier = threading.Barrier(8)
+
+    def run(i):
+        try:
+            barrier.wait(timeout=30)
+            out = gtx.zeros({I: 16})
+            triple(gtx.as_field([I], data + i), out=out)
+            np.testing.assert_allclose(out.asnumpy(), (data + i) * 3.0)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+    # All threads share one signature -> exactly one pool entry.
+    assert len(triple._pool) == 1
