@@ -77,6 +77,20 @@ def _define_hdiff32():
     return hdiff32
 
 
+_rand_seed = [0]
+
+
+def device_random(shape, dtype=np.float32, offset=0.0):
+    """Fresh on-device random array (new key per call). Bulk host->device
+    uploads through the remote tunnel cost ~1-2s per 21MB array and
+    dominated the bench wall time; only a 4-byte seed crosses now."""
+    import jax
+
+    _rand_seed[0] += 1
+    out = jax.random.uniform(jax.random.PRNGKey(_rand_seed[0]), shape, dtype=dtype)
+    return out + offset if offset else out
+
+
 class StepTimer:
     """Per-step device time via chained on-device iteration + two-point fit."""
 
@@ -216,10 +230,7 @@ def main() -> None:
 
     t_hdiff = timer.measure(
         make_hdiff,
-        lambda: (
-            jnp.asarray(rng.random(shape, dtype=np.float32)),
-            jnp.asarray(rng.random(shape, dtype=np.float32)),
-        ),
+        lambda: (device_random(shape), device_random(shape)),
     )
     hdiff_gps = points / t_hdiff
     # Minimal semantic traffic: in_field must be read over the domain PLUS
@@ -306,9 +317,7 @@ def main() -> None:
 
         t_vadv = timer.measure(
             make_vadv,
-            lambda: tuple(
-                jnp.asarray(rng.random(vshape, dtype=np.float32)) for _ in range(5)
-            ),
+            lambda: tuple(device_random(vshape) for _ in range(5)),
         )
         vpoints = (ni - 1) * nj * nk
         results["vadv_Ggps"] = round(vpoints / t_vadv / 1e9, 3)
@@ -394,9 +403,7 @@ def main() -> None:
 
         t_tri = timer.measure(
             make_tri,
-            lambda: tuple(
-                jnp.asarray(rng.random(tshape, dtype=np.float32)) for _ in range(4)
-            ),
+            lambda: tuple(device_random(tshape) for _ in range(4)),
         )
         tpoints = ni * nj * nk
         results["tridiag_Ggps"] = round(tpoints / t_tri / 1e9, 3)
@@ -523,10 +530,7 @@ def main() -> None:
 
         t_nh = timer.measure(
             make_next_hdiff,
-            lambda: (
-                jnp.asarray(rng.random(hshape, dtype=np.float32)),
-                jnp.asarray(rng.random(hshape, dtype=np.float32)),
-            ),
+            lambda: (device_random(hshape), device_random(hshape)),
         )
         results["next_hdiff_us_per_step"] = round(t_nh * 1e6, 1)
         results["next_hdiff_vs_cartesian"] = round(t_nh / t_hdiff, 2)
@@ -583,9 +587,9 @@ def main() -> None:
         t_nb = timer.measure(
             make_nabla,
             lambda: (
-                jnp.asarray(rng.random(nv, dtype=np.float32)),
-                jnp.asarray(rng.random(2 * nv, dtype=np.float32)),
-                jnp.asarray(rng.random(nv, dtype=np.float32) + 0.5),
+                device_random((nv,)),
+                device_random((2 * nv,)),
+                device_random((nv,), offset=0.5),
             ),
             n_lo=2, n_hi=102,  # ~4ms/step: jitter is <2% already
         )
@@ -618,10 +622,7 @@ def main() -> None:
 
         t_triad = timer.measure(
             make_triad,
-            lambda: (
-                jnp.asarray(rng.random(shape, dtype=np.float32)),
-                jnp.asarray(rng.random(shape, dtype=np.float32)),
-            ),
+            lambda: (device_random(shape), device_random(shape)),
         )
         triad_bytes = 3 * shape[0] * shape[1] * shape[2] * 4
         triad_frac = (triad_bytes / t_triad) / peak_bw if peak_bw == peak_bw else float("nan")
@@ -699,7 +700,7 @@ def main() -> None:
 
             t_l = timer.measure(
                 make_l,
-                lambda: (jnp.asarray(rng.random(lshape, dtype=np.float32)),),
+                lambda: (device_random(lshape),),
             )
             results[f"{label}_us_per_step"] = round(t_l * 1e6, 2)
             results[f"{label}_Ggps"] = round(n48 ** 3 / t_l / 1e9, 3)
@@ -713,10 +714,7 @@ def main() -> None:
     try:
         t_hdiff2 = timer.measure(
             make_hdiff,
-            lambda: (
-                jnp.asarray(rng.random(shape, dtype=np.float32)),
-                jnp.asarray(rng.random(shape, dtype=np.float32)),
-            ),
+            lambda: (device_random(shape), device_random(shape)),
         )
         if t_hdiff2 < t_hdiff:
             t_hdiff = t_hdiff2

@@ -170,9 +170,9 @@ class Field:
             provider = _OFFSET_PROVIDER.get()
             mapped = (provider or {}).get(offset.offset.value)
             if isinstance(mapped, Connectivity):
-                gathered = self._remap_connectivity(mapped)
-                # Partial shift: select the index-th neighbor.
-                return gathered._reduce_index(mapped.neighbor_dim, offset.index)
+                # Partial shift: gather only the index-th neighbor column
+                # (halves the gather volume vs remap-then-select).
+                return self._remap_connectivity(mapped, column=offset.index)
             fo = offset.offset
             is_cartesian = isinstance(mapped, Dimension) or (
                 mapped is None and fo.target == (fo.source,)
@@ -262,7 +262,9 @@ class Field:
         new_range = NamedRange(dim, nr.unit_range.shifted(-index))
         return Field(self.domain.replace(dim, new_range), self.ndarray, self.mask)
 
-    def _remap_connectivity(self, conn: Connectivity) -> "Field":
+    def _remap_connectivity(
+        self, conn: Connectivity, column: Optional[int] = None
+    ) -> "Field":
         xp = _xp(self.ndarray)
 
         if self.domain.ndim == 0 or conn.codomain not in self.domain:
@@ -270,18 +272,30 @@ class Field:
                 f"Field over {self.domain} cannot be remapped via {conn!r}"
             )
         axis = self.domain.index(conn.codomain)
-        table = conn.table
+        table = conn.table if column is None else conn.table[:, column]
         own_start = self.domain[conn.codomain].unit_range.start
         idx = table - own_start
-        safe_idx = xp.clip(np.asarray(idx) if xp is np else idx, 0, self.ndarray.shape[axis] - 1)
-        gathered = xp.take(self.ndarray, safe_idx, axis=axis)
-        # gathered axes: dims[:axis] + (source, neighbor) + dims[axis+1:]
+        # int32 indices + pre-clamped 'clip' mode: TPU 1D gathers are far
+        # cheaper without x64 index math and out-of-bounds fill selects
+        # (FVM-nabla hot path).
+        if xp is np:
+            safe_idx = np.clip(np.asarray(idx), 0, self.ndarray.shape[axis] - 1)
+            gathered = np.take(self.ndarray, safe_idx, axis=axis)
+        else:
+            safe_idx = xp.clip(
+                idx.astype(np.int32), 0, self.ndarray.shape[axis] - 1
+            )
+            gathered = xp.take(self.ndarray, safe_idx, axis=axis, mode="clip")
+        # gathered axes: dims[:axis] + (source[, neighbor]) + dims[axis+1:]
+        neighbor_ranges = (
+            (NamedRange(conn.neighbor_dim, UnitRange(0, conn.table.shape[1])),)
+            if column is None
+            else ()
+        )
         new_ranges = (
             self.domain.ranges[:axis]
-            + (
-                NamedRange(conn.source_dim, UnitRange(0, table.shape[0])),
-                NamedRange(conn.neighbor_dim, UnitRange(0, table.shape[1])),
-            )
+            + (NamedRange(conn.source_dim, UnitRange(0, conn.table.shape[0])),)
+            + neighbor_ranges
             + self.domain.ranges[axis + 1:]
         )
         mask = None
