@@ -12,6 +12,10 @@ from gt4py_tpu.next.common import (  # noqa: F401
     CartesianConnectivity,
     Connectivity,
     NeighborTable,
+    as_non_staggered,
+    connectivity_for_cartesian_shift,
+    flip_staggered,
+    is_staggered,
     promote_dims,
     Dimension,
     DimensionKind,
@@ -52,6 +56,14 @@ from gt4py_tpu.next.fbuiltins import (  # noqa: F401
     neighbor_sum,
     where,
 )
+
+# Math builtins + scalar-kind aliases at package level (reference
+# next/__init__.py exports every fbuiltin: gtx.sin, gtx.float64, ...).
+from gt4py_tpu.next import fbuiltins as _fb  # noqa: E402
+
+for _name in _fb.MATH_BUILTIN_NAMES + _fb.DTYPE_ALIAS_NAMES:
+    globals()[_name] = getattr(_fb, _name)
+del _fb, _name
 from gt4py_tpu.next.field_utils import asnumpy  # noqa: F401
 from gt4py_tpu.next.named_collections import named_collection  # noqa: F401
 from gt4py_tpu.next.experimental import as_offset  # noqa: F401

@@ -38,6 +38,15 @@ class Dimension:
     def __hash__(self) -> int:
         return hash((self.value, self.kind))
 
+    # ``I + 1`` / ``I + 0.5`` build cartesian/staggered shift
+    # connectivities (reference common.py:89): ``field(I + 1)`` shifts,
+    # ``field(I + 0.5)`` premaps onto the staggered counterpart.
+    def __add__(self, offset) -> "CartesianConnectivity":
+        return connectivity_for_cartesian_shift(self, offset)
+
+    def __sub__(self, offset) -> "CartesianConnectivity":
+        return connectivity_for_cartesian_shift(self, -offset)
+
     # Comparisons against integers build domain conditions for
     # ``concat_where`` (reference experimental.concat_where,
     # ffront/experimental.py:52); Dimension-to-Dimension compares stay
@@ -331,18 +340,67 @@ NeighborTable = Connectivity
 class CartesianConnectivity:
     """A fixed cartesian shift presented through the connectivity protocol
     (reference common.py:1242): remapping by it equals offsetting indices
-    along ``dim`` by ``offset``."""
+    along ``dim`` by ``offset``. With ``codomain != dim`` it is a domain
+    premap onto another dimension (the staggered-shift case, reference
+    connectivity_for_cartesian_shift): ``field(conn)`` for a field over
+    ``codomain`` yields a field over ``dim`` with
+    ``result(i) = field(codomain(i + offset))``."""
 
-    def __init__(self, dim: Dimension, offset: int = 0):
+    def __init__(self, dim: Dimension, offset: int = 0, codomain: Optional[Dimension] = None):
         self.dim = dim
         self.offset = int(offset)
+        self._codomain = codomain if codomain is not None else dim
 
     @property
     def codomain(self) -> Dimension:
-        return self.dim
+        return self._codomain
 
     def __repr__(self) -> str:
-        return f"CartesianConnectivity({self.dim.value}, {self.offset:+d})"
+        tail = "" if self._codomain == self.dim else f" -> {self._codomain.value}"
+        return f"CartesianConnectivity({self.dim.value}, {self.offset:+d}{tail})"
+
+
+# --- staggered grids (reference common.py:1445, ADR 0024) --------------------
+
+_STAGGERED_PREFIX = "_Staggered"
+
+
+def is_staggered(dim: Dimension) -> bool:
+    """Whether ``dim`` is a staggered (half-level) dimension."""
+    return dim.value.startswith(_STAGGERED_PREFIX)
+
+
+def flip_staggered(dim: Dimension) -> Dimension:
+    """The staggered counterpart of ``dim`` (reference common.py:1453)."""
+    if is_staggered(dim):
+        return Dimension(dim.value[len(_STAGGERED_PREFIX):], dim.kind)
+    return Dimension(f"{_STAGGERED_PREFIX}{dim.value}", dim.kind)
+
+
+def as_non_staggered(dim: Dimension) -> Dimension:
+    """The non-staggered base dimension of ``dim``."""
+    return flip_staggered(dim) if is_staggered(dim) else dim
+
+
+def connectivity_for_cartesian_shift(
+    dim: Dimension, offset: Union[int, float]
+) -> CartesianConnectivity:
+    """The connectivity shifting ``dim`` by ``offset`` (reference
+    common.py:1470). Integer offsets stay within ``dim``; half-integer
+    offsets (fractional part 0.5) land on the staggered counterpart — the
+    convention (ADR 0024) places a staggered index half a cell BELOW its
+    base index, so ``I + 0.5`` maps ``I(i)`` to ``IHalf(i+1)`` while
+    ``IHalf + 0.5`` maps ``IHalf(i)`` to ``I(i)``."""
+    integral, frac = divmod(offset, 1)
+    if frac == 0.5:
+        if not is_staggered(dim):
+            integral += 1
+        return CartesianConnectivity(dim, int(integral), codomain=flip_staggered(dim))
+    if frac != 0:
+        raise ValueError(
+            f"Cartesian shifts must be integer or half-integer, got {offset!r}"
+        )
+    return CartesianConnectivity(dim, int(integral))
 
 
 class GridType(enum.Enum):

@@ -223,7 +223,21 @@ class Field:
         from gt4py_tpu.next.common import CartesianConnectivity
 
         if isinstance(offset, CartesianConnectivity):
-            return self._shift_cartesian(offset.dim, offset.offset)
+            if offset.codomain == offset.dim:
+                return self._shift_cartesian(offset.dim, offset.offset)
+            # Staggered premap (reference _domain_premap): the field lives
+            # on ``codomain``; the result lives on ``dim`` with
+            # result(i) = field(codomain(i + offset)).
+            if offset.codomain not in self.domain:
+                raise ValueError(
+                    f"Cannot premap: field over {self.domain} has no "
+                    f"{offset.codomain.value} dimension (needed by {offset!r})"
+                )
+            nr = self.domain[offset.codomain]
+            new_range = NamedRange(offset.dim, nr.unit_range.shifted(-offset.offset))
+            return Field(
+                self.domain.replace(offset.codomain, new_range), self.ndarray, self.mask
+            )
         from gt4py_tpu.next.experimental import AsOffset
 
         if isinstance(offset, AsOffset):

@@ -197,6 +197,27 @@ MATH_BUILTIN_NAMES = [
     "maximum", "fmod", "power",
 ]
 
+# Scalar-kind aliases usable in DSL annotations (reference
+# ffront/fbuiltins.py exports these at package level: gtx.float64 etc.).
+import numpy as _np  # noqa: E402
+
+bool_ = _np.bool_
+int8 = _np.int8
+int16 = _np.int16
+int32 = _np.int32
+int64 = _np.int64
+uint8 = _np.uint8
+uint16 = _np.uint16
+uint32 = _np.uint32
+uint64 = _np.uint64
+float32 = _np.float32
+float64 = _np.float64
+
+DTYPE_ALIAS_NAMES = [
+    "bool_", "int8", "int16", "int32", "int64",
+    "uint8", "uint16", "uint32", "uint64", "float32", "float64",
+]
+
 
 def concat_where(cond, a, b) -> Field:
     """Domain-conditional concatenation (reference experimental
