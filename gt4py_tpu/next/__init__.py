@@ -26,6 +26,7 @@ from gt4py_tpu.next.common import (  # noqa: F401
     NamedRange,
     UnitRange,
     domain,
+    unit_range,
 )
 from gt4py_tpu.next.constructors import (  # noqa: F401
     as_connectivity,
@@ -67,6 +68,17 @@ del _fb, _name
 from gt4py_tpu.next.field_utils import asnumpy  # noqa: F401
 from gt4py_tpu.next.named_collections import named_collection  # noqa: F401
 from gt4py_tpu.next.experimental import as_offset  # noqa: F401
+def wait_for_compilation() -> None:
+    """Join every pending async operator compilation (reference
+    otf/compiled_program.wait_for_compilation — the module-level variant
+    of FieldOperator.wait_for_compilation)."""
+    from gt4py_tpu.next.decorators import FieldOperator as _FO  # noqa: F401
+    from gt4py_tpu.next.otf import all_pools
+
+    for pool in all_pools():
+        pool.wait_for_compilation()
+
+
 from gt4py_tpu.next.otf import (  # noqa: F401
     CompilationOptions,
     CompiledProgramsPool,

@@ -238,6 +238,12 @@ class Domain:
         return "Domain(" + ", ".join(str(r) for r in self.ranges) + ")"
 
 
+def unit_range(value: Union[int, "UnitRange", range, tuple]) -> UnitRange:
+    """Construct a UnitRange from any accepted spec (reference
+    common.unit_range)."""
+    return UnitRange.from_value(value)
+
+
 def domain(spec: Union[dict, Sequence[NamedRange], Domain]) -> Domain:
     """Build a Domain from {dim: size-or-(start, stop)} or NamedRanges
     (reference common.py domain constructor)."""

@@ -190,11 +190,47 @@ maximum = _field_binary("maximum")
 fmod = _field_binary("mod")
 power = _field_binary("power")
 
+
+def neg(x):
+    """Unary negation as a function (reference fbuiltins.neg)."""
+    return -x
+
+
+def _gamma_array(xp, a):
+    if xp is not None and xp.__name__ == "numpy":
+        try:
+            from scipy.special import gamma as _g
+
+            return _g(a)
+        except Exception:
+            import math
+
+            return xp.vectorize(math.gamma)(a)
+    import jax
+
+    try:
+        return jax.scipy.special.gamma(a)
+    except AttributeError:
+        # Positive-domain fallback: Γ(x) = exp(lgamma(x)).
+        import jax.numpy as jnp
+
+        return jnp.exp(jax.lax.lgamma(a))
+
+
+def gamma(x):
+    """Gamma function (reference fbuiltins.gamma / NativeFunction.GAMMA)."""
+    if _is_sym(x):
+        return x._builtin("gamma", x)
+    if isinstance(x, Field):
+        xp = _xp(x.ndarray)
+        return Field(x.domain, _gamma_array(xp, x.ndarray), x.mask)
+    return _gamma_array(None, x)
+
 MATH_BUILTIN_NAMES = [
     "abs", "sin", "cos", "tan", "arcsin", "arccos", "arctan", "sinh", "cosh",
     "tanh", "arcsinh", "arccosh", "arctanh", "sqrt", "cbrt", "exp", "log",
     "floor", "ceil", "trunc", "isfinite", "isinf", "isnan", "minimum",
-    "maximum", "fmod", "power",
+    "maximum", "fmod", "power", "neg", "gamma",
 ]
 
 # Scalar-kind aliases usable in DSL annotations (reference

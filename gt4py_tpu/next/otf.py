@@ -219,6 +219,17 @@ class _ProcessRunner:
         return self._fallback.submit(make, args, kwargs)
 
 
+import weakref
+
+_ALL_POOLS: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def all_pools():
+    """Live CompiledProgramsPool instances (module-level
+    wait_for_compilation support, reference compiled_program.py)."""
+    return list(_ALL_POOLS)
+
+
 class CompiledProgramsPool:
     """Executable cache for one program definition
     (reference otf/compiled_program.py:333).
@@ -237,6 +248,7 @@ class CompiledProgramsPool:
         self._programs: dict[Any, Any] = {}
         self._lock = threading.Lock()
         self._executor: Optional[concurrent.futures.ThreadPoolExecutor] = None
+        _ALL_POOLS.add(self)
 
     def _key(self, args: Sequence[Any], kwargs: dict[str, Any], offset_provider) -> Any:
         statics = []

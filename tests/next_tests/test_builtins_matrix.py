@@ -19,6 +19,8 @@ IDim = Dimension("IDim")
 # builtin -> (numpy impl, input domain guard)
 UNARY = {
     "abs": (np.abs, (-4.0, 4.0)),
+    "neg": (np.negative, (-4.0, 4.0)),
+    "gamma": (None, (0.5, 4.0)),  # oracle resolved lazily (scipy/math)
     "sin": (np.sin, (-3.0, 3.0)),
     "cos": (np.cos, (-3.0, 3.0)),
     "tan": (np.tan, (-1.0, 1.0)),
@@ -43,6 +45,15 @@ UNARY = {
     "isnan": (np.isnan, (-4.0, 4.0)),
 }
 
+def _unary_oracle(name, np_fn):
+    if np_fn is not None:
+        return np_fn
+    assert name == "gamma"
+    import math
+
+    return np.vectorize(math.gamma)
+
+
 BINARY = {
     "minimum": np.minimum,
     "maximum": np.maximum,
@@ -59,6 +70,7 @@ def _input(lo, hi, n=32, seed=1):
 @pytest.mark.parametrize("name", sorted(UNARY))
 def test_unary_builtin_eager(name):
     np_fn, (lo, hi) = UNARY[name]
+    np_fn = _unary_oracle(name, np_fn)
     data = _input(lo, hi)
     f = gtx.as_field([IDim], data)
     res = getattr(fbuiltins, name)(f)
@@ -68,6 +80,7 @@ def test_unary_builtin_eager(name):
 @pytest.mark.parametrize("name", sorted(UNARY))
 def test_unary_builtin_operator(name):
     np_fn, (lo, hi) = UNARY[name]
+    np_fn = _unary_oracle(name, np_fn)
     impl = getattr(fbuiltins, name)
 
     @gtx.field_operator

@@ -276,3 +276,29 @@ def test_premap_and_restrict():
     r = f.restrict({D: (2, 5)})
     np.testing.assert_allclose(asnumpy(r.ndarray), [2.0, 3.0, 4.0])
     assert r.domain[D].unit_range.start == 2
+
+
+def test_module_level_wait_for_compilation():
+    import numpy as np
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next.common import Dimension
+
+    I = Dimension("Iw")
+
+    @gtx.field_operator
+    def dbl(a):
+        return a * 2.0
+
+    op = dbl.with_compilation_options(async_compile=True)
+    out = gtx.zeros({I: 4})
+    op(gtx.as_field([I], np.arange(4.0)), out=out)
+    gtx.wait_for_compilation()  # joins every live pool without error
+    np.testing.assert_allclose(out.asnumpy(), 2 * np.arange(4.0))
+
+
+def test_unit_range_helper():
+    from gt4py_tpu.next import UnitRange, unit_range
+
+    assert unit_range(5) == UnitRange(0, 5)
+    assert unit_range((2, 6)) == UnitRange(2, 6)
