@@ -286,6 +286,12 @@ def __INLINED(expr: Any) -> Any:  # noqa: N807
     return expr
 
 
+def externals(*args):
+    """Marker for inlined external values (reference gtscript.py:807) —
+    usable at stencil module level to document/forward external names."""
+    return args
+
+
 def compile_assert(expr: Any) -> None:
     """Compile-time assertion (reference gtscript.py:851)."""
     if not expr:
