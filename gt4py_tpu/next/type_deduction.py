@@ -71,6 +71,16 @@ class _OffsetTy:
 
 
 @dataclasses.dataclass(frozen=True)
+class _CartShiftTy:
+    """Type of ``I + 1`` / ``I + 0.5`` (a CartesianConnectivity value):
+    shifts within ``codomain``; when ``dim != codomain`` it premaps onto
+    the staggered counterpart."""
+
+    dim: Dimension
+    codomain: Dimension
+
+
+@dataclasses.dataclass(frozen=True)
 class _DimCondTy:
     """Type of ``KDim < 1`` — only valid as a concat_where condition."""
 
@@ -372,6 +382,21 @@ class _Typer(ast.NodeVisitor):
     def _binop_type(self, node: ast.AST, op: ast.operator, a: Any, b: Any) -> Any:
         if a is UNKNOWN or b is UNKNOWN:
             return UNKNOWN
+        if isinstance(a, ts.DimensionType) and isinstance(op, (ast.Add, ast.Sub)):
+            # ``I + 1`` / ``I + 0.5``: cartesian/staggered shift value
+            # (common.connectivity_for_cartesian_shift).
+            from gt4py_tpu.next.common import connectivity_for_cartesian_shift
+
+            if isinstance(node, ast.BinOp) and isinstance(node.right, ast.Constant):
+                off = node.right.value
+                try:
+                    conn = connectivity_for_cartesian_shift(
+                        a.dim, -off if isinstance(op, ast.Sub) else off
+                    )
+                except (ValueError, TypeError):
+                    return UNKNOWN
+                return _CartShiftTy(conn.dim, conn.codomain)
+            return UNKNOWN
         if isinstance(op, (ast.BitAnd, ast.BitOr, ast.BitXor)):
             for t in (a, b):
                 if not _is_bool(t) and (
@@ -473,6 +498,20 @@ class _Typer(ast.NodeVisitor):
         (off,) = args
         if off is UNKNOWN:
             return UNKNOWN
+        if isinstance(off, _CartShiftTy):
+            if off.codomain not in field.dims:
+                self._fail(
+                    node,
+                    f"Cannot premap via {off.dim.value}-shift: field over "
+                    f"({', '.join(d.value for d in field.dims)}) has no "
+                    f"{off.codomain.value} dimension.",
+                )
+            if off.dim == off.codomain:
+                return field
+            new_dims = tuple(
+                off.dim if d == off.codomain else d for d in field.dims
+            )
+            return ts.FieldType(dims=new_dims, dtype=field.dtype)
         if not isinstance(off, _OffsetTy):
             self._fail(
                 node,

@@ -148,3 +148,21 @@ def test_package_level_math_and_dtype_aliases():
     np.testing.assert_allclose(
         out.asnumpy(), np.sqrt(data) + np.maximum(data, 0.5), rtol=1e-12
     )
+
+
+def test_type_deduction_tracks_staggered_shift():
+    from gt4py_tpu.next import Dims, Field
+    from gt4py_tpu.next.errors import DSLTypeError
+    from gt4py_tpu.next.type_deduction import deduce
+
+    def to_centers(u: Field[Dims[IHalf], np.float64]):
+        return 0.5 * (u(I + 0.5) + u(I - 0.5))
+
+    info = deduce(to_centers)
+    assert info.returns.dims == (I,)
+
+    with pytest.raises(DSLTypeError, match="no _StaggeredI dimension"):
+
+        @gtx.field_operator
+        def bad(p: Field[Dims[I], np.float64]):
+            return p(I + 0.5)  # needs a field over IHalf
