@@ -13,6 +13,7 @@ from gt4py_tpu.next.common import (  # noqa: F401
     Connectivity,
     NeighborTable,
     as_non_staggered,
+    check_dims,
     connectivity_for_cartesian_shift,
     flip_staggered,
     is_staggered,

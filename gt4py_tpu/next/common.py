@@ -238,6 +238,22 @@ class Domain:
         return "Domain(" + ", ".join(str(r) for r in self.ranges) + ")"
 
 
+def check_dims(dims: Sequence["Dimension"]) -> None:
+    """Reject a dimension appearing together with its staggered
+    counterpart in one field/domain (reference common.py:1349 check_dims:
+    they denote different grid locations; mixing is ambiguous)."""
+    seen: dict[Dimension, Dimension] = {}
+    for dim in dims:
+        base = as_non_staggered(dim)
+        if base in seen and seen[base] != dim:
+            raise ValueError(
+                f"Dimensions '{seen[base]}' and '{dim}' cannot be combined: a "
+                "dimension and its staggered counterpart must not appear "
+                "together in the same field or domain."
+            )
+        seen[base] = dim
+
+
 def unit_range(value: Union[int, "UnitRange", range, tuple]) -> UnitRange:
     """Construct a UnitRange from any accepted spec (reference
     common.unit_range)."""
@@ -250,10 +266,13 @@ def domain(spec: Union[dict, Sequence[NamedRange], Domain]) -> Domain:
     if isinstance(spec, Domain):
         return spec
     if isinstance(spec, dict):
-        return Domain(
+        result = Domain(
             tuple(NamedRange(d, UnitRange.from_value(v)) for d, v in spec.items())
         )
-    return Domain(tuple(spec))
+    else:
+        result = Domain(tuple(spec))
+    check_dims(result.dims)
+    return result
 
 
 @dataclasses.dataclass(frozen=True)

@@ -166,3 +166,14 @@ def test_type_deduction_tracks_staggered_shift():
         @gtx.field_operator
         def bad(p: Field[Dims[I], np.float64]):
             return p(I + 0.5)  # needs a field over IHalf
+
+
+def test_mixed_staggered_domain_rejected():
+    from gt4py_tpu.next import check_dims, domain
+
+    with pytest.raises(ValueError, match="staggered counterpart"):
+        check_dims((I, IHalf))
+    with pytest.raises(ValueError, match="staggered counterpart"):
+        domain({I: 4, IHalf: 4})
+    # distinct base dims are fine
+    check_dims((I, Dimension("J")))
