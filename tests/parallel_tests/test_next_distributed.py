@@ -76,3 +76,67 @@ def test_sharded_scan(mesh):
     out = gtx.zeros({I: 16, J: 16, K: 8})
     cumsum(inp, out=out)
     np.testing.assert_allclose(asnumpy(out), np.cumsum(data, axis=2), rtol=1e-12)
+
+
+def test_sharded_unstructured_nabla(mesh):
+    """Unstructured gathers + neighbor reductions under GSPMD: shard the
+    vertex dimension over the mesh; XLA partitions the gathers (inserting
+    the needed collectives) and the result matches single-device."""
+    import jax
+
+    from gt4py_tpu.next import neighbor_sum
+    from gt4py_tpu.next.embedded import offset_provider_context
+    from gt4py_tpu.parallel.next_fields import field_sharding
+    from tests.next_tests.test_field_ops import make_periodic_mesh
+
+    V = Dimension("Vertex")
+    E = Dimension("Edge")
+    V2EDim = Dimension("V2E", kind=DimensionKind.LOCAL)
+    E2VDim = Dimension("E2V", kind=DimensionKind.LOCAL)
+    E2V = FieldOffset("E2V", source=V, target=(E, E2VDim))
+    V2E = FieldOffset("V2E", source=E, target=(V, V2EDim))
+
+    n = 16
+    e2v_np, v2e_np, signs_np = make_periodic_mesh(n)
+    nv = n * n
+    rng = np.random.default_rng(4)
+    pp_np = rng.random(nv)
+    sx_np = rng.random(2 * nv)
+    vol_np = rng.random(nv) + 0.5
+
+    e2v = gtx.as_connectivity([E, E2VDim], V, e2v_np)
+    v2e = gtx.as_connectivity([V, V2EDim], E, v2e_np)
+    prov = {"E2V": e2v, "V2E": v2e}
+    sign_f = gtx.as_field([V, V2EDim], signs_np)
+
+    @gtx.field_operator
+    def nabla_x(pp, s_x, sign, vol):
+        zavg = 0.5 * (pp(E2V[0]) + pp(E2V[1])) * s_x
+        return neighbor_sum(zavg(V2E) * sign, axis=V2EDim) / vol
+
+    # single-device reference
+    ref = gtx.zeros({V: nv})
+    nabla_x(
+        gtx.as_field([V], pp_np), gtx.as_field([E], sx_np), sign_f,
+        gtx.as_field([V], vol_np), out=ref, offset_provider=prov,
+    )
+
+    # sharded: vertex-indexed operands over the 8-device mesh (flat axis
+    # over 'x' only; 'y' replicated)
+    sharding = field_sharding(mesh, (V,), {V: "x"})
+    pp_sh = gtx.Field(
+        gtx.domain({V: nv}), jax.device_put(np.asarray(pp_np), sharding)
+    )
+    vol_sh = gtx.Field(
+        gtx.domain({V: nv}), jax.device_put(np.asarray(vol_np), sharding)
+    )
+
+    @jax.jit
+    def step(pp, sx, vol):
+        with offset_provider_context(prov):
+            return nabla_x.definition(
+                pp, gtx.as_field([E], sx), sign_f, vol
+            ).ndarray
+
+    out = step(pp_sh, sx_np, vol_sh)
+    np.testing.assert_allclose(np.asarray(out), ref.asnumpy(), rtol=1e-12)
