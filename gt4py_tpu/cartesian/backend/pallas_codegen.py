@@ -311,7 +311,7 @@ def build_pallas_fn(
     per-loop plane strategy (sequential loops / static K offsets,
     pallas_seq.py) → tiled manual-DMA strategy.
     """
-    if _plane_eligible(analyzed):
+    if _plane_eligible(analyzed, domain):
         from gt4py_tpu.cartesian.backend import pallas_split
 
         if (
@@ -1253,7 +1253,9 @@ class _BlockEvaluator:
 # ---------------------------------------------------------------------------
 
 
-def _plane_eligible(analyzed: AnalyzedStencil) -> bool:
+def _plane_eligible(
+    analyzed: AnalyzedStencil, domain: "tuple[int, int, int] | None" = None
+) -> bool:
     """True when every vertical loop is PARALLEL and no field access carries
     a K offset (static, variable, or absolute): the grid can then tile K
     without halos and Pallas' automatic pipeline double-buffers the plane
@@ -1271,9 +1273,16 @@ def _plane_eligible(analyzed: AnalyzedStencil) -> bool:
         written = info is not None and info.access & AccessKind.WRITE
         # Lower-dimensional fields broadcast on read; a WRITE to one from a
         # grid spanning its missing axes is a race (and the kernel has no
-        # reduced output stream for it) — leave those to the XLA path.
+        # reduced output stream for it) — leave those to the XLA path,
+        # EXCEPT when the compute domain is degenerate (size 1) along every
+        # missing axis: then exactly one grid point touches each output
+        # element (the pure-2D stencil class, nk == 1).
         if written and p.dimensions != (True, True, True):
-            return False
+            if domain is None:
+                return False
+            for size, present in zip(domain, p.dimensions):
+                if not present and size != 1:
+                    return False
     for _, _, stmt in analyzed.stencil.walk_stmts():
         for node in eve.walk_values(stmt):
             if isinstance(node, gtir.FieldAccess):
@@ -1782,9 +1791,17 @@ def build_plane_fn(
     def decode(n: str, r: Any, original: Any) -> Any:
         """Padded kernel-native result -> public array, reassembling K rows
         outside the domain from the original field content. Written fields
-        are full-IJK (plane eligibility), optionally with data dims."""
+        span full IJK, or (eligibility) miss only axes the domain is
+        degenerate along (pure-2D stencils) — missing axes round-trip as
+        size-1 and squeeze back at the end."""
         nd = len(plan.data_shape.get(n, ()))
+        bi, bj, bk = axes_of(n)
         original = jnp.asarray(original)
+        pos = 0
+        for present in (bi, bj, bk):
+            if not present:
+                original = jnp.expand_dims(original, pos)
+            pos += 1
         if nd:
             dd = tuple(range(3, 3 + nd))
             kf = jnp.transpose(original, dd + (2, 0, 1))  # (*data, K, I, J)
@@ -1802,8 +1819,13 @@ def build_plane_fn(
         # (D, K, I, J) -> (I, J, K, *data)
         out = jnp.transpose(rows, (2, 3, 1, 0))
         if nd:
-            return out.reshape(out.shape[:3] + plan.data_shape[n])
-        return out[..., 0]
+            out = out.reshape(out.shape[:3] + plan.data_shape[n])
+        else:
+            out = out[..., 0]
+        squeeze = tuple(i for i, m in enumerate((bi, bj, bk)) if not m)
+        if squeeze:
+            out = jnp.squeeze(out, axis=squeeze)
+        return out
 
     def fn(arrays: dict[str, Any], scalars: dict[str, Any]) -> dict[str, Any]:
         padded = {n: encode(n, arrays[n]) for n in reads + tables}

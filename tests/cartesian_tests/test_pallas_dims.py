@@ -245,3 +245,33 @@ def test_staged_backward_with_dynamic_vector_index(rng):
     assert info.get("pallas_strategy") == "staged", info
     for n in arrays:
         np.testing.assert_allclose(got[n], ref[n], rtol=1e-5, atol=1e-6, err_msg=n)
+
+
+def test_pure_2d_stencil_served_natively(rng):
+    """All-IJ stencils (nk == 1) run through the plane kernel: the
+    race-guard on lower-dim writes does not apply when the domain is
+    degenerate along the missing axis."""
+    from gt4py_tpu.cartesian.backend.pallas_codegen import build_pallas_fn
+
+    Field2D = gtscript.Field[gtscript.IJ, np.float64]
+
+    def lap2d(src: Field2D, dst: Field2D):
+        with computation(PARALLEL), interval(...):
+            dst = src[1, 0] + src[-1, 0] + src[0, 1] + src[0, -1] - 4.0 * src
+
+    st = gtscript.stencil(backend="jax", definition=lap2d)
+    fn = build_pallas_fn(
+        st._analyzed, (8, 8, 1), {"src": (1, 1, 0), "dst": (1, 1, 0)},
+        interpret=True,
+    )
+    assert getattr(fn, "strategy", None) == "plane"
+
+    src = rng.random((10, 10))
+    out = np.asarray(
+        fn({"src": src, "dst": np.zeros((10, 10))}, {})["dst"]
+    )
+    expected = (
+        src[2:, 1:-1] + src[:-2, 1:-1] + src[1:-1, 2:] + src[1:-1, :-2]
+        - 4.0 * src[1:-1, 1:-1]
+    )
+    np.testing.assert_allclose(out[1:9, 1:9], expected)
