@@ -103,7 +103,14 @@ def _rowgather_1d(x, idx):
     XLA's TPU scalar gather costs ~7 ns/element; gathering 8-wide ROWS
     and selecting the lane with an iota mask runs ~3x faster (measured
     944 -> ~300 us for 131k f32 gathers on v5e — the FVM-nabla hot path).
-    ``idx`` must be pre-clamped int32; any shape (result keeps it)."""
+    ``idx`` must be pre-clamped int32; any shape (result keeps it).
+
+    Measured negative results (do not re-try without new information):
+    wider rows (W=32/128) are NOT faster — the cost is per gathered row
+    (~2.3 ns), not bytes; an MXU one-hot matmul formulation needs
+    ~17 Gflop f32 for this shape (~350 us at the f32 MXU rate) and loses
+    precision in bf16; in-kernel ``jnp.take`` does not lower on this
+    Mosaic toolchain."""
     import jax.numpy as jnp
     from jax import lax
 
