@@ -1,0 +1,135 @@
+"""Dtype upcasting semantics across backends (reference
+gtc/passes/gtir_upcaster.py + test_gtir_upcaster.py: mixed-dtype
+expressions promote by NumPy rules identically in every backend)."""
+
+import numpy as np
+import pytest
+
+from gt4py_tpu import storage
+from gt4py_tpu.cartesian import gtscript
+from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval
+
+from .definitions import ALL_BACKENDS
+
+F64 = gtscript.Field[np.float64]
+F32 = gtscript.Field[np.float32]
+I32 = gtscript.Field[np.int32]
+I64 = gtscript.Field[np.int64]
+
+
+def _run(definition, backend, arrays, name):
+    st = gtscript.stencil(backend=backend, definition=definition, name=f"{name}_{backend.replace(':', '_')}")
+    stores = {
+        k: storage.from_array(v, backend=backend) for k, v in arrays.items()
+    }
+    st(**stores)
+    return {k: np.asarray(v) for k, v in stores.items()}
+
+
+@pytest.mark.parametrize("backend", ALL_BACKENDS)
+def test_int_plus_float_promotes(backend):
+    def s(i32: I32, f32: F32, out: F64):
+        with computation(PARALLEL), interval(...):
+            out = i32 + f32  # int32 + float32 -> promoted, then cast to f64
+
+    rng = np.random.default_rng(0)
+    arrays = {
+        "i32": rng.integers(-5, 5, (4, 4, 2)).astype(np.int32),
+        "f32": rng.random((4, 4, 2)).astype(np.float32),
+        "out": np.zeros((4, 4, 2)),
+    }
+    got = _run(s, backend, arrays, "ipf")["out"]
+    expected = (arrays["i32"] + arrays["f32"]).astype(np.float64)
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+@pytest.mark.parametrize("backend", ALL_BACKENDS)
+def test_int_division_promotes_to_float(backend):
+    def s(a: I64, b: I64, out: F64):
+        with computation(PARALLEL), interval(...):
+            out = a / b
+
+    rng = np.random.default_rng(1)
+    arrays = {
+        "a": rng.integers(1, 20, (4, 4, 2)).astype(np.int64),
+        "b": rng.integers(1, 9, (4, 4, 2)).astype(np.int64),
+        "out": np.zeros((4, 4, 2)),
+    }
+    got = _run(s, backend, arrays, "idiv")["out"]
+    np.testing.assert_allclose(got, arrays["a"] / arrays["b"], rtol=1e-12)
+
+
+@pytest.mark.parametrize("backend", ALL_BACKENDS)
+def test_literal_precision_does_not_widen_f32(backend):
+    def s(f32: F32, out: F32):
+        with computation(PARALLEL), interval(...):
+            out = f32 * 2.0 + 1.0
+
+    rng = np.random.default_rng(2)
+    arrays = {
+        "f32": rng.random((4, 4, 2)).astype(np.float32),
+        "out": np.zeros((4, 4, 2), np.float32),
+    }
+    st32 = gtscript.stencil(
+        backend=backend, definition=s, literal_float_precision=32,
+        name=f"lit32_{backend.replace(':', '_')}",
+    )
+    stores = {k: storage.from_array(v, backend=backend) for k, v in arrays.items()}
+    st32(**stores)
+    got = np.asarray(stores["out"])
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(
+        got, arrays["f32"] * np.float32(2.0) + np.float32(1.0), rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("backend", ALL_BACKENDS)
+def test_comparison_yields_bool_then_selects(backend):
+    def s(a: F64, b: F32, out: F64):
+        with computation(PARALLEL), interval(...):
+            out = a if a > b else b  # mixed compare + ternary promote
+
+    rng = np.random.default_rng(3)
+    arrays = {
+        "a": rng.random((4, 4, 2)),
+        "b": rng.random((4, 4, 2)).astype(np.float32),
+        "out": np.zeros((4, 4, 2)),
+    }
+    got = _run(s, backend, arrays, "cmpsel")["out"]
+    expected = np.where(
+        arrays["a"] > arrays["b"], arrays["a"], arrays["b"].astype(np.float64)
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+@pytest.mark.parametrize("backend", ALL_BACKENDS)
+def test_int_temporary_keeps_int_arithmetic(backend):
+    def s(a: I32, out: I64):
+        with computation(PARALLEL), interval(...):
+            t = a * 2
+            out = t + 1
+
+    arrays = {
+        "a": np.arange(32, dtype=np.int32).reshape(4, 4, 2),
+        "out": np.zeros((4, 4, 2), np.int64),
+    }
+    got = _run(s, backend, arrays, "itmp")["out"]
+    np.testing.assert_array_equal(got, arrays["a"].astype(np.int64) * 2 + 1)
+
+
+@pytest.mark.parametrize("backend", ALL_BACKENDS)
+def test_scalar_param_promotes_with_field(backend):
+    def s(a: F32, out: F64, w: float):
+        with computation(PARALLEL), interval(...):
+            out = a * w
+
+    rng = np.random.default_rng(4)
+    arrays = {
+        "a": rng.random((4, 4, 2)).astype(np.float32),
+        "out": np.zeros((4, 4, 2)),
+    }
+    st = gtscript.stencil(backend=backend, definition=s, name=f"sp_{backend.replace(':', '_')}")
+    stores = {k: storage.from_array(v, backend=backend) for k, v in arrays.items()}
+    st(w=1.5, **stores)
+    got = np.asarray(stores["out"])
+    np.testing.assert_allclose(got, arrays["a"] * 1.5, rtol=1e-6)
