@@ -193,8 +193,18 @@ class Field:
 
     # -- shifts ------------------------------------------------------------
 
-    def __call__(self, offset: Union[OffsetIndex, FieldOffset, "Connectivity"]) -> "Field":
-        """Shift/remap (reference NdArrayField.premap, nd_array_field.py:240)."""
+    def __call__(
+        self,
+        offset: Union[OffsetIndex, FieldOffset, "Connectivity"],
+        *more: Union[OffsetIndex, FieldOffset, "Connectivity"],
+    ) -> "Field":
+        """Shift/remap (reference NdArrayField.premap, nd_array_field.py:240).
+        Multiple offsets fold left-to-right (reference __call__:369)."""
+        if more:
+            result = self(offset)
+            for o in more:
+                result = result(o)
+            return result
         if isinstance(offset, OffsetIndex):
             provider = _OFFSET_PROVIDER.get()
             mapped = (provider or {}).get(offset.offset.value)

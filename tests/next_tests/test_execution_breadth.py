@@ -264,3 +264,16 @@ def test_backend_triangulation(backend, rng):
     np.testing.assert_allclose(
         out.asnumpy(), np.where(av > 0.5, av - bv, av + bv)
     )
+
+
+def test_multi_offset_premap_folds(rng):
+    """field(off1, off2) == field(off1)(off2) (reference __call__ fold)."""
+
+    @gtx.field_operator
+    def two_shifts(a):
+        return a(Ioff[1], Ioff[1]) - 2.0 * a(Ioff[1]) + a
+
+    av = rng.random(10)
+    out = gtx.zeros({I: (0, 8)})
+    two_shifts(gtx.as_field([I], av), out=out, offset_provider=PROV)
+    np.testing.assert_allclose(out.asnumpy(), av[2:] - 2 * av[1:-1] + av[:-2], atol=1e-12)
