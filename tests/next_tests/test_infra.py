@@ -302,3 +302,13 @@ def test_unit_range_helper():
 
     assert unit_range(5) == UnitRange(0, 5)
     assert unit_range((2, 6)) == UnitRange(2, 6)
+
+
+def test_typing_module_exports():
+    from gt4py_tpu.next import typing as nxt
+
+    assert set(nxt.__all__) >= {
+        "Backend", "FieldOperator", "Program", "OffsetProvider",
+    }
+    for name in nxt.__all__:
+        assert getattr(nxt, name) is not None
