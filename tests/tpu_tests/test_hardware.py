@@ -78,3 +78,33 @@ def test_flagships_serve_native_strategies_on_hardware(tpu):
     np.testing.assert_allclose(
         np.asarray(d), np.cumsum(np.asarray(c), axis=2), rtol=2e-5
     )
+
+
+def test_pure_2d_plane_on_hardware(tpu):
+    """All-IJ (nk == 1) stencils serve from the plane kernel on real
+    Mosaic (round-2 degenerate-axis write guard)."""
+    from gt4py_tpu import storage
+    from gt4py_tpu.cartesian import gtscript
+    from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval
+
+    F2 = gtscript.Field[gtscript.IJ, np.float32]
+
+    def lap2d(src: F2, dst: F2):
+        with computation(PARALLEL), interval(...):
+            dst = src[1, 0] + src[-1, 0] + src[0, 1] + src[0, -1] - 4.0 * src
+
+    st = gtscript.stencil(
+        backend="tpu:pallas", definition=lap2d, literal_float_precision=32
+    )
+    rng = np.random.default_rng(7)
+    src_np = rng.random((130, 130), dtype=np.float32)
+    a = storage.from_array(src_np, backend="tpu:pallas", aligned_index=(1, 1))
+    b = storage.zeros((130, 130), np.float32, backend="tpu:pallas", aligned_index=(1, 1))
+    exec_info = {}
+    st(a, b, domain=(128, 128, 1), exec_info=exec_info)
+    assert exec_info["pallas_strategy"] == "plane"
+    expected = (
+        src_np[2:, 1:-1] + src_np[:-2, 1:-1] + src_np[1:-1, 2:]
+        + src_np[1:-1, :-2] - 4.0 * src_np[1:-1, 1:-1]
+    )
+    np.testing.assert_allclose(np.asarray(b)[1:129, 1:129], expected, rtol=2e-6)
