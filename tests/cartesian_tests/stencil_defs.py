@@ -734,3 +734,29 @@ def region_conditional(src: Field3D, dst: Field3D):
                 dst = src + 1.0
             else:
                 dst = 0.0
+
+
+@register(min_k=2)
+def region_in_sequential(inp: Field3D, out: Field3D):
+    """Horizontal region restriction inside a FORWARD loop (feature
+    interaction: per-column carry + edge specialization)."""
+    with computation(FORWARD):
+        with interval(0, 1):
+            out = inp
+        with interval(1, None):
+            out = out[0, 0, -1] + inp
+            with horizontal(region[I[0], :]):
+                out = 0.0
+
+
+@register(min_k=2)
+def staggeredish_interval_chain(inp: Field3D, out: Field3D):
+    """Multi-computation chain alternating PARALLEL and BACKWARD with
+    K-boundary intervals (dycore wind-solver shape)."""
+    with computation(PARALLEL), interval(...):
+        out = 0.5 * inp
+    with computation(BACKWARD):
+        with interval(-1, None):
+            out = out + inp
+        with interval(0, -1):
+            out = out + 0.25 * out[0, 0, 1]
