@@ -491,8 +491,20 @@ class Field:
     def __pow__(self, o):
         return self._binary(o, lambda a, b: a**b)
 
+    def __rpow__(self, o):
+        return self._rbinary(o, lambda a, b: a**b)
+
     def __mod__(self, o):
         return self._binary(o, lambda a, b: a % b)
+
+    def __rmod__(self, o):
+        return self._rbinary(o, lambda a, b: a % b)
+
+    def __floordiv__(self, o):
+        return self._binary(o, lambda a, b: a // b)
+
+    def __rfloordiv__(self, o):
+        return self._rbinary(o, lambda a, b: a // b)
 
     def __neg__(self):
         return Field(self.domain, -self.ndarray, self.mask)
