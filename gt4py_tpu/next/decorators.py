@@ -21,25 +21,12 @@ from gt4py_tpu.next.common import Dimension, Domain, NamedRange, UnitRange
 from gt4py_tpu.next.embedded import Field, offset_provider_context
 
 
-def _write_out(result: Any, out: Any, domain: Optional[Domain]) -> None:
-    """Write an operator result into the ``out`` field(s) (functional
-    rebind of the underlying array, restricted to the out/result domain
-    intersection, or to ``domain`` if given)."""
-    if isinstance(result, tuple):
-        if not isinstance(out, tuple) or len(out) != len(result):
-            raise ValueError("Mismatched tuple outputs")
-        for r, o in zip(result, out):
-            _write_out(r, o, domain)
-        return
-    assert isinstance(result, Field) and isinstance(out, Field)
-    import jax.numpy as jnp
-
-    target = out.domain
-    if domain is not None:
-        target = domain
-    # Restrict the result to the target domain. A broadcast-placeholder
-    # axis (unbounded range, size-1 array axis — fbuiltins.broadcast)
-    # keeps its single element here and expands below.
+def _restrict_result(result: "Field", target: Domain, out_dtype, xp) -> Any:
+    """Slice/permute/cast/broadcast an operator result to ``target``
+    (shared by the eager write-out and the traced write-back). A
+    broadcast-placeholder axis (unbounded range, size-1 array axis —
+    fbuiltins.broadcast) keeps its single element in the slice and
+    expands at the end."""
     slices = []
     for nr in target.ranges:
         if nr.dim not in result.domain:
@@ -58,36 +45,129 @@ def _write_out(result: Any, out: Any, domain: Optional[Domain]) -> None:
         arr = arr[tuple(slices[i] for i in range(len(slices)))]
     else:
         arr = arr[tuple(slices)]
-    value = arr.astype(out.dtype)
+    value = arr.astype(out_dtype)
     target_shape = tuple(len(nr.unit_range) for nr in target.ranges)
     if tuple(value.shape) != target_shape:
-        xp_v = np if _xp_of(out) is np else jnp
-        value = xp_v.broadcast_to(value, target_shape)
+        value = xp.broadcast_to(value, target_shape)
+    return value
+
+
+def _out_slices(target: Domain, out_domain: Domain) -> tuple:
+    return tuple(
+        slice(
+            nr.unit_range.start - out_domain[nr.dim].unit_range.start,
+            nr.unit_range.stop - out_domain[nr.dim].unit_range.start,
+        )
+        for nr in target.ranges
+    )
+
+
+def _write_out(result: Any, out: Any, domain: Optional[Domain]) -> None:
+    """Write an operator result into the ``out`` field(s) (functional
+    rebind of the underlying array, restricted to the out/result domain
+    intersection, or to ``domain`` if given)."""
+    if isinstance(result, tuple):
+        if not isinstance(out, tuple) or len(out) != len(result):
+            raise ValueError("Mismatched tuple outputs")
+        for r, o in zip(result, out):
+            _write_out(r, o, domain)
+        return
+    assert isinstance(result, Field) and isinstance(out, Field)
+    import jax.numpy as jnp
+
+    target = out.domain if domain is None else domain
+    xp_v = np if _xp_of(out) is np else jnp
+    value = _restrict_result(result, target, out.dtype, xp_v)
     if domain is not None and target is not out.domain:
         # Partial write: update the sub-block of out.
-        out_slices = tuple(
-            slice(
-                nr.unit_range.start - out.domain[nr.dim].unit_range.start,
-                nr.unit_range.stop - out.domain[nr.dim].unit_range.start,
-            )
-            for nr in target.ranges
-        )
-        if _xp_of(out) is np:
+        sl = _out_slices(target, out.domain)
+        if xp_v is np:
             buf = np.array(out.ndarray, copy=True)
-            buf[out_slices] = np.asarray(value)
+            buf[sl] = np.asarray(value)
             out.ndarray = buf
         else:
-            out.ndarray = jnp.asarray(out.ndarray).at[out_slices].set(value)
+            out.ndarray = jnp.asarray(out.ndarray).at[sl].set(value)
     else:
         out.ndarray = (
-            np.asarray(value) if _xp_of(out) is np else jnp.asarray(value)
+            np.asarray(value) if xp_v is np else jnp.asarray(value)
         )
+
+
+# --- fused (in-jit) write-back ----------------------------------------------
+# The eager _write_out costs 3 XLA dispatches per call (slice, astype,
+# asarray) — the dominant field-operator call overhead. For the default
+# jax backend the write-back geometry is static per (signature, out
+# geometry), so it traces INTO the pooled executable: one dispatch total.
+
+
+def _out_meta(out: Any):
+    if isinstance(out, tuple):
+        return tuple(_out_meta(o) for o in out)
+    return (out.domain, out.dtype)
+
+
+def _out_key(out: Any, dom: Optional[Domain]):
+    def meta_key(m):
+        if isinstance(m, tuple) and m and isinstance(m[0], tuple):
+            return tuple(meta_key(x) for x in m)
+        domain_, dtype_ = m
+        return (
+            tuple(
+                (nr.dim.value, nr.dim.kind.value, nr.unit_range.start, nr.unit_range.stop)
+                for nr in domain_.ranges
+            ),
+            np.dtype(dtype_).str,
+        )
+
+    dom_key = None
+    if dom is not None:
+        dom_key = tuple(
+            (nr.dim.value, nr.unit_range.start, nr.unit_range.stop) for nr in dom.ranges
+        )
+    return ("out", meta_key(_out_meta(out)), dom_key)
+
+
+def _out_arrays(out: Any):
+    if isinstance(out, tuple):
+        return tuple(_out_arrays(o) for o in out)
+    return out.ndarray
+
+
+def _rebind_out(out: Any, new: Any) -> None:
+    if isinstance(out, tuple):
+        for o, n in zip(out, new):
+            _rebind_out(o, n)
+        return
+    out.ndarray = new
+
+
+def _writeback_traced(result: Any, meta: Any, dom: Optional[Domain], out_arrays: Any):
+    import jax.numpy as jnp
+
+    if isinstance(result, tuple):
+        return tuple(
+            _writeback_traced(r, m, dom, oa)
+            for r, m, oa in zip(result, meta, out_arrays)
+        )
+    assert isinstance(result, Field)
+    out_domain, out_dtype = meta
+    target = out_domain if dom is None else dom
+    value = _restrict_result(result, target, out_dtype, jnp)
+    if dom is not None and target is not out_domain:
+        return jnp.asarray(out_arrays).at[_out_slices(target, out_domain)].set(value)
+    return jnp.asarray(value)
 
 
 def _xp_of(f: Field):
     from gt4py_tpu.next.embedded import _xp
 
     return _xp(f.ndarray)
+
+
+def _xp_of_tree(out: Any):
+    while isinstance(out, tuple):
+        out = out[0]
+    return _xp_of(out)
 
 
 def _as_numpy(obj: Any) -> Any:
@@ -169,6 +249,23 @@ class FieldOperator:
 
         fn = functools.partial(self.definition, **statics) if statics else self.definition
         return jax.jit(fn)
+
+    def _make_fused(self, args, kwargs, out_meta, dom, be) -> Callable:
+        """Executable with the out-field write-back traced in (one XLA
+        dispatch per call instead of four — see the module comment)."""
+        import jax
+
+        statics = {k: v for k, v in kwargs.items() if k in self.options.static_params}
+        fn = functools.partial(self.definition, **statics) if statics else self.definition
+        pt = getattr(be.transforms, "program_transforms", None)
+        for rw in getattr(pt, "rewrites", ()) or ():
+            fn = rw(fn)
+
+        def wrapped(out_arrays, *a, **dyn):
+            result = fn(*a, **dyn)
+            return _writeback_traced(result, out_meta, dom, out_arrays)
+
+        return jax.jit(wrapped)
 
     def compile(self, *args, offset_provider: Optional[dict] = None, **kwargs) -> "FieldOperator":
         """AOT-compile variants for the given example arguments (reference
@@ -252,12 +349,39 @@ class FieldOperator:
                     _write_out(result, out, dom)
                     return
                 if kind == "jax" and self.options.enable_jit:
-                    ex = self._pool.lookup(args, kwargs, offset_provider)
+                    from gt4py_tpu.next.backend import Backend, resolve, _compile_jit
+
                     dynamic = {
                         k: v
                         for k, v in kwargs.items()
                         if k not in self.options.static_params
                     }
+                    be = (
+                        resolve(self.backend)
+                        if isinstance(self.backend, (str, Backend))
+                        else None
+                    )
+                    default_pipeline = (
+                        be is not None
+                        and be.transforms.compile is _compile_jit
+                        and be.transforms.trace is None
+                    )
+                    raw_ready = self._pool.peek(args, kwargs, offset_provider)
+                    if (
+                        default_pipeline
+                        and raw_ready is None
+                        and _xp_of_tree(out) is not np
+                    ):
+                        # Fused write-back: out geometry is part of the key.
+                        out_meta = _out_meta(out)
+                        ex = self._pool.lookup(
+                            args, kwargs, offset_provider,
+                            extra_key=_out_key(out, dom),
+                            make=lambda a, k: self._make_fused(a, k, out_meta, dom, be),
+                        )
+                        _rebind_out(out, ex(_out_arrays(out), *args, **dynamic))
+                        return
+                    ex = self._pool.lookup(args, kwargs, offset_provider)
                     result = ex(*args, **dynamic)
                 else:
                     result = self.definition(*args, **kwargs)

@@ -250,7 +250,7 @@ class CompiledProgramsPool:
         self._executor: Optional[concurrent.futures.ThreadPoolExecutor] = None
         _ALL_POOLS.add(self)
 
-    def _key(self, args: Sequence[Any], kwargs: dict[str, Any], offset_provider) -> Any:
+    def _key(self, args: Sequence[Any], kwargs: dict[str, Any], offset_provider, extra_key=None) -> Any:
         statics = []
         dynamics = []
         for name, value in kwargs.items():
@@ -268,19 +268,25 @@ class CompiledProgramsPool:
             tuple(dynamics),
             tuple(statics),
             op_key,
+            extra_key,
         )
 
-    def lookup(self, args, kwargs, offset_provider):
-        key = self._key(args, kwargs, offset_provider)
+    def peek(self, args, kwargs, offset_provider, extra_key=None):
+        """The cached entry for this key, or None (no compile on miss)."""
+        return self._programs.get(self._key(args, kwargs, offset_provider, extra_key))
+
+    def lookup(self, args, kwargs, offset_provider, extra_key=None, make=None):
+        key = self._key(args, kwargs, offset_provider, extra_key)
         entry = self._programs.get(key)
         if entry is None:
             with self._lock:
                 entry = self._programs.get(key)
                 if entry is None:
+                    builder = make or self._make
                     if self.options.async_compile:
-                        entry = self._executor_submit(args, kwargs)
+                        entry = self._executor_submit(args, kwargs, builder)
                     else:
-                        entry = self._make(args, kwargs)
+                        entry = builder(args, kwargs)
                     self._programs[key] = entry
         if isinstance(entry, concurrent.futures.Future):
             try:
@@ -295,28 +301,29 @@ class CompiledProgramsPool:
                     f"{e}); recompiling inline",
                     stacklevel=2,
                 )
-                entry = self._make(args, kwargs)
+                entry = (make or self._make)(args, kwargs)
             with self._lock:
                 self._programs[key] = entry
         return entry
 
-    def _executor_submit(self, args, kwargs):
+    def _executor_submit(self, args, kwargs, builder=None):
+        builder = builder or self._make
         runner = self.options.runner
         if runner == "process":
             if self._executor is None:
                 self._executor = _ProcessRunner(self.options.compile_workers)
             return self._executor.submit(
-                self._make, args, kwargs, tuple(self.options.static_params)
+                builder, args, kwargs, tuple(self.options.static_params)
             )
         if runner == "sync":
             done: concurrent.futures.Future = concurrent.futures.Future()
-            done.set_result(self._make(args, kwargs))
+            done.set_result(builder(args, kwargs))
             return done
         if self._executor is None:
             self._executor = concurrent.futures.ThreadPoolExecutor(
                 max_workers=self.options.compile_workers
             )
-        return self._executor.submit(self._make, args, kwargs)
+        return self._executor.submit(builder, args, kwargs)
 
     def precompile(self, args, kwargs, offset_provider) -> None:
         """AOT-compile one variant (reference compile(), decorator.py:161)."""

@@ -112,30 +112,19 @@ def test_pool_offset_provider_content_key():
 
 
 def test_pool_reuses_and_respecializes():
-    builds = []
-
     @gtx.field_operator
     def op(a, factor: float = 2.0):
         return a * factor
-
-    # wrap pool maker to count builds
-    orig = op._pool._make
-
-    def counting(args, kwargs):
-        builds.append(1)
-        return orig(args, kwargs)
-
-    op._pool._make = counting
 
     a = gtx.as_field({I: 4}, np.arange(4, dtype=np.float64))
     out = gtx.zeros({I: 4}, dtype=np.float64)
     op(a, out=out)
     op(a, out=out)
-    assert len(builds) == 1  # same signature: cached
+    assert len(op._pool) == 1  # same signature + out geometry: cached
     b = gtx.as_field({I: 8}, np.arange(8, dtype=np.float64))
     out8 = gtx.zeros({I: 8}, dtype=np.float64)
     op(b, out=out8)
-    assert len(builds) == 2  # new shape: new executable
+    assert len(op._pool) == 2  # new shape: new executable
     np.testing.assert_allclose(asnumpy(out), np.arange(4) * 2.0)
 
 
