@@ -443,6 +443,11 @@ class ScanOperator:
             self.definition, self.axis, self.forward, self.init, backend, self.type_info
         )
 
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_exec_cache", None)  # jitted executables do not pickle
+        return state
+
     def __call__(
         self,
         *args,
@@ -464,13 +469,44 @@ class ScanOperator:
                 name=getattr(self.definition, "__name__", "scan_operator"),
                 element_only=True,
             )
+        from gt4py_tpu.next.backend import backend_kind
+        from gt4py_tpu.next.common import domain as make_domain
+
+        dom = make_domain(domain) if domain is not None else None
+        kind = backend_kind(self.backend)
+        jit_ok = (
+            kind == "jax"
+            and out is not None
+            and not any(
+                isinstance(a, Field) and _xp_of(a) is np for a in args
+            )
+            and _xp_of_tree(out) is not np
+        )
+        if jit_ok:
+            # Pooled jitted scan with the write-back traced in (the eager
+            # path re-traces lax.scan EVERY call) — same design as
+            # FieldOperator's fused write-back.
+            import jax
+
+            cache = self.__dict__.setdefault("_exec_cache", {})
+            key = _out_key(out, dom)
+            fn = cache.get(key)
+            if fn is None:
+                out_meta = _out_meta(out)
+
+                def fn(out_arrays, a, kw, _meta=out_meta, _dom=dom):
+                    result = self._apply(a, kw)
+                    return _writeback_traced(result, _meta, _dom, out_arrays)
+
+                fn = jax.jit(fn)
+                cache[key] = fn
+            with offset_provider_context(offset_provider):
+                _rebind_out(out, fn(_out_arrays(out), args, kwargs))
+            return None
         with offset_provider_context(offset_provider):
             result = self._apply(args, kwargs)
         if out is None:
             return result
-        from gt4py_tpu.next.common import domain as make_domain
-
-        dom = make_domain(domain) if domain is not None else None
         _write_out(result, out, dom)
         return None
 
