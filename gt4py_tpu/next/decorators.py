@@ -170,6 +170,38 @@ def _xp_of_tree(out: Any):
     return _xp_of(out)
 
 
+def _collect_fields(tree: Any) -> list:
+    """Field leaves of an args/kwargs structure, in deterministic order
+    (tuples/lists in sequence, dict keys sorted)."""
+    acc: list = []
+
+    def walk(node: Any) -> None:
+        if isinstance(node, Field):
+            acc.append(node)
+        elif isinstance(node, (tuple, list)):
+            for v in node:
+                walk(v)
+        elif isinstance(node, dict):
+            for k in sorted(node):
+                walk(node[k])
+
+    walk(tree)
+    return acc
+
+
+def _under_trace(*trees: Any) -> bool:
+    """Whether any Field leaf holds a JAX tracer (an enclosing jit is
+    tracing us — e.g. a whole-Program jit): dispatch machinery must get
+    out of the way and let the trace inline the computation."""
+    import jax
+
+    for tree in trees:
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if isinstance(leaf, jax.core.Tracer):
+                return True
+    return False
+
+
 def _as_numpy(obj: Any) -> Any:
     """Convert Field pytrees to NumPy-backed Fields: the independent-oracle
     execution mode (reference "roundtrip" embedded-NumPy backend) — all
@@ -349,6 +381,10 @@ class FieldOperator:
                     _write_out(result, out, dom)
                     return
                 if kind == "jax" and self.options.enable_jit:
+                    if _under_trace(args, out, kwargs):
+                        result = self.definition(*args, **kwargs)
+                        _write_out(result, out, dom)
+                        return
                     from gt4py_tpu.next.backend import Backend, resolve, _compile_jit
 
                     dynamic = {
@@ -481,6 +517,7 @@ class ScanOperator:
                 isinstance(a, Field) and _xp_of(a) is np for a in args
             )
             and _xp_of_tree(out) is not np
+            and not _under_trace(args, out, kwargs)
         )
         if jit_ok:
             # Pooled jitted scan with the write-back traced in (the eager
@@ -644,8 +681,61 @@ class Program:
                     f"Arguments {sorted(overlap)} are already bound on this program"
                 )
             kwargs = {**self.bound_args, **kwargs}
+        from gt4py_tpu.next.backend import backend_kind
+
+        kind = backend_kind(self.backend)
+        fields = _collect_fields(args) + _collect_fields(kwargs)
+        jit_ok = (
+            kind == "jax"
+            and fields
+            and all(_xp_of(f) is not np for f in fields)
+            and not _under_trace(args, kwargs)
+        )
+        if jit_ok:
+            # Whole-program jit (reference Backend.compile on PAST): ONE
+            # XLA dispatch for the full operator pipeline. Operator calls
+            # inside the trace bypass their pools (_under_trace) and
+            # mutate the traced Field copies; their final arrays are
+            # harvested as the jit outputs and rebound to the originals.
+            import jax
+
+            from gt4py_tpu.next.otf import _provider_fingerprint
+
+            cache = self.__dict__.setdefault("_exec_cache", {})
+            pkey = (
+                tuple(
+                    sorted(
+                        (k, _provider_fingerprint(v))
+                        for k, v in (offset_provider or {}).items()
+                    )
+                )
+                if offset_provider
+                else None
+            )
+            fn = cache.get(pkey)
+            if fn is None:
+                provider = offset_provider
+
+                def fn(a, kw):
+                    with offset_provider_context(provider):
+                        self.definition(*a, **kw)
+                    return tuple(
+                        f.ndarray for f in _collect_fields(a) + _collect_fields(kw)
+                    )
+
+                fn = jax.jit(fn)
+                cache[pkey] = fn
+            new_arrays = fn(args, kwargs)
+            for f, arr in zip(fields, new_arrays):
+                f.ndarray = arr
+            return
         with offset_provider_context(offset_provider):
             self.definition(*args, **kwargs)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_exec_cache", None)  # jitted executables do not pickle
+        return state
 
 
 def program(definition: Optional[Callable] = None, *, backend: str | None = "jax"):

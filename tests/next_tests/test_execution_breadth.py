@@ -277,3 +277,51 @@ def test_multi_offset_premap_folds(rng):
     out = gtx.zeros({I: (0, 8)})
     two_shifts(gtx.as_field([I], av), out=out, offset_provider=PROV)
     np.testing.assert_allclose(out.asnumpy(), av[2:] - 2 * av[1:-1] + av[:-2], atol=1e-12)
+
+
+def test_program_with_scan_and_domain(rng):
+    """Whole-program jit covers scans and domain-restricted writes."""
+
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def cumsum(c, x):
+        return c + x
+
+    @gtx.field_operator
+    def half(a):
+        return 0.5 * a
+
+    @gtx.program
+    def prog(x, tmp, out):
+        cumsum(x, out=tmp)
+        half(tmp, out=out, domain={K: (1, 5)})
+
+    xv = rng.random(6)
+    x = gtx.as_field([K], xv)
+    tmp = gtx.zeros({K: 6})
+    out = gtx.zeros({K: 6})
+    prog(x, tmp, out)
+    cs = np.cumsum(xv)
+    expected = np.zeros(6)
+    expected[1:5] = 0.5 * cs[1:5]
+    np.testing.assert_allclose(tmp.asnumpy(), cs)
+    np.testing.assert_allclose(out.asnumpy(), expected)
+    # repeat: cached executable, same results
+    prog(x, tmp, out)
+    np.testing.assert_allclose(out.asnumpy(), expected)
+
+
+def test_program_scalar_kwargs(rng):
+    @gtx.field_operator
+    def scale(a, s: float):
+        return a * s
+
+    @gtx.program
+    def prog(a, out, s: float):
+        scale(a, s=s, out=out)
+
+    av = rng.random(5)
+    out = gtx.zeros({I: 5})
+    prog(gtx.as_field([I], av), out, s=3.0)
+    np.testing.assert_allclose(out.asnumpy(), av * 3.0)
+    prog(gtx.as_field([I], av), out, s=7.0)
+    np.testing.assert_allclose(out.asnumpy(), av * 7.0)
