@@ -71,10 +71,53 @@ def bench_field_operator():
     return {"field_operator_call_us": round(t_call * 1e6, 1)}
 
 
+def bench_scan_and_program():
+    import numpy as np
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dimension, DimensionKind
+
+    I = Dimension("Ib")
+    K = Dimension("Kb", kind=DimensionKind.VERTICAL)
+
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def cumsum(c, x):
+        return c + x
+
+    f2 = gtx.as_field([I, K], np.random.default_rng(0).random((16, 8)))
+    sout = gtx.zeros({I: 16, K: 8})
+    cumsum(f2, out=sout)
+    t_scan = timeit(lambda: cumsum(f2, out=sout))
+
+    @gtx.field_operator
+    def dbl(a):
+        return a * 2.0
+
+    @gtx.field_operator
+    def inc(a):
+        return a + 1.0
+
+    @gtx.program
+    def pipeline(a, tmp, out):
+        dbl(a, out=tmp)
+        inc(tmp, out=out)
+
+    a = gtx.as_field([I], np.arange(64.0))
+    tmp = gtx.zeros({I: 64})
+    out = gtx.zeros({I: 64})
+    pipeline(a, tmp, out)
+    t_prog = timeit(lambda: pipeline(a, tmp, out))
+    return {
+        "scan_call_us": round(t_scan * 1e6, 1),
+        "program_call_2ops_us": round(t_prog * 1e6, 1),
+    }
+
+
 def main():
     results = {}
     results.update(bench_cartesian())
     results.update(bench_field_operator())
+    results.update(bench_scan_and_program())
     print(json.dumps({"benchmark": "program_call_overhead", **results}))
 
 
