@@ -140,3 +140,40 @@ def test_sharded_unstructured_nabla(mesh):
 
     out = step(pp_sh, sx_np, vol_sh)
     np.testing.assert_allclose(np.asarray(out), ref.asnumpy(), rtol=1e-12)
+
+
+def test_sharded_whole_program(mesh):
+    """A @gtx.program pipeline over GSPMD-sharded fields: the whole-program
+    jit preserves shardings and matches single-device results."""
+    rng = np.random.default_rng(9)
+    data = rng.random((32, 32))
+
+    @gtx.field_operator
+    def lap(phi):
+        return -4.0 * phi + phi(Ioff[1]) + phi(Ioff[-1]) + phi(Joff[1]) + phi(Joff[-1])
+
+    @gtx.field_operator
+    def relax(phi, l):
+        return phi + 0.1 * l
+
+    @gtx.program
+    def smooth(phi, tmp, out):
+        lap(phi, out=tmp)
+        relax(phi, tmp, out=out, domain={I: (1, 31), J: (1, 31)})
+
+    prov = {"Ioff": I, "Joff": J}
+
+    # single-device reference
+    phi_r = gtx.as_field([I, J], data)
+    tmp_r = gtx.zeros({I: (1, 31), J: (1, 31)})
+    out_r = gtx.zeros({I: 32, J: 32})
+    smooth(phi_r, tmp_r, out_r, offset_provider=prov)
+
+    # sharded (tmp is 30x30 — not mesh-divisible — so it stays
+    # replicated; GSPMD handles the mixed layout)
+    phi_s = shard_field(gtx.as_field([I, J], data), mesh)
+    tmp_s = gtx.zeros({I: (1, 31), J: (1, 31)})
+    out_s = shard_field(gtx.zeros({I: 32, J: 32}), mesh)
+    smooth(phi_s, tmp_s, out_s, offset_provider=prov)
+
+    np.testing.assert_allclose(asnumpy(out_s), asnumpy(out_r), rtol=1e-12)
