@@ -105,6 +105,10 @@ def _rowgather_1d(x, idx):
     944 -> ~300 us for 131k f32 gathers on v5e — the FVM-nabla hot path).
     ``idx`` must be pre-clamped int32; any shape (result keeps it).
 
+    Multi-dim fields (e.g. ICON-style (Cell, K) columns) do NOT need
+    this: ``take`` along axis 0 already gathers whole rows (measured
+    337 GB/s for 256 B rows — near the per-row ceiling).
+
     Measured negative results (do not re-try without new information):
     wider rows (W=32/128) are NOT faster — the cost is per gathered row
     (~2.3 ns), not bytes; an MXU one-hot matmul formulation needs
