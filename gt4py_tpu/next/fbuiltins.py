@@ -115,6 +115,9 @@ def where(cond: Field, a: Union[Field, Any], b: Union[Field, Any]) -> Field:
 
 
 def astype(field: Union[Field, Any], dtype: Any) -> Field:
+    if isinstance(field, tuple):
+        # Tuple overload (reference fbuiltins.py:299): cast element-wise.
+        return tuple(astype(f, dtype) for f in field)
     if _is_sym(field):
         return field._builtin("astype", field, dtype)
     import jax.numpy as jnp

@@ -122,3 +122,13 @@ def test_builtin_names_complete():
     assert set(fbuiltins.MATH_BUILTIN_NAMES) == set(UNARY) | set(BINARY)
     for name in fbuiltins.MATH_BUILTIN_NAMES:
         assert callable(getattr(fbuiltins, name))
+
+
+def test_astype_tuple_overload():
+    """Tuple overload (reference fbuiltins astype on tuples)."""
+    f = gtx.as_field([IDim], np.arange(4.0))
+    r32 = fbuiltins.astype((f, f * 2.0), np.float32)
+    assert isinstance(r32, tuple)
+    assert r32[0].dtype == np.dtype(np.float32)
+    assert r32[1].dtype == np.dtype(np.float32)
+    np.testing.assert_allclose(np.asarray(r32[1].ndarray), 2 * np.arange(4, dtype=np.float32))
