@@ -88,6 +88,12 @@ def broadcast(value: Union[Field, Any], dims: tuple[Dimension, ...]) -> Field:
 
 
 def where(cond: Field, a: Union[Field, Any], b: Union[Field, Any]) -> Field:
+    if isinstance(a, tuple) or isinstance(b, tuple):
+        # Tuple overload (reference fbuiltins.py:281): select element-wise
+        # with the same condition.
+        if not (isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b)):
+            raise TypeError("where: tuple branches must have matching structure")
+        return tuple(where(cond, x, y) for x, y in zip(a, b))
     for x in (cond, a, b):
         if _is_sym(x):
             return x._builtin("where", cond, a, b)

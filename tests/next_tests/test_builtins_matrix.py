@@ -132,3 +132,17 @@ def test_astype_tuple_overload():
     assert r32[0].dtype == np.dtype(np.float32)
     assert r32[1].dtype == np.dtype(np.float32)
     np.testing.assert_allclose(np.asarray(r32[1].ndarray), 2 * np.arange(4, dtype=np.float32))
+
+
+def test_where_tuple_overload():
+    f = gtx.as_field([IDim], np.arange(4.0))
+    cond = f > 1.5
+    hi, lo = fbuiltins.where(cond, (f, f * 2.0), (f * 0.0, f * 0.0 - 1.0))
+    np.testing.assert_allclose(
+        np.asarray(hi.ndarray), np.where(np.arange(4) > 1.5, np.arange(4.0), 0.0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(lo.ndarray), np.where(np.arange(4) > 1.5, 2.0 * np.arange(4), -1.0)
+    )
+    with pytest.raises(TypeError, match="matching structure"):
+        fbuiltins.where(cond, (f,), (f, f))
