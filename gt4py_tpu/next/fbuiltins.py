@@ -269,6 +269,10 @@ def concat_where(cond, a, b) -> Field:
     ``concat_where``, ffront/experimental.py:52): select ``a`` where the
     per-dimension index condition holds (e.g. ``KDim < 1`` for surface
     boundary conditions), ``b`` elsewhere."""
+    if isinstance(a, tuple) or isinstance(b, tuple):
+        if not (isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b)):
+            raise TypeError("concat_where: tuple branches must have matching structure")
+        return tuple(concat_where(cond, x, y) for x, y in zip(a, b))
     import jax.numpy as jnp
     from jax import lax
 

@@ -118,3 +118,17 @@ def test_cache_manager(tmp_path):
     assert not (root / "xla_cache").exists()
     cm.clean_cache(str(root))
     assert not root.exists()
+
+
+def test_concat_where_tuple_overload():
+    import numpy as np
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import concat_where
+    from gt4py_tpu.next.common import Dimension, DimensionKind
+
+    K = Dimension("Kc", kind=DimensionKind.VERTICAL)
+    f = gtx.as_field([K], np.arange(5.0))
+    top, bot = concat_where(K < 2, (f * 0.0, f + 10.0), (f, f))
+    np.testing.assert_allclose(np.asarray(top.ndarray), [0, 0, 2, 3, 4])
+    np.testing.assert_allclose(np.asarray(bot.ndarray), [10, 11, 2, 3, 4])
