@@ -357,6 +357,13 @@ class FieldOperator:
             with offset_provider_context(offset_provider):
                 from gt4py_tpu.next.backend import backend_kind
 
+                if _under_trace(args, out, kwargs):
+                    # Inside an enclosing jit (whole-program trace): the
+                    # outer trace owns execution — inline regardless of
+                    # this operator's declared backend.
+                    result = self.definition(*args, **kwargs)
+                    _write_out(result, out, dom)
+                    return
                 kind = backend_kind(self.backend)
                 if kind == "numpy":
                     # Independent oracle: run the definition on NumPy-backed
@@ -381,10 +388,6 @@ class FieldOperator:
                     _write_out(result, out, dom)
                     return
                 if kind == "jax" and self.options.enable_jit:
-                    if _under_trace(args, out, kwargs):
-                        result = self.definition(*args, **kwargs)
-                        _write_out(result, out, dom)
-                        return
                     from gt4py_tpu.next.backend import Backend, resolve, _compile_jit
 
                     dynamic = {
@@ -554,7 +557,7 @@ class ScanOperator:
 
         from gt4py_tpu.next.backend import backend_kind
 
-        if backend_kind(self.backend) == "numpy":
+        if backend_kind(self.backend) == "numpy" and not _under_trace(args):
             args = tuple(_as_numpy(a) for a in args)
         field_args = [a for a in args if isinstance(a, Field)]
         if not field_args:

@@ -325,3 +325,21 @@ def test_program_scalar_kwargs(rng):
     np.testing.assert_allclose(out.asnumpy(), av * 3.0)
     prog(gtx.as_field([I], av), out, s=7.0)
     np.testing.assert_allclose(out.asnumpy(), av * 7.0)
+
+
+def test_program_jit_inlines_oracle_backend_operators(rng):
+    """Operators with backend="numpy" inside a jitted program inline into
+    the trace (the enclosing jit owns execution)."""
+
+    @gtx.field_operator(backend="numpy")
+    def dbl_oracle(a):
+        return a * 2.0
+
+    @gtx.program
+    def prog(a, out):
+        dbl_oracle(a, out=out)
+
+    av = rng.random(5)
+    out = gtx.zeros({I: 5})
+    prog(gtx.as_field([I], av), out)
+    np.testing.assert_allclose(out.asnumpy(), 2 * av)
