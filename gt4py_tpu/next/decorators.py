@@ -570,7 +570,20 @@ class ScanOperator:
             dims = _promote_dims(dims, f.dims)
         if self.axis not in dims:
             raise ValueError(f"scan axis {self.axis} not present in arguments")
-        ref = field_args[0]
+        # Common domain: per promoted dim, intersect the ranges of every
+        # field that HAS the dim (a K-only column + an (I, K) plane must
+        # broadcast the column across I, so no single argument can serve
+        # as the alignment reference).
+        common_ranges = []
+        for d in dims:
+            r = None
+            for f in field_args:
+                if d in f.domain:
+                    rr = f.domain[d].unit_range
+                    r = rr if r is None else r.intersection(rr)
+            common_ranges.append(NamedRange(d, r))
+        ref = Field.__new__(Field)
+        ref.domain = Domain(tuple(common_ranges))
         aligned = []
         dom = None
         for a in args:
