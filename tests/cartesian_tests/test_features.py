@@ -545,3 +545,84 @@ def test_function_defaults_kwargs_nested():
     np.testing.assert_allclose(
         np.asarray(dst), (3.0 * (2.0 * x + 0.5) + 1.0) + x
     )
+
+
+def test_table_lookup_inside_while():
+    """GlobalTable lookups inside while loops (feature interaction)."""
+    Table4 = gtscript.GlobalTable[(np.float64, (4,))]
+    FieldI64 = gtscript.Field[np.int64]
+
+    def s(idx: FieldI64, out: Field3D, tab: Table4):
+        with computation(PARALLEL), interval(...):
+            n = 0
+            acc = 0.0
+            while n < 3:
+                acc = acc + tab[idx]
+                n = n + 1
+            out = acc
+
+    rng = np.random.default_rng(5)
+    idx_np = rng.integers(0, 4, (3, 3, 2)).astype(np.int64)
+    tab_np = np.arange(4.0) + 1
+    results = {}
+    for b in ("numpy", "jax"):
+        st = gtscript.stencil(backend=b, definition=s, name=f"tw_{b}")
+        idx = storage.from_array(idx_np, backend=b)
+        out = storage.zeros((3, 3, 2), backend=b)
+        tab = storage.from_array(tab_np, backend=b)
+        st(idx, out, tab)
+        results[b] = np.asarray(out)
+    np.testing.assert_allclose(results["jax"], results["numpy"])
+    np.testing.assert_allclose(results["numpy"], 3.0 * tab_np[idx_np])
+
+
+def test_variable_k_read_of_temporary():
+    """Variable K offsets applied to computation temporaries."""
+    FieldI64 = gtscript.Field[np.int64]
+
+    def s(a: Field3D, kidx: FieldI64, out: Field3D):
+        with computation(PARALLEL), interval(...):
+            t = a * 2.0
+            out = t[0, 0, kidx]
+
+    rng = np.random.default_rng(6)
+    a_np = rng.random((3, 3, 4))
+    k_np = rng.integers(-1, 2, (3, 3, 4)).astype(np.int64)
+    # arrays hoisted: both backends must see identical inputs
+    results = {}
+    for b in ("numpy", "jax"):
+        st = gtscript.stencil(backend=b, definition=s, name=f"vkt_{b}")
+        a = storage.from_array(a_np, backend=b)
+        kidx = storage.from_array(k_np, backend=b)
+        out = storage.zeros((3, 3, 4), backend=b)
+        st(a, kidx, out)
+        results[b] = np.asarray(out)
+    np.testing.assert_allclose(results["jax"], results["numpy"], rtol=1e-12)
+
+
+def test_data_dim_reads_in_sequential_carry():
+    """Vector-field components consumed by a FORWARD carry chain."""
+    Vec2 = gtscript.Field[(np.float64, (2,))]
+
+    def s(v: Vec2, out: Field3D):
+        with computation(FORWARD):
+            with interval(0, 1):
+                out = v[0, 0, 0][0]
+            with interval(1, None):
+                out = out[0, 0, -1] + v[0, 0, 0][1]
+
+    rng = np.random.default_rng(7)
+    v_np = rng.random((3, 3, 4, 2))
+    results = {}
+    for b in ("numpy", "jax"):
+        st = gtscript.stencil(backend=b, definition=s, name=f"vseq_{b}")
+        v = storage.from_array(v_np, backend=b)
+        out = storage.zeros((3, 3, 4), backend=b)
+        st(v, out)
+        results[b] = np.asarray(out)
+    expected = np.empty((3, 3, 4))
+    expected[:, :, 0] = v_np[:, :, 0, 0]
+    for k in range(1, 4):
+        expected[:, :, k] = expected[:, :, k - 1] + v_np[:, :, k, 1]
+    np.testing.assert_allclose(results["numpy"], expected, rtol=1e-12)
+    np.testing.assert_allclose(results["jax"], expected, rtol=1e-12)
