@@ -184,3 +184,34 @@ def test_cartesian_connectivity():
     cc = CartesianConnectivity(I, 1)
     assert cc.codomain == I
     assert "I" in repr(cc)
+
+
+# --- constructor error paths --------------------------------------------------
+
+
+def test_as_connectivity_requires_two_dims():
+    import gt4py_tpu.next as gtx
+
+    with pytest.raises(ValueError, match="source_dim, neighbor_dim"):
+        gtx.as_connectivity([I], J, np.zeros((3, 2), dtype=np.int64))
+
+
+def test_as_field_shape_mismatch_rejected():
+    import gt4py_tpu.next as gtx
+
+    with pytest.raises(ValueError, match="shape"):
+        gtx.Field(gtx.domain({I: 5}), np.zeros(4))
+
+
+def test_field_remap_requires_codomain_dim():
+    import gt4py_tpu.next as gtx
+
+    conn = gtx.as_connectivity([I, V2EDim], J, np.zeros((3, 2), dtype=np.int64))
+    f = gtx.as_field([I], np.zeros(3))  # field over I, conn codomain is J
+    with pytest.raises(ValueError, match="cannot be remapped"):
+        f(conn)
+
+
+def test_unit_range_step_rejected():
+    with pytest.raises(ValueError, match="step 1"):
+        UnitRange.from_value(range(0, 10, 2))
