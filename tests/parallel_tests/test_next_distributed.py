@@ -177,3 +177,36 @@ def test_sharded_whole_program(mesh):
     smooth(phi_s, tmp_s, out_s, offset_provider=prov)
 
     np.testing.assert_allclose(asnumpy(out_s), asnumpy(out_r), rtol=1e-12)
+
+
+def test_sharded_staggered_cgrid(mesh):
+    """Staggered premaps (pure domain relabels) under GSPMD: the C-grid
+    face->center average matches single-device when u is sharded."""
+    from gt4py_tpu.next import flip_staggered
+
+    IHalf = flip_staggered(I)
+
+    @gtx.field_operator
+    def to_centers(u):
+        return 0.5 * (u(I + 0.5) + u(I - 0.5))
+
+    rng = np.random.default_rng(17)
+    n = 64
+    u_np = rng.random(n + 1)
+
+    ref = gtx.zeros({I: (0, n)})
+    to_centers(gtx.as_field([IHalf], u_np), out=ref, offset_provider={})
+
+    # shard u's (n+1)-sized staggered axis: 65 not divisible by the mesh,
+    # so shard the OUT field instead and leave u replicated — mixed
+    # layouts are the realistic case for staggered boundaries.
+    from gt4py_tpu.parallel.next_fields import field_sharding
+    import jax
+
+    out_sharding = field_sharding(mesh, (I,), {I: "x"})
+    out = gtx.Field(
+        gtx.domain({I: (0, n)}),
+        jax.device_put(np.zeros(n), out_sharding),
+    )
+    to_centers(gtx.as_field([IHalf], u_np), out=out, offset_provider={})
+    np.testing.assert_allclose(asnumpy(out), asnumpy(ref))
