@@ -37,6 +37,12 @@ def _restrict_result(result: "Field", target: Domain, out_dtype, xp) -> Any:
         if not rr.is_finite:
             slices.append(slice(0, 1))
         else:
+            if nr.unit_range.start < rr.start or nr.unit_range.stop > rr.stop:
+                raise ValueError(
+                    f"Output range {nr.dim.value}={nr.unit_range} exceeds the "
+                    f"operator result domain {nr.dim.value}={rr} (shifts shrink "
+                    "the result; size the out field/domain accordingly)"
+                )
             slices.append(slice(nr.unit_range.start - rr.start, nr.unit_range.stop - rr.start))
     perm = [result.domain.index(nr.dim) for nr in target.ranges]
     arr = result.ndarray

@@ -202,3 +202,16 @@ def test_program_repeated_operator_different_outs(rng):
     prog(a, o1, o2)
     np.testing.assert_allclose(o1.asnumpy(), 3.0 * np.ones(4))
     np.testing.assert_allclose(o2.asnumpy(), 2.0 * np.ones(4))
+
+
+def test_out_exceeding_result_domain_errors_clearly(rng):
+    Ioff2 = FieldOffset("Ioff2", source=I, target=(I,))
+
+    @gtx.field_operator
+    def shifted(a):
+        return a(Ioff2[1]) + a(Ioff2[-1])
+
+    a = gtx.as_field([I], rng.random(8))
+    out = gtx.zeros({I: 8})  # result only covers I=(1:7)
+    with pytest.raises(ValueError, match="exceeds the operator result domain"):
+        shifted(a, out=out, offset_provider={"Ioff2": I})
