@@ -172,3 +172,53 @@ def test_walk_values_and_walk_type():
     assert {leaf.name for leaf in leaves} == {"a", "b"}
     all_nodes = [n for n in walk_values(tree) if isinstance(n, Node)]
     assert len(all_nodes) == 4
+
+
+# --- pattern matching ---------------------------------------------------------
+
+
+def test_object_pattern_matches_partial_attrs():
+    from gt4py_tpu.eve.pattern_matching import ObjectPattern
+
+    node = Leaf(name="x", value=3)
+    assert ObjectPattern(Leaf, name="x").match(node)
+    assert ObjectPattern(Leaf).match(node)  # no constraints
+    assert not ObjectPattern(Leaf, name="y").match(node)
+    assert not ObjectPattern(Branch).match(node)  # wrong class
+
+
+def test_object_pattern_nested_and_sequences():
+    from gt4py_tpu.eve.pattern_matching import ObjectPattern, get_differences
+
+    tree = Branch(label="t", children=[Leaf(name="a", value=1), Leaf(name="b", value=2)])
+    pat = ObjectPattern(
+        Branch,
+        children=[ObjectPattern(Leaf, name="a"), ObjectPattern(Leaf, value=2)],
+    )
+    assert pat.match(tree)
+    bad = ObjectPattern(Branch, children=[ObjectPattern(Leaf, name="z")])
+    diffs = list(get_differences(bad, tree))
+    assert diffs
+    assert any("length" in msg for _, msg in diffs)
+
+
+def test_object_pattern_raise_exception_lists_paths():
+    from gt4py_tpu.eve.pattern_matching import ObjectPattern
+
+    node = Branch(label="top", children=[Leaf(name="a", value=1)])
+    pat = ObjectPattern(
+        Branch, label="other", children=[ObjectPattern(Leaf, value=9)]
+    )
+    with pytest.raises(ValueError) as exc:
+        pat.match(node, raise_exception=True)
+    msg = str(exc.value)
+    assert ".label" in msg and ".children[0].value" in msg
+
+
+def test_get_differences_dicts_and_missing_attr():
+    from gt4py_tpu.eve.pattern_matching import ObjectPattern, get_differences
+
+    assert not list(get_differences({"k": 1}, {"k": 1, "extra": 2}))
+    assert list(get_differences({"k": 1}, {"other": 1}))
+    diffs = list(get_differences(ObjectPattern(Leaf, nope=1), Leaf(name="x")))
+    assert diffs and diffs[0][1] == "missing attribute"
