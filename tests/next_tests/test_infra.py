@@ -301,3 +301,32 @@ def test_typing_module_exports():
     }
     for name in nxt.__all__:
         assert getattr(nxt, name) is not None
+
+
+def test_field_utils_coverage():
+    import numpy as np
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next.common import Dimension
+    from gt4py_tpu.next.field_utils import asnumpy, field_from_typespec, verify_device
+    from gt4py_tpu.next.type_system import FieldType
+
+    If = Dimension("If")
+    f = gtx.as_field([If], np.arange(3.0))
+    # asnumpy over tuples and raw arrays
+    out = asnumpy((f, np.ones(2), (f,)))
+    assert isinstance(out, tuple) and isinstance(out[0], np.ndarray)
+    assert isinstance(out[2], tuple)
+    # verify_device: jnp arrays on the CPU tier
+    assert verify_device(f, "cpu")
+    assert verify_device((f, f), "cpu")
+    assert not verify_device(f, "tpu")
+    assert verify_device(np.ones(2), "cpu")  # raw numpy counts as cpu
+    # field_from_typespec
+    spec = FieldType(dims=(If,), dtype=np.dtype(np.float32))
+    z = field_from_typespec(spec, gtx.domain({If: 4}))
+    assert z.dtype == np.dtype(np.float32) and z.shape == (4,)
+    import pytest
+
+    with pytest.raises(TypeError, match="FieldType"):
+        field_from_typespec("nope", gtx.domain({If: 4}))
