@@ -132,3 +132,21 @@ def test_concat_where_tuple_overload():
     top, bot = concat_where(K < 2, (f * 0.0, f + 10.0), (f, f))
     np.testing.assert_allclose(np.asarray(top.ndarray), [0, 0, 2, 3, 4])
     np.testing.assert_allclose(np.asarray(bot.ndarray), [10, 11, 2, 3, 4])
+
+
+def test_format_compiled_emits_backend_hlo():
+    import numpy as np
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import program_processors as pp
+    from gt4py_tpu.next.common import Dimension
+
+    If = Dimension("Ifc")
+
+    @gtx.field_operator
+    def dbl(a):
+        return a * 2.0
+
+    a = gtx.as_field([If], np.arange(4.0))
+    txt = pp.format_compiled(dbl, a)
+    assert "multiply" in txt or "mul" in txt
