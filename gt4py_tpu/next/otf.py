@@ -89,6 +89,11 @@ def _dynamic_key(value: Any) -> Any:
         assert isinstance(value, Field)
         return (spec.dims, spec.dtype.str, value.domain.shape)
     if isinstance(spec, ts.TupleType):
+        from gt4py_tpu.next.named_collections import is_named_collection
+
+        if is_named_collection(value):
+            names = type(value).__named_collection_fields__
+            return tuple(_dynamic_key(getattr(value, n)) for n in names)
         return tuple(_dynamic_key(v) for v in value)
     return ("scalar", spec.dtype.str)
 

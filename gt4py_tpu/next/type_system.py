@@ -88,6 +88,11 @@ def from_value(value: Any) -> TypeSpec:
 
     if isinstance(value, Field):
         return FieldType(dims=value.dims, dtype=np.dtype(value.dtype))
+    from gt4py_tpu.next.named_collections import is_named_collection
+
+    if is_named_collection(value):
+        names = type(value).__named_collection_fields__
+        return TupleType(types=tuple(from_value(getattr(value, n)) for n in names))
     if isinstance(value, tuple):
         return TupleType(types=tuple(from_value(v) for v in value))
     if isinstance(value, (bool, np.bool_)):

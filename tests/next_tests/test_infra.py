@@ -330,3 +330,45 @@ def test_field_utils_coverage():
 
     with pytest.raises(TypeError, match="FieldType"):
         field_from_typespec("nope", gtx.domain({If: 4}))
+
+
+def test_named_collection_in_operators_and_jit():
+    """Collections flow through operators and whole-program jit as one
+    object (reference named_collections through compiled programs)."""
+    import numpy as np
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next.common import Dimension
+    from gt4py_tpu.next.named_collections import (
+        constructor,
+        extract,
+        is_named_collection,
+        named_collection,
+    )
+
+    Inc = Dimension("Inc")
+
+    @named_collection
+    class State:
+        rho: object
+        vel: object
+
+    rho = gtx.as_field([Inc], np.arange(4.0))
+    vel = gtx.as_field([Inc], np.ones(4))
+    state = constructor(State)(rho=rho, vel=vel)
+    assert is_named_collection(state)
+    assert extract(state, "rho") is rho
+    import pytest
+
+    with pytest.raises(TypeError, match="not a named collection"):
+        extract(3, "rho")
+    with pytest.raises(TypeError, match="not a named collection"):
+        constructor(int)
+
+    @gtx.field_operator
+    def momentum(s):
+        return s.rho * s.vel + 1.0
+
+    out = gtx.zeros({Inc: 4})
+    momentum(state, out=out)
+    np.testing.assert_allclose(out.asnumpy(), np.arange(4.0) + 1.0)
