@@ -105,6 +105,11 @@ def from_value(value: Any) -> TypeSpec:
         return ScalarType(value.dtype)
     if hasattr(value, "dtype") and hasattr(value, "ndim") and value.ndim == 0:
         return ScalarType(np.dtype(value.dtype))
+    if hasattr(value, "ndim") and getattr(value, "ndim", 0) > 0:
+        raise TypeError(
+            f"Cannot deduce a TypeSpec for a raw {getattr(value, 'shape', '?')} "
+            "array — wrap operator arguments as Fields (gtx.as_field([dims], data))"
+        )
     raise TypeError(f"Cannot deduce a TypeSpec for {value!r}")
 
 

@@ -372,3 +372,21 @@ def test_named_collection_in_operators_and_jit():
     out = gtx.zeros({Inc: 4})
     momentum(state, out=out)
     np.testing.assert_allclose(out.asnumpy(), np.arange(4.0) + 1.0)
+
+
+def test_raw_array_operator_arg_gets_actionable_error():
+    import numpy as np
+    import pytest
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next.common import Dimension
+
+    Ir = Dimension("Ir")
+
+    @gtx.field_operator
+    def dbl(a):
+        return a * 2.0
+
+    out = gtx.zeros({Ir: 4})
+    with pytest.raises(TypeError, match="as_field"):
+        dbl(np.ones(4), out=out)
