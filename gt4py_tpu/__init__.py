@@ -15,6 +15,6 @@ import jax as _jax
 # widens the *allowed* dtype set — float32/bfloat16 arrays stay narrow.
 _jax.config.update("jax_enable_x64", True)
 
-from gt4py_tpu import cartesian, config, storage  # noqa: F401,E402
+from gt4py_tpu import cartesian, config, eve, storage  # noqa: F401,E402
 
 __version__ = "0.3.0"
