@@ -215,3 +215,34 @@ def test_out_exceeding_result_domain_errors_clearly(rng):
     out = gtx.zeros({I: 8})  # result only covers I=(1:7)
     with pytest.raises(ValueError, match="exceeds the operator result domain"):
         shifted(a, out=out, offset_provider={"Ioff2": I})
+
+
+def test_in_place_out_aliasing(rng):
+    """op(f, out=f) — the same field as input and output (time-stepping
+    shorthand); the fused write-back must read before writing."""
+
+    @gtx.field_operator
+    def bump(x):
+        return x + 1.0
+
+    f = gtx.as_field([I], np.arange(4.0))
+    bump(f, out=f)
+    bump(f, out=f)
+    np.testing.assert_allclose(f.asnumpy(), np.arange(4.0) + 2.0)
+
+
+def test_in_place_with_shift_aliasing(rng):
+    """In-place with a shifted read: every point must see the OLD values
+    (no sequential in-place update effects)."""
+    Ioff3 = FieldOffset("Ioff3", source=I, target=(I,))
+
+    @gtx.field_operator
+    def avg(x):
+        return 0.5 * (x(Ioff3[1]) + x(Ioff3[-1]))
+
+    data = rng.random(8)
+    f = gtx.as_field([I], data.copy())
+    out = gtx.zeros({I: (1, 7)})
+    avg(f, out=out, offset_provider={"Ioff3": I})
+    expected = 0.5 * (data[2:] + data[:-2])
+    np.testing.assert_allclose(out.asnumpy(), expected)
