@@ -94,6 +94,9 @@ def as_field(
         dom = make_domain(domain_spec)
     else:
         dims = tuple(domain_spec)
+        from gt4py_tpu.next.common import check_dims
+
+        check_dims(dims)
         origin = origin or {}
         ranges = []
         for d, size in zip(dims, array.shape):

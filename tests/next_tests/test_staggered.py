@@ -177,3 +177,8 @@ def test_mixed_staggered_domain_rejected():
         domain({I: 4, IHalf: 4})
     # distinct base dims are fine
     check_dims((I, Dimension("J")))
+
+
+def test_as_field_rejects_mixed_staggered_dims():
+    with pytest.raises(ValueError, match="staggered counterpart"):
+        gtx.as_field([I, IHalf], np.zeros((3, 4)))
