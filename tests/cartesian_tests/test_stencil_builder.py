@@ -78,3 +78,23 @@ def test_lazy_stencil_exposes_builder():
     b = storage.zeros((4, 4, 3), backend="numpy")
     lazy(a, b)
     np.testing.assert_allclose(np.asarray(b), 1.0)
+
+
+def test_jax_backend_specialization_cache():
+    """The jax backend compiles once per (domain, origin, shape) variant
+    and reuses the specialized executable across calls (reference
+    CompiledProgramsPool role, otf/compiled_program.py:333)."""
+    obj = StencilBuilder(copy_defn).with_backend("jax").with_options(
+        rebuild=True, name="spec_cache_probe"
+    ).build()
+    be = obj._backend
+    a = storage.ones((6, 6, 3), backend="jax")
+    b = storage.zeros((6, 6, 3), backend="jax")
+    obj(a, b, domain=(6, 6, 3))
+    n1 = len(be._cache)
+    obj(a, b, domain=(6, 6, 3))
+    assert len(be._cache) == n1  # same variant reused
+    obj(a, b, domain=(4, 4, 3))  # new domain -> new specialization
+    assert len(be._cache) == n1 + 1
+    obj(a, b, origin={"a": (1, 1, 0), "b": (1, 1, 0)}, domain=(4, 4, 3))
+    assert len(be._cache) == n1 + 2  # new origins -> new specialization
