@@ -98,3 +98,32 @@ def test_jax_backend_specialization_cache():
     assert len(be._cache) == n1 + 1
     obj(a, b, origin={"a": (1, 1, 0), "b": (1, 1, 0)}, domain=(4, 4, 3))
     assert len(be._cache) == n1 + 2  # new origins -> new specialization
+
+
+def test_concurrent_stencil_calls_thread_safe():
+    """Concurrent first-calls race the jax-backend specialization cache;
+    each thread's own storages must hold correct results."""
+    import threading
+
+    obj = StencilBuilder(copy_defn).with_backend("jax").with_options(
+        rebuild=True, name="thread_probe"
+    ).build()
+    errors = []
+    barrier = threading.Barrier(6)
+
+    def run(i):
+        try:
+            barrier.wait(timeout=30)
+            a = storage.from_array(np.full((5, 5, 2), float(i)), backend="jax")
+            b = storage.zeros((5, 5, 2), backend="jax")
+            obj(a, b)
+            np.testing.assert_allclose(np.asarray(b), float(i))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
