@@ -150,3 +150,51 @@ def test_format_compiled_emits_backend_hlo():
     a = gtx.as_field([If], np.arange(4.0))
     txt = pp.format_compiled(dbl, a)
     assert "multiply" in txt or "mul" in txt
+
+
+def test_concat_where_boundary_patterns():
+    """Surface/top boundary-condition shapes (reference concat_where
+    use-cases): every comparison operator, both orders, jit + eager."""
+    import numpy as np
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import concat_where
+    from gt4py_tpu.next.common import Dimension, DimensionKind
+
+    K = Dimension("Kbc", kind=DimensionKind.VERTICAL)
+    n = 7
+    data = np.arange(float(n))
+    f = gtx.as_field([K], data)
+    zero = f * 0.0
+
+    cases = {
+        "lt": (K < 2, np.where(np.arange(n) < 2, 0.0, data)),
+        "le": (K <= 2, np.where(np.arange(n) <= 2, 0.0, data)),
+        "gt": (K > 4, np.where(np.arange(n) > 4, 0.0, data)),
+        "ge": (K >= 4, np.where(np.arange(n) >= 4, 0.0, data)),
+        "eq": (K == 3, np.where(np.arange(n) == 3, 0.0, data)),
+        "ne": (K != 3, np.where(np.arange(n) != 3, 0.0, data)),
+    }
+    for name, (cond, expected) in cases.items():
+        got = concat_where(cond, zero, f)
+        np.testing.assert_allclose(np.asarray(got.ndarray), expected, err_msg=name)
+
+
+def test_concat_where_in_operator_under_jit():
+    import numpy as np
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import concat_where
+    from gt4py_tpu.next.common import Dimension, DimensionKind
+
+    K = Dimension("Kbc2", kind=DimensionKind.VERTICAL)
+
+    @gtx.field_operator
+    def surface_fix(phi):
+        return concat_where(K < 1, phi * 0.0 + 99.0, phi)
+
+    data = np.arange(5.0)
+    out = gtx.zeros({K: 5})
+    surface_fix(gtx.as_field([K], data), out=out)
+    expected = data.copy(); expected[0] = 99.0
+    np.testing.assert_allclose(out.asnumpy(), expected)
