@@ -493,8 +493,16 @@ class _Typer(ast.NodeVisitor):
         return UNKNOWN
 
     def _shift(self, node: ast.Call, field: ts.FieldType, args: list[Any]) -> Any:
-        if len(args) != 1:
-            self._fail(node, "Field shifts take exactly one offset argument.")
+        if not args:
+            self._fail(node, "Field shifts take at least one offset argument.")
+        if len(args) > 1:
+            # Multi-offset premaps fold left-to-right (embedded __call__).
+            result: Any = field
+            for a in args:
+                if not isinstance(result, ts.FieldType):
+                    return UNKNOWN
+                result = self._shift(node, result, [a])
+            return result
         (off,) = args
         if off is UNKNOWN:
             return UNKNOWN

@@ -328,3 +328,11 @@ def test_out_subdomain_accepted():
     out = gtx.zeros({I: (1, 5)})
     _scale2(f, out=out)
     np.testing.assert_allclose(out.asnumpy(), 2 * np.arange(1.0, 5.0))
+
+
+def test_multi_offset_shift_deduces():
+    def f(a: F64_I):
+        return a(Ioff[1], Ioff[1]) - 2.0 * a(Ioff[1]) + a
+
+    info = deduce(f)
+    assert str(info.returns) == "Field[[I], float64]"
