@@ -246,3 +246,30 @@ def test_in_place_with_shift_aliasing(rng):
     avg(f, out=out, offset_provider={"Ioff3": I})
     expected = 0.5 * (data[2:] + data[:-2])
     np.testing.assert_allclose(out.asnumpy(), expected)
+
+
+def test_staggered_vertical_integral(rng):
+    """Hydrostatic-style column integral: layer thickness from staggered
+    half-level heights, then a downward pressure accumulation — staggered
+    premap + scan interplay."""
+    KHalf = flip_staggered(K)
+
+    @gtx.field_operator
+    def thickness(zh):
+        return zh(K - 0.5) - zh(K + 0.5)  # z(k-½) - z(k+½)
+
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def integrate(c, dz):
+        return c + dz
+
+    nk = 6
+    z_half = np.sort(rng.random(nk + 1))[::-1].copy()  # decreasing heights
+    zh = gtx.as_field([KHalf], z_half)
+    dz = gtx.zeros({K: (0, nk)})
+    thickness(zh, out=dz, offset_provider={})
+    expected_dz = z_half[:-1] - z_half[1:]
+    np.testing.assert_allclose(dz.asnumpy(), expected_dz)
+
+    p = gtx.zeros({K: (0, nk)})
+    integrate(dz, out=p)
+    np.testing.assert_allclose(p.asnumpy(), np.cumsum(expected_dz))
