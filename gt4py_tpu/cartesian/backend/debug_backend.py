@@ -182,4 +182,7 @@ class _PointInterpreter:
             return self.natives[expr.func](*[self.eval(a, pt) for a in expr.args])
         if isinstance(expr, gtir.Cast):
             return np.asarray(self.eval(expr.expr, pt)).astype(expr.dtype)[()]
+        if isinstance(expr, gtir.IteratorAccess):
+            dtype = expr.dtype if expr.dtype is not None else np.int64
+            return np.asarray(pt[2], dtype=dtype)[()]
         raise TypeError(type(expr).__name__)

@@ -231,15 +231,18 @@ class _Ctx:
 class _PlaneCtxData:
     """Read/write state for one iteration of a plane-carry scan."""
 
-    __slots__ = ("section_written", "forward", "carry", "xs", "current", "ks")
+    __slots__ = ("section_written", "forward", "carry", "xs", "current", "ks", "k_value")
 
-    def __init__(self, section_written, forward, carry, xs, current, ks):
+    def __init__(self, section_written, forward, carry, xs, current, ks, k_value=None):
         self.section_written = section_written
         self.forward = forward
         self.carry = carry
         self.xs = xs
         self.current = current
         self.ks = ks
+        #: traced absolute K index of this scan step (None unless the
+        #: section reads the iteration index)
+        self.k_value = k_value
 
 
 class _PlaneUnsupported(Exception):
@@ -464,6 +467,19 @@ class Evaluator:
             kax = sum(self.dims[name][:2])
             xs[(name, dk)] = jnp.moveaxis(slab, kax, 0)  # (L, ...)
 
+        # Iterator-access (current-K) reads: stream the absolute K index as
+        # an extra scan input (lax.scan's reverse handles BACKWARD order).
+        from gt4py_tpu import eve
+
+        uses_k_iter = any(
+            isinstance(n, gtir.IteratorAccess)
+            for stmt in section.body
+            for n in eve.walk_values(stmt)
+        )
+        _K_ITER = ("__iteration_k__", 0)
+        if uses_k_iter:
+            xs[_K_ITER] = jnp.arange(ks, ke, dtype=np.int32)
+
         step = 1 if forward else -1
         carry0 = {}
         for name, d in depth.items():
@@ -482,7 +498,9 @@ class Evaluator:
         section_body = section.body
 
         def body(carry, x):
-            plane = _PlaneCtxData(written_set, forward, carry, x, {}, ks)
+            plane = _PlaneCtxData(
+                written_set, forward, carry, x, {}, ks, k_value=x.get(_K_ITER)
+            )
             for stmt in section_body:
                 ext = self.analyzed.stmt_extents[stmt]
                 ctx = _Ctx(ext, ks, ks + 1, 0, plane)
@@ -988,4 +1006,13 @@ class Evaluator:
         if isinstance(expr, gtir.Cast):
             v = self.eval_expr(expr.expr, ctx)
             return xp.asarray(v).astype(expr.dtype)
+        if isinstance(expr, gtir.IteratorAccess):
+            dtype = expr.dtype if expr.dtype is not None else np.dtype(np.int64)
+            if ctx.plane is not None:
+                return ctx.plane.k_value.astype(dtype)
+            if ctx.k_seq is not None:
+                if isinstance(ctx.k_seq, (int, np.integer)):
+                    return np.asarray(ctx.k_seq, dtype=dtype)[()]
+                return xp.asarray(ctx.k_seq).astype(dtype)
+            return (self.ops.iota(ctx.nk_static, 2, None) + ctx.ks).astype(dtype)
         raise TypeError(type(expr).__name__)

@@ -1245,7 +1245,24 @@ class _BlockEvaluator:
             return impls[expr.func](*[self.eval_expr(a, ctx) for a in expr.args])
         if isinstance(expr, gtir.Cast):
             return jnp.asarray(self.eval_expr(expr.expr, ctx)).astype(expr.dtype)
+        if isinstance(expr, gtir.IteratorAccess):
+            return self._iteration_index(ctx)
         raise PallasUnsupported(type(expr).__name__)
+
+    def _iteration_index(self, ctx):
+        """Absolute K index of the current iteration point, as int32 (this
+        Mosaic has no 64-bit types). Parallel units: per-row iota offset by
+        the unit's K window and the block's global K origin; sequential
+        units: the (possibly traced) loop k. The seq-plane evaluator
+        inherits this with ks == 0 and k0 == its current plane k."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        ext, ks, ke, k_seq = ctx
+        if k_seq is not None:
+            return jnp.asarray(k_seq, jnp.int32)
+        shape = self._shape(ctx)
+        return lax.broadcasted_iota(jnp.int32, shape, 0) + ks + self.k0
 
 
 # ---------------------------------------------------------------------------

@@ -760,4 +760,9 @@ class _SplitEvaluator:
             return impls[expr.func](*[self.eval_expr(a, ctx) for a in expr.args])
         if isinstance(expr, gtir.Cast):
             return jnp.asarray(self.eval_expr(expr.expr, ctx)).astype(expr.dtype)
+        if isinstance(expr, gtir.IteratorAccess):
+            from jax import lax
+
+            # Absolute K of each block row (int32: no 64-bit on Mosaic).
+            return lax.broadcasted_iota(jnp.int32, self._shape(ctx), 0) + self.k0
         raise PallasUnsupported(type(expr).__name__)

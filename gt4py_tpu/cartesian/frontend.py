@@ -247,6 +247,16 @@ class IRMaker(ast.NodeVisitor):
             if isinstance(value, (bool, int, float, np.generic)):
                 self.externals_used[name] = value
                 return _value_to_literal(value, self.options)
+            if isinstance(value, gtscript.Axis):
+                # Current-K iterator access: the axis name K used as a value
+                # yields the K iteration index (reference IteratorAccess,
+                # gtscript_frontend.py:860,1298 — only K can be queried).
+                if value.name != "K":
+                    raise self._error(
+                        f"Parallel axis {value.name} can't be queried - only K", node
+                    )
+                prec = self.options.get("literal_int_precision", 64)
+                return gtir.IteratorAccess(axis="K", dtype=np.dtype(f"int{prec}"))
             raise self._error(
                 f"Name '{name}' resolves to a {type(value).__name__}; only numeric "
                 "externals can be used as values",
@@ -357,15 +367,28 @@ class IRMaker(ast.NodeVisitor):
     def _parse_section(
         self, iv: "gtscript._IntervalContext", body: list[ast.stmt], node: ast.AST
     ) -> gtir.VerticalSection:
-        def to_int(v: Any, side: str) -> Optional[int]:
-            if v is None:
-                return None
-            if isinstance(v, (int, np.integer)):
-                return int(v)
-            raise self._error(f"Interval {side} bound must be a compile-time integer", node)
+        def to_bound(v: Any, *, is_end: bool) -> gtir.AxisBound:
+            """Bound forms (reference gtscript_frontend.py:130-153): int
+            (negative = from the domain end), None (full extent), or a
+            K ``AxisIndex`` expression like ``K[2] + 1`` / ``K[-1]``."""
+            if v is None or isinstance(v, (int, np.integer)):
+                return gtir.AxisBound.from_int(
+                    None if v is None else int(v), is_end=is_end
+                )
+            if isinstance(v, gtscript.AxisIndex):
+                if v.axis != "K":
+                    raise self._error(
+                        f"Interval bounds must be on the K axis, got {v.axis}", node
+                    )
+                return _axis_index_to_bound(v)
+            raise self._error(
+                "Interval bounds must be compile-time integers or K axis indices "
+                f"(e.g. K[2] + 1), got {type(v).__name__}",
+                node,
+            )
 
-        start = gtir.AxisBound.from_int(to_int(iv.start, "start"), is_end=False)
-        end = gtir.AxisBound.from_int(to_int(iv.end, "end"), is_end=True)
+        start = to_bound(iv.start, is_end=False)
+        end = to_bound(iv.end, is_end=True)
         stmts: list[gtir.Stmt] = []
         for sub in body:
             stmts.extend(self.visit_stmt(sub))
@@ -501,7 +524,10 @@ class IRMaker(ast.NodeVisitor):
         orelse: list[gtir.Stmt] = []
         for sub in node.orelse:
             orelse.extend(self.visit_stmt(sub))
-        is_scalar = not any(True for _ in eve.walk_type(cond, gtir.FieldAccess))
+        is_scalar = not any(
+            isinstance(n, (gtir.FieldAccess, gtir.IteratorAccess))
+            for n in eve.walk_values(cond)
+        )
         return [
             gtir.If(cond=cond, body=body, orelse=orelse, is_scalar=is_scalar, loc=self._loc(node))
         ]
@@ -712,7 +738,17 @@ class IRMaker(ast.NodeVisitor):
             kwargs = {kw.arg: kw.value for kw in node.keywords}
             if set(kwargs) != {"K"} or node.args:
                 raise self._error("'.at' accepts exactly one keyword argument K", node)
-            return access.copy(abs_k=self.visit_expr(kwargs["K"]))
+            abs_k = self.visit_expr(kwargs["K"])
+            if isinstance(abs_k, gtir.IteratorAccess):
+                # Reference parity (gtscript_frontend.py:1696): `.at(K=K)` is
+                # an absolute index equal to the current position — it is
+                # just `field` and almost certainly a user mistake.
+                raise self._error(
+                    "'.at(K=K)' denotes an absolute index and is equivalent to "
+                    "'field[0, 0, 0]' — write the field name directly",
+                    node,
+                )
+            return access.copy(abs_k=abs_k)
 
         ok, func_obj = self._try_eval(node.func)
         if not ok:

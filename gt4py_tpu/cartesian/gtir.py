@@ -285,6 +285,18 @@ class Cast(Expr):
     expr: Expr = None  # type: ignore[assignment]
 
 
+@datamodel
+class IteratorAccess(Expr):
+    """Current K iteration index read as a value (``x = K`` inside a
+    computation; reference gtc/gtir.py:68 IteratorAccess, frontend
+    gtscript_frontend.py:1298). Only the K axis can be queried; the value
+    is the absolute K index within the compute domain (0-based from the
+    domain start, reference npir_codegen.py:346-347)."""
+
+    axis: str = "K"
+    dtype: Optional[np.dtype] = None
+
+
 # --- statements --------------------------------------------------------------
 
 

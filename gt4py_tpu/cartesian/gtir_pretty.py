@@ -110,6 +110,8 @@ def _expr(e: gtir.Expr) -> str:
         return f"{e.func.value}({args}){_dt(e.dtype)}"
     if isinstance(e, gtir.Cast):
         return f"cast<{_dt(e.dtype)[1:]}>({_expr(e.expr)})"
+    if isinstance(e, gtir.IteratorAccess):
+        return f"__{e.axis}__{_dt(e.dtype)}"
     raise TypeError(f"Cannot pretty-print expression {type(e).__name__}")
 
 
@@ -319,6 +321,9 @@ class _Parser:
         if tok == "__nan__":
             self.next()
             return gtir.Literal(value=float("nan"), dtype=self.dtype_suffix())
+        if tok == "__K__":
+            self.next()
+            return gtir.IteratorAccess(axis="K", dtype=self.dtype_suffix())
         if kind == "name":
             if tok == "cast" and self.peek(1)[1] == "<":
                 self.next()

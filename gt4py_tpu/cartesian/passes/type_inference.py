@@ -183,6 +183,8 @@ class _TypeInference:
         if isinstance(expr, gtir.Cast):
             self.infer(expr.expr)
             return expr.dtype
+        if isinstance(expr, gtir.IteratorAccess):
+            return expr.dtype
         raise TypeError(f"Unexpected expression: {type(expr).__name__}")
 
 

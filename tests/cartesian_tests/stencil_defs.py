@@ -760,3 +760,25 @@ def staggeredish_interval_chain(inp: Field3D, out: Field3D):
             out = out + inp
         with interval(0, -1):
             out = out + 0.25 * out[0, 0, 1]
+
+
+@register(min_k=2)
+def iteration_index_parallel(inp: Field3D, out: Field3D):
+    """Current-K iterator access in PARALLEL context, in values and in
+    branch conditions (reference gtc/gtir.py:68 IteratorAccess)."""
+    with computation(PARALLEL), interval(...):
+        if K >= 1:
+            out = inp + K
+        else:
+            out = inp - K
+
+
+@register(min_k=2)
+def iteration_index_sequential(inp: Field3D, out: Field3D):
+    """K-dependent coefficient inside a FORWARD carry chain (the
+    level-weighted cumulative-sum pattern of K-dependent physics)."""
+    with computation(FORWARD):
+        with interval(0, 1):
+            out = inp * (K + 1)
+        with interval(1, None):
+            out = out[0, 0, -1] + inp * (K + 1)

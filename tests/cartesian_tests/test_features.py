@@ -626,3 +626,213 @@ def test_data_dim_reads_in_sequential_carry():
         expected[:, :, k] = expected[:, :, k - 1] + v_np[:, :, k, 1]
     np.testing.assert_allclose(results["numpy"], expected, rtol=1e-12)
     np.testing.assert_allclose(results["jax"], expected, rtol=1e-12)
+
+
+# --- current-K iterator access (reference gtc/gtir.py:68) --------------------
+
+
+@pytest.mark.parametrize("backend", BACKENDS + ["debug", "tpu:pallas"])
+def test_iterator_access_parallel(backend):
+    """Bare K in an expression yields the absolute K iteration index."""
+
+    def s(out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = K * 1.0
+
+    st = build(s, backend)
+    out = np.zeros((3, 4, 5))
+    st(out)
+    expected = np.broadcast_to(np.arange(5.0), (3, 4, 5))
+    np.testing.assert_allclose(out, expected)
+
+
+@pytest.mark.parametrize("backend", BACKENDS + ["debug", "tpu:pallas"])
+def test_iterator_access_intervals(backend):
+    """K is absolute (domain-based), not interval-relative."""
+
+    def s(out: Field3D):
+        with computation(PARALLEL):
+            with interval(0, 2):
+                out = K + 100
+            with interval(2, None):
+                out = K * 1.0
+
+    st = build(s, backend)
+    out = np.zeros((3, 3, 6))
+    st(out)
+    expected = np.broadcast_to(
+        np.array([100.0, 101.0, 2.0, 3.0, 4.0, 5.0]), (3, 3, 6)
+    )
+    np.testing.assert_allclose(out, expected)
+
+
+@pytest.mark.parametrize("backend", BACKENDS + ["debug", "tpu:pallas"])
+def test_iterator_access_sequential(backend):
+    """K-dependent coefficient inside a FORWARD carry chain (plane-scan in
+    the jax backend, staged kernel in Pallas)."""
+
+    def s(out: Field3D):
+        with computation(FORWARD):
+            with interval(0, 1):
+                out = K * 1.0
+            with interval(1, None):
+                out = out[0, 0, -1] + K
+
+    st = build(s, backend)
+    out = np.zeros((2, 2, 7))
+    st(out)
+    expected = np.broadcast_to(np.cumsum(np.arange(7.0)), (2, 2, 7))
+    np.testing.assert_allclose(out, expected)
+
+
+@pytest.mark.parametrize("backend", BACKENDS + ["debug", "tpu:pallas"])
+def test_iterator_access_backward(backend):
+    def s(out: Field3D):
+        with computation(BACKWARD):
+            with interval(-1, None):
+                out = K * 1.0
+            with interval(0, -1):
+                out = out[0, 0, 1] + K
+
+    st = build(s, backend)
+    nk = 5
+    out = np.zeros((2, 2, nk))
+    st(out)
+    expected_col = np.cumsum(np.arange(nk)[::-1].astype(float))[::-1]
+    np.testing.assert_allclose(out, np.broadcast_to(expected_col, (2, 2, nk)))
+
+
+@pytest.mark.parametrize("backend", BACKENDS + ["debug", "tpu:pallas"])
+def test_iterator_access_in_condition(backend):
+    """K in a branch condition masks per-level."""
+
+    def s(a: Field3D, out: Field3D):
+        with computation(PARALLEL), interval(...):
+            if K >= 2:
+                out = a
+            else:
+                out = -a
+
+    st = build(s, backend)
+    rng = np.random.default_rng(3)
+    a = rng.random((3, 3, 5))
+    out = np.zeros((3, 3, 5))
+    st(a, out)
+    expected = np.where(np.arange(5) >= 2, a, -a)
+    np.testing.assert_allclose(out, expected)
+
+
+def test_iterator_access_int_dtype():
+    """K carries the literal_int_precision integer dtype (reference
+    gtscript_frontend.py:1296-1298)."""
+    from gt4py_tpu.cartesian import frontend
+
+    def s(out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = K * 1.0
+
+    ir = frontend.parse_stencil(s, {"literal_int_precision": 32})
+    from gt4py_tpu import eve
+    from gt4py_tpu.cartesian import gtir
+
+    accesses = [
+        n
+        for _, _, stmt in ir.walk_stmts()
+        for n in eve.walk_values(stmt)
+        if isinstance(n, gtir.IteratorAccess)
+    ]
+    assert len(accesses) == 1
+    assert accesses[0].dtype == np.dtype(np.int32)
+
+
+def test_iterator_access_only_k():
+    """I and J cannot be queried (reference gtscript_frontend.py:860)."""
+
+    def s_i(out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = I * 1.0
+
+    def s_j(out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = J * 1.0
+
+    for s in (s_i, s_j):
+        with pytest.raises(GTScriptSyntaxError, match="can't be queried"):
+            build(s, "numpy")
+
+
+def test_at_k_equals_k_rejected():
+    """`.at(K=K)` is the identity read — rejected like the reference
+    (gtscript_frontend.py:1696)."""
+
+    def s(a: Field3D, out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = a.at(K=K)
+
+    with pytest.raises(GTScriptSyntaxError, match="absolute index"):
+        build(s, "numpy")
+
+
+def test_iterator_access_variable_k_offset():
+    """K composes into arithmetic used as a variable K offset index."""
+
+    def s2(a: Field3D, kidx: gtscript.Field[gtscript.K, np.int64], out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = a[0, 0, kidx - K]  # relative offset back to absolute kidx
+
+    st = build(s2, "numpy")
+    rng = np.random.default_rng(5)
+    a = rng.random((3, 3, 6))
+    kidx = np.array([0, 0, 1, 1, 2, 2], dtype=np.int64)
+    out = np.zeros((3, 3, 6))
+    st(a, kidx, out)
+    np.testing.assert_allclose(out, a[:, :, kidx])
+
+
+# --- non-literal interval bounds (reference gtscript_frontend.py:130-153) ----
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_interval_axis_index_bounds(backend):
+    """interval(K[1] + 1, K[-1]) == interval(2, -1)."""
+
+    def s(out: Field3D):
+        with computation(PARALLEL):
+            with interval(K[1] + 1, K[-1]):
+                out = 1.0
+
+    st = build(s, backend)
+    out = np.zeros((2, 2, 6))
+    st(out)
+    expected = np.zeros((2, 2, 6))
+    expected[:, :, 2:5] = 1.0
+    np.testing.assert_allclose(out, expected)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_interval_externals_bounds(backend):
+    """Externals-driven interval expressions resolve at compile time."""
+
+    def s(out: Field3D):
+        from __externals__ import KSTART, KDEPTH
+
+        with computation(PARALLEL):
+            with interval(KSTART, KSTART + KDEPTH):
+                out = 2.0
+
+    st = build(s, backend, externals={"KSTART": 1, "KDEPTH": 3})
+    out = np.zeros((2, 2, 6))
+    st(out)
+    expected = np.zeros((2, 2, 6))
+    expected[:, :, 1:4] = 2.0
+    np.testing.assert_allclose(out, expected)
+
+
+def test_interval_wrong_axis_bound_rejected():
+    def s(out: Field3D):
+        with computation(PARALLEL):
+            with interval(I[0], None):
+                out = 1.0
+
+    with pytest.raises(GTScriptSyntaxError, match="K axis"):
+        build(s, "numpy")
