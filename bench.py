@@ -55,11 +55,11 @@ Field3F = None
 FieldVadv = "vadv_dt"  # resolved via the dtypes={} option
 
 
-def _define_hdiff32():
+def _define_hdiff32(dtype=np.float32, name="hdiff32"):
     from gt4py_tpu.cartesian import gtscript
 
     global Field3F
-    Field3F = gtscript.Field[np.float32]
+    Field3F = gtscript.Field[dtype]
 
     def hdiff32(in_field: "Field3F", out_field: "Field3F", coeff: "Field3F"):
         with gtscript.computation("PARALLEL"), gtscript.interval(...):
@@ -74,6 +74,7 @@ def _define_hdiff32():
                 flx_field[0, 0, 0] - flx_field[-1, 0, 0] + fly_field[0, 0, 0] - fly_field[0, -1, 0]
             )
 
+    hdiff32.__name__ = name
     return hdiff32
 
 
@@ -243,6 +244,87 @@ def main() -> None:
     results["hdiff_roofline_frac"] = (
         round(hdiff_frac, 3) if hdiff_frac == hdiff_frac else None
     )
+
+    # --- hdiff in bfloat16 (half the HBM traffic; 16-bit lanes pack 2x) ---
+    try:
+        from gt4py_tpu.core.definitions import bfloat16
+
+        st_bf = gtscript.stencil(
+            backend="jax",
+            definition=_define_hdiff32(bfloat16, name="hdiff_bf16"),
+            name="hdiff_bf16",
+            **s32,
+        )
+        an_bf = st_bf._analyzed
+
+        pallas_bf = None
+        if on_tpu:
+            try:
+                pallas_bf = build_pallas_fn(an_bf, domain, origins)
+                if not hasattr(pallas_bf, "call_padded"):
+                    pallas_bf = None
+            except Exception:
+                pallas_bf = None
+
+        def hdiff_bf_step(in_field, coeff, out_field):
+            ev = Evaluator(
+                an_bf, domain, origins,
+                {"in_field": in_field, "coeff": coeff, "out_field": out_field},
+                {}, ns="jax",
+            )
+            return ev.run()["out_field"]
+
+        _bf_jit: list = []
+
+        def make_hdiff_bf16(n):
+            if not _bf_jit:
+                if pallas_bf is not None:
+                    @jax.jit
+                    def f(n, inp, coeff):
+                        pin = pallas_bf.encode("in_field", inp)
+                        pco = pallas_bf.encode("coeff", coeff)
+
+                        def body(i, carry):
+                            a, b = carry
+                            r = pallas_bf.call_padded(
+                                {"in_field": a, "coeff": pco, "out_field": b}, {}
+                            )
+                            return (r["out_field"], a)
+
+                        zero = jax.tree_util.tree_map(jnp.zeros_like, pin)
+                        a, _ = lax.fori_loop(0, n, body, (pin, zero))
+                        return a
+                else:
+                    @jax.jit
+                    def f(n, inp, coeff):
+                        def body(i, carry):
+                            a, b = carry
+                            new = hdiff_bf_step(a, coeff, b)
+                            return (new, a)
+
+                        a, _ = lax.fori_loop(0, n, body, (inp, jnp.zeros_like(inp)))
+                        return a
+                _bf_jit.append(f)
+            f = _bf_jit[0]
+            return lambda *args: f(n, *args)
+
+        t_bf = timer.measure(
+            make_hdiff_bf16,
+            lambda: (
+                device_random(shape, dtype=jnp.bfloat16),
+                device_random(shape, dtype=jnp.bfloat16),
+            ),
+        )
+        bf_bytes = ((ni + 2 * halo) * (nj + 2 * halo) + 2 * ni * nj) * nk * 2
+        bf_frac = (bf_bytes / t_bf) / peak_bw if peak_bw == peak_bw else float("nan")
+        results["hdiff_bf16_Ggps"] = round(points / t_bf / 1e9, 3)
+        results["hdiff_bf16_us_per_step"] = round(t_bf * 1e6, 1)
+        results["hdiff_bf16_roofline_frac"] = (
+            round(bf_frac, 3) if bf_frac == bf_frac else None
+        )
+        results["hdiff_bf16_vs_f32_speedup"] = round(t_hdiff / t_bf, 2)
+    except Exception as e:
+        results["hdiff_bf16_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # --- vadv (float32 on TPU: f64 division is emulated and Mosaic has no
     # 64-bit types; the canonical f64 definition is correctness-tested in

@@ -77,7 +77,12 @@ def _literal_dtype(value: Any, options: dict) -> np.dtype:
     if isinstance(value, (int, np.integer)):
         return np.dtype(f"int{options.get('literal_int_precision', 64)}")
     if isinstance(value, (float, np.floating)):
-        return np.dtype(f"float{options.get('literal_float_precision', 64)}")
+        prec = options.get("literal_float_precision", 64)
+        if prec in ("bf16", "bfloat16"):
+            from gt4py_tpu.core.definitions import bfloat16
+
+            return np.dtype(bfloat16)
+        return np.dtype(f"float{prec}")
     raise GTScriptSyntaxError(f"Unsupported literal value: {value!r}")
 
 

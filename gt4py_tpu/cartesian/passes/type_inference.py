@@ -17,6 +17,7 @@ import numpy as np
 
 from gt4py_tpu.cartesian import gtir
 from gt4py_tpu.cartesian.frontend import GTScriptSyntaxError
+from gt4py_tpu.core.definitions import HALF_FLOAT_DTYPES, is_float_dtype
 
 _BOOL = np.dtype(np.bool_)
 
@@ -148,6 +149,9 @@ class _TypeInference:
         if isinstance(expr, gtir.BinaryOp):
             left = self.infer(expr.left)
             right = self.infer(expr.right)
+            dts = [left, right]
+            _weaken_half_literals([expr.left, expr.right], dts)
+            left, right = dts
             if isinstance(expr.op, gtir.ComparisonOperator):
                 return _BOOL
             if isinstance(expr.op, gtir.LogicalOperator):
@@ -166,9 +170,12 @@ class _TypeInference:
             cond = self.infer(expr.cond)
             if cond is not None and cond != _BOOL:
                 raise GTScriptSyntaxError(f"Ternary condition must be boolean, got {cond}")
-            return _promote(self.infer(expr.true_expr), self.infer(expr.false_expr))
+            dts = [self.infer(expr.true_expr), self.infer(expr.false_expr)]
+            _weaken_half_literals([expr.true_expr, expr.false_expr], dts)
+            return _promote(dts[0], dts[1])
         if isinstance(expr, gtir.NativeFuncCall):
             arg_dtypes = [self.infer(a) for a in expr.args]
+            _weaken_half_literals(list(expr.args), arg_dtypes)
             if expr.func in _BOOL_FUNCS:
                 return _BOOL
             promoted = None
@@ -193,4 +200,40 @@ def _promote(a: Optional[np.dtype], b: Optional[np.dtype]) -> Optional[np.dtype]
         return b
     if b is None:
         return a
-    return np.promote_types(a, b)
+    try:
+        return np.promote_types(a, b)
+    except TypeError:
+        # Pairs NumPy's lattice cannot promote (bfloat16 × int,
+        # bfloat16 × float16): follow JAX's promotion lattice, which is
+        # the runtime behavior of every accelerated backend here
+        # (bf16 × int → bf16, bf16 × f16 → f32).
+        import jax.numpy as jnp
+
+        return np.dtype(jnp.promote_types(a, b))
+
+
+def _weaken_half_literals(exprs: "list[gtir.Expr]", dtypes: "list[Optional[np.dtype]]") -> None:
+    """JAX-style weak literal typing against half-precision operands: when a
+    non-literal operand is bfloat16/float16, numeric Python literals in the
+    same operation adapt to that dtype instead of promoting everything to
+    their default 32/64-bit precision (which would silently undo the
+    narrow-dtype pipeline the user asked for). Mutates literal dtypes and
+    the dtypes list in place."""
+    halfs = {
+        d
+        for e, d in zip(exprs, dtypes)
+        if d in HALF_FLOAT_DTYPES and not isinstance(e, gtir.Literal)
+    }
+    if len(halfs) != 1:
+        return
+    target = next(iter(halfs))
+    for i, (e, d) in enumerate(zip(exprs, dtypes)):
+        if (
+            isinstance(e, gtir.Literal)
+            and d is not None
+            and d not in HALF_FLOAT_DTYPES
+            and d != _BOOL
+            and (is_float_dtype(d) or d.kind in ("i", "u"))
+        ):
+            e.dtype = target
+            dtypes[i] = target

@@ -19,6 +19,27 @@ import numpy as np
 LITERAL_INT_PRECISION = 64
 LITERAL_FLOAT_PRECISION = 64
 
+# Half-precision float dtypes, first-class on TPU (bfloat16 is the MXU/VPU
+# native narrow float; the reference has no half-precision story — this is
+# a TPU-build extension). bfloat16 comes from ml_dtypes (the package NumPy
+# and JAX share for non-standard dtypes); note its np.dtype.kind is 'V',
+# so float-ness must be queried via these sets, never via kind == 'f'.
+import ml_dtypes as _ml_dtypes  # noqa: E402
+
+bfloat16 = _ml_dtypes.bfloat16
+float16 = np.float16
+
+HALF_FLOAT_DTYPES = frozenset({np.dtype(bfloat16), np.dtype(np.float16)})
+FLOAT_DTYPE_NAMES = frozenset(
+    {"float16", "bfloat16", "float32", "float64"}
+)
+
+
+def is_float_dtype(dtype: Any) -> bool:
+    """True for any float dtype including bfloat16 (whose kind is 'V')."""
+    dt = np.dtype(dtype)
+    return dt.kind == "f" or dt.name in FLOAT_DTYPE_NAMES
+
 
 class DeviceType(enum.Enum):
     """Execution device (reference: _core/definitions.py:388 — CPU/CUDA/ROCM;
@@ -62,7 +83,7 @@ class DType:
 
     @property
     def is_float(self) -> bool:
-        return self.np_dtype.kind == "f"
+        return is_float_dtype(self.np_dtype)
 
     def __eq__(self, other: Any) -> bool:
         if isinstance(other, DType):

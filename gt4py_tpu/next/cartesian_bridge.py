@@ -318,7 +318,8 @@ class BridgeVariant:
     dims: tuple  # (I_dim | None, J_dim | None, K_dim | None)
     field_params: list  # (name, dims-mask, axis permutation)
     scalar_params: list  # (name,)
-    out_name: str
+    out_name: str  # single out (field operators); scans use out_names
+    out_names: tuple = ()  # tuple-carry scans: one out field per leaf
 
 
 def _dim_map(field_args: dict) -> dict:
@@ -447,6 +448,195 @@ def build_variant(
     )
 
 
+def build_scan_variant(
+    op: Any,
+    field_args: dict,
+    scalar_args: dict,
+    out,
+    providers: Optional[dict],
+    backend_name: str,
+) -> BridgeVariant:
+    """Lower a ``scan_operator`` onto the cartesian sequential-K kernels
+    (the staged Pallas substrate that serves FORWARD/BACKWARD stencils).
+
+    The per-level definition ``f(carry, *args) -> carry`` is traced twice on
+    :class:`SymNode` placeholders: once with the init value (the first-level
+    section) and once with the carry bound to an offset read of the out
+    field(s) at k∓1 (the remaining levels) — producing exactly the
+    two-section sequential vertical loop of a hand-written GTScript scan.
+    Reference correspondence: foast_to_gtir's scan lowering
+    (/root/reference/src/gt4py/next/ffront/foast_to_gtir.py:123-148) into
+    gtfn ScanExecution (codegens/gtfn/codegen.py:181-208)."""
+    import jax
+
+    from gt4py_tpu.cartesian.backend.base import REGISTRY
+    from gt4py_tpu.cartesian.passes.pipeline import analyze_gtir
+    from gt4py_tpu.next.embedded import Field
+
+    out_fields = list(out) if isinstance(out, (tuple, list)) else [out]
+    if not all(isinstance(f, Field) for f in out_fields):
+        raise BridgeUnsupported("scan out is not a Field (or tuple of Fields)")
+    init_leaves = jax.tree_util.tree_leaves(op.init)
+    if len(init_leaves) != len(out_fields):
+        raise BridgeUnsupported("scan init / out structure mismatch")
+    for v in init_leaves:
+        if not isinstance(v, (bool, int, float, np.integer, np.floating, np.bool_)):
+            raise BridgeUnsupported("non-scalar scan init")
+
+    dim_axis, dims = _dim_map(field_args)
+    if dims[2] is None or dim_axis.get(op.axis) != 2:
+        raise BridgeUnsupported("scan axis is not the vertical (K) dimension")
+    out0 = out_fields[0]
+    out_dtype = np.dtype(out0.dtype)
+    float_dtype = out_dtype if out_dtype.kind == "f" else np.dtype(np.float64)
+    tr = _Tracer(dim_axis, providers or {}, float_dtype)
+
+    field_params = []
+    arg_nodes = {}
+    for name, f in field_args.items():
+        mask = [False, False, False]
+        for nr in f.domain.ranges:
+            mask[dim_axis[nr.dim]] = True
+        order = sorted(
+            range(len(f.domain.ranges)),
+            key=lambda i: dim_axis[f.domain.ranges[i].dim],
+        )
+        arg_nodes[name] = SymNode(tr, "field", (name, (0, 0, 0)), ())
+        field_params.append((name, tuple(mask), tuple(order)))
+    scalar_nodes = {n: SymNode(tr, "scalar", n, ()) for n in scalar_args}
+
+    out_names = tuple(f"__bridge_out_{i}" for i in range(len(out_fields)))
+    forward = bool(op.forward)
+    dk = -1 if forward else 1
+
+    def trace_section(carry_leaves) -> list[gtir.Stmt]:
+        carry = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(op.init), carry_leaves
+        )
+        sig = inspect.signature(op.definition)
+        names = list(sig.parameters)
+        call_args = []
+        for n in names[1:]:
+            if n in arg_nodes:
+                call_args.append(arg_nodes[n])
+            elif n in scalar_nodes:
+                call_args.append(scalar_nodes[n])
+            else:
+                raise BridgeUnsupported(f"unbound scan parameter '{n}'")
+        result = op.definition(carry, *call_args)
+        leaves = jax.tree_util.tree_leaves(
+            result, is_leaf=lambda x: isinstance(x, SymNode)
+        )
+        if len(leaves) != len(out_fields) or not all(
+            isinstance(v, SymNode) for v in leaves
+        ):
+            raise BridgeUnsupported("scan result structure mismatch")
+        memo: dict = {}
+        body: list[gtir.Stmt] = []
+        new_temps = [t for t in tr.temps if t.temp_name not in _emitted]
+        for tnode in new_temps:
+            body.append(
+                gtir.Assign(
+                    target=gtir.FieldAccess(name=tnode.temp_name, offset=(0, 0, 0)),
+                    value=_to_expr(tnode, memo, defining=tnode),
+                )
+            )
+            _emitted.add(tnode.temp_name)
+        for oname, node in zip(out_names, leaves):
+            body.append(
+                gtir.Assign(
+                    target=gtir.FieldAccess(name=oname, offset=(0, 0, 0)),
+                    value=_to_expr(tr.lift(node), memo),
+                )
+            )
+        return body
+
+    _emitted: set = set()
+    first_body = trace_section([tr.lift(v) for v in init_leaves])
+    carry_reads = [
+        SymNode(tr, "field", (oname, (0, 0, dk)), ()) for oname in out_names
+    ]
+    rest_body = trace_section(carry_reads)
+
+    if forward:
+        sections = [
+            gtir.VerticalSection(
+                interval=gtir.Interval(
+                    start=gtir.AxisBound.start(0), end=gtir.AxisBound.start(1)
+                ),
+                body=first_body,
+            ),
+            gtir.VerticalSection(
+                interval=gtir.Interval(
+                    start=gtir.AxisBound.start(1), end=gtir.AxisBound.end(0)
+                ),
+                body=rest_body,
+            ),
+        ]
+    else:
+        sections = [
+            gtir.VerticalSection(
+                interval=gtir.Interval(
+                    start=gtir.AxisBound.end(-1), end=gtir.AxisBound.end(0)
+                ),
+                body=first_body,
+            ),
+            gtir.VerticalSection(
+                interval=gtir.Interval(
+                    start=gtir.AxisBound.start(0), end=gtir.AxisBound.end(-1)
+                ),
+                body=rest_body,
+            ),
+        ]
+
+    params: list[gtir.Decl] = []
+    for name, mask, _ in field_params:
+        params.append(
+            gtir.FieldDecl(
+                name=name, dtype=np.dtype(field_args[name].dtype), dimensions=mask
+            )
+        )
+    for oname, of in zip(out_names, out_fields):
+        omask = [False, False, False]
+        for nr in of.domain.ranges:
+            if nr.dim not in dim_axis:
+                raise BridgeUnsupported(f"out dimension {nr.dim} not used by any input")
+            omask[dim_axis[nr.dim]] = True
+        if not omask[2]:
+            raise BridgeUnsupported("scan out field lacks the scan axis")
+        params.append(
+            gtir.FieldDecl(
+                name=oname, dtype=np.dtype(of.dtype), dimensions=tuple(omask)
+            )
+        )
+    for name, value in scalar_args.items():
+        params.append(gtir.ScalarDecl(name=name, dtype=np.dtype(type(value))))
+
+    stencil = gtir.Stencil(
+        name=getattr(op.definition, "__name__", "bridged_scan"),
+        params=params,
+        vertical_loops=[
+            gtir.VerticalLoop(
+                loop_order=(
+                    gtir.LoopOrder.FORWARD if forward else gtir.LoopOrder.BACKWARD
+                ),
+                sections=sections,
+            )
+        ],
+        temporaries=[gtir.Temporary(name=t.temp_name) for t in tr.temps],
+    )
+    analyzed = analyze_gtir(stencil, {"backend": backend_name})
+    backend = REGISTRY[backend_name](analyzed, {})
+    return BridgeVariant(
+        backend=backend,
+        dims=dims,
+        field_params=field_params,
+        scalar_params=sorted(scalar_args),
+        out_name=out_names[0],
+        out_names=out_names,
+    )
+
+
 def signature_key(field_args, scalar_args, out, providers, backend_name):
     parts = [backend_name]
     for name, f in field_args.items():
@@ -463,10 +653,17 @@ def execute(variant: BridgeVariant, field_args, scalar_args, out):
     import jax.numpy as jnp
 
     dims = variant.dims
+    if variant.out_names:
+        outs = list(
+            zip(variant.out_names, out if isinstance(out, (tuple, list)) else [out])
+        )
+    else:
+        outs = [(variant.out_name, out)]
+    out0 = outs[0][1]
     # compute domain from the out field's domain
     domain = [1, 1, 1]
     out_axis_of = {}
-    for i, nr in enumerate(out.domain.ranges):
+    for i, nr in enumerate(out0.domain.ranges):
         for ax in range(3):
             if dims[ax] == nr.dim:
                 domain[ax] = len(nr.unit_range)
@@ -492,8 +689,9 @@ def execute(variant: BridgeVariant, field_args, scalar_args, out):
                 )
             o[ax] = int(shift)
         origins[name] = tuple(o)
-    arrays[variant.out_name] = jnp.asarray(out.ndarray)
-    origins[variant.out_name] = (0, 0, 0)
+    for oname, of in outs:
+        arrays[oname] = jnp.asarray(of.ndarray)
+        origins[oname] = (0, 0, 0)
 
     pinfos = variant.backend.analyzed.parameter_infos
     scalars = {
@@ -501,7 +699,8 @@ def execute(variant: BridgeVariant, field_args, scalar_args, out):
         for n, v in scalar_args.items()
     }
     result = variant.backend.run(arrays, scalars, tuple(domain), origins)
-    out.ndarray = result[variant.out_name]
+    for oname, of in outs:
+        of.ndarray = result[oname]
 
 
 def try_call(op, args, kwargs, out, providers) -> bool:
@@ -549,6 +748,67 @@ def try_call(op, args, kwargs, out, providers) -> bool:
         cache[key] = variant
     if variant is None:
         return False
+    try:
+        execute(variant, field_args, scalar_args, out)
+        return True
+    except BridgeUnsupported:
+        cache[key] = None
+        return False
+
+
+def try_call_scan(op, args, kwargs, out, providers) -> bool:
+    """Route a scan-operator call onto the cartesian sequential-K kernels;
+    returns False when the call is outside the bridgeable subset (tuple
+    fields, LOCAL dims, non-scalar init, domain mismatches, ...)."""
+    from gt4py_tpu.next.embedded import Field
+
+    sig = inspect.signature(op.definition)
+    names = list(sig.parameters)
+    if not names:
+        return False
+    try:
+        bound = sig.bind(None, *args, **kwargs)  # None = carry placeholder
+        bound.apply_defaults()
+    except TypeError:
+        return False
+    field_args = {}
+    scalar_args = {}
+    for name, value in bound.arguments.items():
+        if name == names[0]:
+            continue
+        if isinstance(value, Field):
+            field_args[name] = value
+        elif isinstance(value, (int, float, np.integer, np.floating, bool)):
+            scalar_args[name] = value
+        else:
+            return False
+    if not field_args or out is None:
+        return False
+    out_fields = list(out) if isinstance(out, (tuple, list)) else [out]
+    if not all(isinstance(f, Field) for f in out_fields):
+        return False
+
+    cache = op.__dict__.setdefault("_bridge_cache", {})
+    try:
+        key = signature_key(
+            field_args, scalar_args, out_fields[0], providers, op.backend
+        ) + (
+            ("scan", op.axis, bool(op.forward), repr(op.init), len(out_fields)),
+        )
+    except BridgeUnsupported:
+        return False
+    variant = cache.get(key)
+    if variant is None:
+        if key in cache:
+            return False
+        try:
+            variant = build_scan_variant(
+                op, field_args, scalar_args, out, providers, op.backend
+            )
+        except BridgeUnsupported:
+            cache[key] = None
+            return False
+        cache[key] = variant
     try:
         execute(variant, field_args, scalar_args, out)
         return True

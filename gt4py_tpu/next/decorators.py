@@ -519,6 +519,20 @@ class ScanOperator:
 
         dom = make_domain(domain) if domain is not None else None
         kind = backend_kind(self.backend)
+        if (
+            kind == "pallas"
+            and out is not None
+            and dom is None
+            and not _under_trace(args, out, kwargs)
+        ):
+            # Structured scans lower onto the cartesian staged Pallas
+            # kernels (the substrate that serves GTScript FORWARD/BACKWARD
+            # loops); unsupported shapes fall through to embedded.
+            from gt4py_tpu.next.cartesian_bridge import try_call_scan
+
+            with offset_provider_context(offset_provider):
+                if try_call_scan(self, args, kwargs, out, offset_provider):
+                    return None
         jit_ok = (
             kind == "jax"
             and out is not None

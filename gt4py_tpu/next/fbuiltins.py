@@ -257,10 +257,14 @@ uint32 = _np.uint32
 uint64 = _np.uint64
 float32 = _np.float32
 float64 = _np.float64
+float16 = _np.float16
+
+from gt4py_tpu.core.definitions import bfloat16  # noqa: E402  (ml_dtypes)
 
 DTYPE_ALIAS_NAMES = [
     "bool_", "int8", "int16", "int32", "int64",
     "uint8", "uint16", "uint32", "uint64", "float32", "float64",
+    "float16", "bfloat16",
 ]
 
 

@@ -133,3 +133,158 @@ def test_scalar_param_promotes_with_field(backend):
     st(w=1.5, **stores)
     got = np.asarray(stores["out"])
     np.testing.assert_allclose(got, arrays["a"] * 1.5, rtol=1e-6)
+
+
+# --- half-precision floats (TPU-build extension: bfloat16/float16) -----------
+#
+# bfloat16 is the TPU-native narrow float. The promotion model: bf16 × f32
+# -> f32, bf16 × f16 -> f32, bf16 × int -> bf16 (JAX lattice where NumPy's
+# has no entry), and numeric Python literals adapt ("weak typing") to a
+# half-precision operand instead of widening the expression.
+
+from gt4py_tpu.core.definitions import bfloat16  # noqa: E402
+
+BF16 = gtscript.Field[bfloat16]
+F16 = gtscript.Field[np.float16]
+
+
+@pytest.mark.parametrize("backend", ALL_BACKENDS)
+def test_bf16_times_f32_promotes(backend):
+    def s(a: BF16, b: F32, out: F32):
+        with computation(PARALLEL), interval(...):
+            out = a * b
+
+    rng = np.random.default_rng(2)
+    arrays = {
+        "a": rng.random((4, 4, 2)).astype(bfloat16),
+        "b": rng.random((4, 4, 2)).astype(np.float32),
+        "out": np.zeros((4, 4, 2), np.float32),
+    }
+    got = _run(s, backend, arrays, "bf16f32")["out"]
+    expected = arrays["a"].astype(np.float32) * arrays["b"]
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+@pytest.mark.parametrize("backend", ALL_BACKENDS)
+def test_bf16_literal_stays_narrow(backend):
+    """Float literals weaken to bfloat16 — the whole expression stays
+    16-bit (checked structurally on the analyzed IR)."""
+
+    def s(a: BF16, out: BF16):
+        with computation(PARALLEL), interval(...):
+            out = a * 2.0 + 0.5
+
+    rng = np.random.default_rng(3)
+    arrays = {
+        "a": rng.random((4, 4, 2)).astype(bfloat16),
+        "out": np.zeros((4, 4, 2), bfloat16),
+    }
+    got = _run(s, backend, arrays, "bf16lit")["out"]
+    assert got.dtype == np.dtype(bfloat16)
+    expected = arrays["a"].astype(np.float32) * 2.0 + 0.5
+    np.testing.assert_allclose(got.astype(np.float32), expected, rtol=0.02, atol=0.02)
+
+    from gt4py_tpu import eve
+    from gt4py_tpu.cartesian.passes.pipeline import analyze
+
+    an = analyze(s, {"backend": "numpy"})
+    dts = {
+        str(n.dtype)
+        for _, _, stmt in an.stencil.walk_stmts()
+        for n in eve.walk_values(stmt)
+        if hasattr(n, "dtype") and n.dtype is not None
+    }
+    assert dts == {"bfloat16"}, dts
+
+
+@pytest.mark.parametrize("backend", ALL_BACKENDS)
+def test_bf16_int_literal_weakens(backend):
+    def s(a: BF16, out: BF16):
+        with computation(PARALLEL), interval(...):
+            out = a + 1
+
+    rng = np.random.default_rng(4)
+    arrays = {
+        "a": rng.random((4, 4, 2)).astype(bfloat16),
+        "out": np.zeros((4, 4, 2), bfloat16),
+    }
+    got = _run(s, backend, arrays, "bf16int")["out"]
+    np.testing.assert_allclose(
+        got.astype(np.float32), arrays["a"].astype(np.float32) + 1.0, rtol=0.01
+    )
+
+
+@pytest.mark.parametrize("backend", ALL_BACKENDS)
+def test_f16_roundtrip(backend):
+    def s(x: F16, y: F16):
+        with computation(PARALLEL), interval(...):
+            y = 2.0 * x + y
+
+    rng = np.random.default_rng(5)
+    x = rng.random((4, 4, 2)).astype(np.float16)
+    y = rng.random((4, 4, 2)).astype(np.float16)
+    arrays = {"x": x, "y": y.copy()}
+    got = _run(s, backend, arrays, "f16")["y"]
+    assert got.dtype == np.float16
+    np.testing.assert_allclose(
+        got.astype(np.float32), 2.0 * x.astype(np.float32) + y.astype(np.float32),
+        rtol=0.01, atol=0.01,
+    )
+
+
+from gt4py_tpu.cartesian.gtscript import FORWARD  # noqa: E402
+
+
+@pytest.mark.parametrize("backend", ALL_BACKENDS)
+def test_bf16_sequential_carry(backend):
+    """bf16 fields through a FORWARD carry chain (staged Pallas kernel)."""
+
+    def cumsum(a: BF16, out: BF16):
+        with computation(FORWARD):
+            with interval(0, 1):
+                out = a
+            with interval(1, None):
+                out = out[0, 0, -1] + a
+
+    rng = np.random.default_rng(6)
+    a = rng.random((4, 4, 6)).astype(bfloat16)
+    arrays = {"a": a, "out": np.zeros((4, 4, 6), bfloat16)}
+    got = _run(cumsum, backend, arrays, "bf16cum")["out"]
+    oracle = np.cumsum(a.astype(np.float32), axis=2)
+    np.testing.assert_allclose(got.astype(np.float32), oracle, rtol=0.05, atol=0.3)
+
+
+@pytest.mark.parametrize("backend", ALL_BACKENDS)
+def test_bf16_transcendentals(backend):
+    def s(a: BF16, out: BF16):
+        with computation(PARALLEL), interval(...):
+            out = sqrt(a) + exp(a)  # noqa: F821
+
+    from gt4py_tpu.cartesian.gtscript import exp, sqrt  # noqa: F401
+
+    rng = np.random.default_rng(7)
+    a = rng.random((4, 4, 2)).astype(bfloat16)
+    arrays = {"a": a, "out": np.zeros((4, 4, 2), bfloat16)}
+    got = _run(s, backend, arrays, "bf16trans")["out"]
+    af = a.astype(np.float32)
+    np.testing.assert_allclose(
+        got.astype(np.float32), np.sqrt(af) + np.exp(af), rtol=0.05, atol=0.05
+    )
+
+
+def test_bf16_f16_mix_promotes_to_f32():
+    """bf16 × f16 has no NumPy promotion — follows JAX's lattice to f32."""
+
+    def s(a: BF16, b: F16, out: F32):
+        with computation(PARALLEL), interval(...):
+            out = a + b
+
+    rng = np.random.default_rng(8)
+    arrays = {
+        "a": rng.random((4, 4, 2)).astype(bfloat16),
+        "b": rng.random((4, 4, 2)).astype(np.float16),
+        "out": np.zeros((4, 4, 2), np.float32),
+    }
+    got = _run(s, "jax", arrays, "bf16f16")["out"]
+    expected = arrays["a"].astype(np.float32) + arrays["b"].astype(np.float32)
+    np.testing.assert_allclose(got, expected, rtol=1e-3)

@@ -140,3 +140,144 @@ def test_unstructured_falls_back_to_embedded(rng):
     zavg = 0.5 * (pp.asnumpy()[e2v_np[:, 0]] + pp.asnumpy()[e2v_np[:, 1]]) * s_x.asnumpy()
     expected = (zavg[v2e_np] * signs_np).sum(axis=1) / vol.asnumpy()
     np.testing.assert_allclose(out.asnumpy(), expected, rtol=1e-12)
+
+
+# --- scan_operator bridging (VERDICT r2 item 2: scans onto the staged
+# Pallas kernels, reference foast_to_gtir.py:123-148) ------------------------
+
+
+def _bridged(op) -> bool:
+    cache = getattr(op, "_bridge_cache", None)
+    return bool(cache) and any(v is not None for v in cache.values())
+
+
+def _staged(op) -> bool:
+    for v in (getattr(op, "_bridge_cache", None) or {}).values():
+        if v is not None:
+            return getattr(v.backend, "last_strategy", None) == "staged"
+    return False
+
+
+def test_scan_bridge_cumsum(rng):
+    @gtx.scan_operator(axis=KDim, forward=True, init=0.0, backend="tpu:pallas")
+    def cumsum(carry: float, a: float) -> float:
+        return carry + a
+
+    data = rng.random((6, 5, 8))
+    a = gtx.as_field([IDim, JDim, KDim], data)
+    out = gtx.zeros({IDim: 6, JDim: 5, KDim: 8})
+    cumsum(a, out=out)
+    np.testing.assert_allclose(
+        np.asarray(out.ndarray), np.cumsum(data, axis=2), rtol=1e-12
+    )
+    assert _bridged(cumsum)
+    assert _staged(cumsum), "scan must serve from the staged Pallas kernel"
+
+
+def test_scan_bridge_backward(rng):
+    @gtx.scan_operator(axis=KDim, forward=False, init=0.0, backend="tpu:pallas")
+    def back(carry: float, a: float) -> float:
+        return carry * 0.5 + a
+
+    data = rng.random((6, 5, 8))
+    a = gtx.as_field([IDim, JDim, KDim], data)
+    out = gtx.zeros({IDim: 6, JDim: 5, KDim: 8})
+    back(a, out=out)
+    exp = np.zeros_like(data)
+    c = np.zeros((6, 5))
+    for k in range(7, -1, -1):
+        c = c * 0.5 + data[:, :, k]
+        exp[:, :, k] = c
+    np.testing.assert_allclose(np.asarray(out.ndarray), exp, rtol=1e-12)
+    assert _bridged(back)
+
+
+def test_scan_bridge_tuple_carry(rng):
+    @gtx.scan_operator(
+        axis=KDim, forward=True, init=(0.0, 1.0), backend="tpu:pallas"
+    )
+    def pair(carry: tuple, a: float) -> tuple:
+        s, p = carry
+        return (s + a, p * 0.9 + a)
+
+    data = rng.random((6, 5, 8))
+    a = gtx.as_field([IDim, JDim, KDim], data)
+    o1 = gtx.zeros({IDim: 6, JDim: 5, KDim: 8})
+    o2 = gtx.zeros({IDim: 6, JDim: 5, KDim: 8})
+    pair(a, out=(o1, o2))
+    exp2 = np.zeros_like(data)
+    p = np.ones((6, 5))
+    for k in range(8):
+        p = p * 0.9 + data[:, :, k]
+        exp2[:, :, k] = p
+    np.testing.assert_allclose(
+        np.asarray(o1.ndarray), np.cumsum(data, axis=2), rtol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(o2.ndarray), exp2, rtol=1e-12)
+    assert _bridged(pair)
+
+
+def test_scan_bridge_scalar_param_and_where(rng):
+    @gtx.scan_operator(axis=KDim, forward=True, init=0.0, backend="tpu:pallas")
+    def damped(carry: float, a: float, alpha: float) -> float:
+        return where(a > 0.5, carry * alpha + a, carry)
+
+    data = rng.random((6, 5, 8))
+    a = gtx.as_field([IDim, JDim, KDim], data)
+    out = gtx.zeros({IDim: 6, JDim: 5, KDim: 8})
+    damped(a, 0.7, out=out)
+    exp = np.zeros_like(data)
+    c = np.zeros((6, 5))
+    for k in range(8):
+        c = np.where(data[:, :, k] > 0.5, c * 0.7 + data[:, :, k], c)
+        exp[:, :, k] = c
+    np.testing.assert_allclose(np.asarray(out.ndarray), exp, rtol=1e-12)
+    assert _bridged(damped)
+
+
+def test_scan_bridge_matches_embedded_oracle(rng):
+    """Same scan through embedded (backend=None) and the bridge."""
+
+    def defn(carry: float, a: float, b: float) -> float:
+        return carry * 0.8 + a * b
+
+    bridged_op = gtx.scan_operator(
+        axis=KDim, forward=True, init=0.0, backend="tpu:pallas"
+    )(defn)
+    embedded_op = gtx.scan_operator(axis=KDim, forward=True, init=0.0, backend=None)(
+        defn
+    )
+
+    da = rng.random((5, 4, 7))
+    db = rng.random((5, 4, 7))
+    a = gtx.as_field([IDim, JDim, KDim], da)
+    b = gtx.as_field([IDim, JDim, KDim], db)
+    out_b = gtx.zeros({IDim: 5, JDim: 4, KDim: 7})
+    out_e = gtx.zeros({IDim: 5, JDim: 4, KDim: 7})
+    bridged_op(a, b, out=out_b)
+    embedded_op(a, b, out=out_e)
+    np.testing.assert_allclose(
+        np.asarray(out_b.ndarray), np.asarray(out_e.ndarray), rtol=1e-12
+    )
+    assert _bridged(bridged_op)
+
+
+def test_scan_bridge_kless_arg_broadcasts(rng):
+    """An IJ (K-less) argument broadcasts across levels inside the scan."""
+
+    @gtx.scan_operator(axis=KDim, forward=True, init=0.0, backend="tpu:pallas")
+    def acc(carry: float, a: float, w: float) -> float:
+        return carry + a * w
+
+    data = rng.random((6, 5, 8))
+    wdata = rng.random((6, 5))
+    a = gtx.as_field([IDim, JDim, KDim], data)
+    w = gtx.as_field([IDim, JDim], wdata)
+    out = gtx.zeros({IDim: 6, JDim: 5, KDim: 8})
+    acc(a, w, out=out)
+    np.testing.assert_allclose(
+        np.asarray(out.ndarray),
+        np.cumsum(data * wdata[:, :, None], axis=2),
+        rtol=1e-12,
+    )
+    assert _bridged(acc)
