@@ -680,6 +680,220 @@ def main() -> None:
     except Exception as e:
         results["next_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # --- field-view scans: tridiag + vadv through the scan bridge ----------
+    # scan_operator compositions lower onto the SAME staged Pallas kernels
+    # as the cartesian FORWARD/BACKWARD stencils (next/cartesian_bridge.py
+    # trace_scan); the *_vs_cartesian ratios track bridge overhead (target
+    # <= 1.2, round-2 verdict item 2).
+    try:
+        import gt4py_tpu.next as gtx2
+        from gt4py_tpu.next import where as nwhere
+
+        IDim = gtx2.Dimension("IDim")
+        JDim = gtx2.Dimension("JDim")
+        KDim = gtx2.Dimension("KDim", kind=gtx2.DimensionKind.VERTICAL)
+        Ioff2 = gtx2.FieldOffset("Ioff", source=IDim, target=(IDim,))
+        Koff2 = gtx2.FieldOffset("Koff", source=KDim, target=(KDim,))
+        prov_k = {"Ioff": IDim, "Koff": KDim}
+
+        @gtx2.scan_operator(axis=KDim, forward=True, init=(0.0, 0.0))
+        def _b_tri_fwd(carry, a, b, c, d):
+            cp_prev, dp_prev = carry
+            denom = b - a * cp_prev
+            return (c / denom, (d - a * dp_prev) / denom)
+
+        @gtx2.scan_operator(axis=KDim, forward=False, init=0.0)
+        def _b_tri_bwd(x_kp1, cp, dp):
+            return dp - cp * x_kp1
+
+        @gtx2.field_operator(backend="tpu:pallas")
+        def next_tridiag(a, b, c, d):
+            cp, dp = _b_tri_fwd(a, b, c, d)
+            return _b_tri_bwd(cp, dp)
+
+        def field3(arr):
+            return gtx2.as_field([IDim, JDim, KDim], arr)
+
+        tshape = (ni, nj, nk)
+        t_np = {
+            n: rng.random(tshape, dtype=np.float32) for n in ("a", "b", "c", "d")
+        }
+        fout = gtx2.zeros({IDim: ni, JDim: nj, KDim: nk}, dtype=np.float32)
+        next_tridiag(
+            field3(t_np["a"]), field3(t_np["b"]), field3(t_np["c"]),
+            field3(t_np["d"]), out=fout,
+        )
+        tri_var = next(
+            v for v in next_tridiag._bridge_cache.values() if v is not None
+        )
+        ntri_fn = None
+        if on_tpu:
+            try:
+                ntri_fn = build_pallas_fn(
+                    tri_var.backend.analyzed, tshape,
+                    {m: (0, 0, 0) for m in ("a", "b", "c", "d", tri_var.out_name)},
+                )
+                if not hasattr(ntri_fn, "call_padded"):
+                    ntri_fn = None
+            except Exception:
+                ntri_fn = None
+        if ntri_fn is not None:
+            _ntri_jit: list = []
+
+            def make_ntri(n):
+                if not _ntri_jit:
+                    @jax.jit
+                    def f(n, a, b, c, d):
+                        p = {m: ntri_fn.encode(m, v) for m, v in
+                             zip(("a", "b", "c", "d"), (a, b, c, d))}
+                        p[tri_var.out_name] = ntri_fn.encode(
+                            tri_var.out_name, jnp.zeros_like(d)
+                        )
+
+                        def body(i, pd):
+                            state = dict(p)
+                            state["d"] = pd
+                            return ntri_fn.call_padded(state, {})[tri_var.out_name]
+
+                        return lax.fori_loop(0, n, body, p["d"])
+
+                    _ntri_jit.append(f)
+                f = _ntri_jit[0]
+                return lambda *args: f(n, *args)
+
+            t_ntri = timer.measure(
+                make_ntri,
+                lambda: tuple(device_random(tshape) for _ in range(4)),
+            )
+            results["next_tridiag_us_per_step"] = round(t_ntri * 1e6, 1)
+            if "tridiag_us_per_step" in results:
+                results["next_tridiag_vs_cartesian"] = round(
+                    t_ntri * 1e6 / results["tridiag_us_per_step"], 2
+                )
+        results["next_tridiag_bridged"] = bool(
+            ntri_fn is not None
+            and getattr(tri_var.backend, "last_strategy", None) == "staged"
+        ) if on_tpu else True
+    except Exception as e:
+        results["next_tridiag_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    try:
+        BET_M, BET_P = 0.5, 0.5
+
+        @gtx2.scan_operator(axis=KDim, forward=True, init=(0.0, 0.0))
+        def _b_vadv_fwd(
+            carry, w_i1, w_c, w_i1_k1, w_k1, us_m1, us, us_p1, upos, uten,
+            utens_st, kidx, klast, dtr,
+        ):
+            ccol_m1, dcol_m1 = carry
+            first = kidx == 0
+            last = kidx == klast
+            gav = -0.25 * (w_i1 + w_c)
+            gcv = 0.25 * (w_i1_k1 + w_k1)
+            as_ = nwhere(first, 0.0, gav * BET_M)
+            acol = nwhere(first, 0.0, gav * BET_P)
+            cs = nwhere(last, 0.0, gcv * BET_M)
+            ccol = nwhere(last, 0.0, gcv * BET_P)
+            bcol = dtr - acol - ccol
+            corr = -as_ * (us_m1 - us) - cs * (us_p1 - us)
+            dcol = dtr * upos + uten + utens_st + corr
+            divided = 1.0 / (bcol - ccol_m1 * acol)
+            return (ccol * divided, (dcol - dcol_m1 * acol) * divided)
+
+        @gtx2.scan_operator(axis=KDim, forward=False, init=(0.0, 0.0))
+        def _b_vadv_bwd(carry, ccol, dcol, upos, kidx, klast, dtr):
+            data_p1, _ = carry
+            data = nwhere(kidx == klast, dcol, dcol - ccol * data_p1)
+            return (data, dtr * (data - upos))
+
+        @gtx2.field_operator(backend="tpu:pallas")
+        def next_vadv_op(utens_stage, u_stage, wcon, u_pos, utens, kidx, klast, dtr):
+            ccol, dcol = _b_vadv_fwd(
+                wcon(Ioff2[1]), wcon, wcon(Ioff2[1])(Koff2[1]), wcon(Koff2[1]),
+                u_stage(Koff2[-1]), u_stage, u_stage(Koff2[1]),
+                u_pos, utens, utens_stage, kidx, klast, dtr,
+            )
+            return _b_vadv_bwd(ccol, dcol, u_pos, kidx, klast, dtr)[1]
+
+        vshape2 = (ni, nj, nk)
+        v_np = {
+            n: rng.random(vshape2, dtype=np.float32)
+            for n in ("utens_stage", "u_stage", "wcon", "u_pos", "utens")
+        }
+        kidx_f = gtx2.as_field([KDim], np.arange(nk, dtype=np.int32))
+        vout = gtx2.zeros(
+            {IDim: ni - 1, JDim: nj, KDim: nk}, dtype=np.float32
+        )
+        next_vadv_op(
+            *(field3(v_np[n]) for n in
+              ("utens_stage", "u_stage", "wcon", "u_pos", "utens")),
+            kidx_f, np.int32(nk - 1), np.float32(0.15),
+            out=vout, offset_provider=prov_k,
+        )
+        vadv_var = next(
+            v for v in next_vadv_op._bridge_cache.values() if v is not None
+        )
+        vnames = ("utens_stage", "u_stage", "wcon", "u_pos", "utens", "kidx")
+        nvadv_fn = None
+        if on_tpu:
+            try:
+                nvadv_fn = build_pallas_fn(
+                    vadv_var.backend.analyzed, (ni - 1, nj, nk),
+                    {m: (0, 0, 0) for m in vnames + (vadv_var.out_name,)},
+                )
+                if not hasattr(nvadv_fn, "call_padded"):
+                    nvadv_fn = None
+            except Exception:
+                nvadv_fn = None
+        if nvadv_fn is not None:
+            _nvadv_jit: list = []
+            vscalars = {"klast": np.int32(nk - 1), "dtr": np.float32(0.15)}
+
+            def make_nvadv(n):
+                if not _nvadv_jit:
+                    @jax.jit
+                    def f(n, utens_stage, u_stage, wcon, u_pos, utens):
+                        p = {m: nvadv_fn.encode(m, v) for m, v in zip(
+                            vnames[:5], (utens_stage, u_stage, wcon, u_pos, utens)
+                        )}
+                        p["kidx"] = nvadv_fn.encode(
+                            "kidx", jnp.arange(nk, dtype=jnp.int32)
+                        )
+                        p[vadv_var.out_name] = nvadv_fn.encode(
+                            vadv_var.out_name, jnp.zeros((ni - 1, nj, nk), jnp.float32)
+                        )
+
+                        def body(i, pus):
+                            state = dict(p)
+                            state["utens_stage"] = pus
+                            r = nvadv_fn.call_padded(state, vscalars)
+                            return r[vadv_var.out_name]
+
+                        # chain out -> utens_stage (shapes match: (ni-1, nj, nk)
+                        # out padded vs ni-row input padded — both padded to
+                        # the same sublane multiple)
+                        return lax.fori_loop(0, n, body, p["utens_stage"])
+
+                    _nvadv_jit.append(f)
+                f = _nvadv_jit[0]
+                return lambda *args: f(n, *args)
+
+            t_nvadv = timer.measure(
+                make_nvadv,
+                lambda: tuple(device_random(vshape2) for _ in range(5)),
+            )
+            results["next_vadv_us_per_step"] = round(t_nvadv * 1e6, 1)
+            if "vadv_us_per_step" in results:
+                results["next_vadv_vs_cartesian"] = round(
+                    t_nvadv * 1e6 / results["vadv_us_per_step"], 2
+                )
+        results["next_vadv_bridged"] = bool(
+            nvadv_fn is not None
+            and getattr(vadv_var.backend, "last_strategy", None) == "staged"
+        ) if on_tpu else True
+    except Exception as e:
+        results["next_vadv_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # --- practical-bandwidth calibration: a pure XLA streaming triad with
     # hdiff's stream count (2 reads + 1 write). Nominal HBM bandwidth is
     # not achievable by ANY kernel; this measures the chip's practical

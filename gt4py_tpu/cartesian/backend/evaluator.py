@@ -168,6 +168,17 @@ def _apply_binop(xp, op, left, right):
     A = gtir.ArithmeticOperator
     C = gtir.ComparisonOperator
     L = gtir.LogicalOperator
+    if isinstance(op, C):
+        # Mosaic has no bf16/f16 vector comparison ("Target does not
+        # support this comparison"); f32 embeds both exactly, so comparing
+        # in f32 is bit-identical — applied in every backend for parity.
+        from gt4py_tpu.core.definitions import HALF_FLOAT_DTYPES
+
+        if any(
+            getattr(v, "dtype", None) in HALF_FLOAT_DTYPES for v in (left, right)
+        ):
+            left = xp.asarray(left).astype(np.float32)
+            right = xp.asarray(right).astype(np.float32)
     if op == A.ADD:
         return xp.add(left, right)
     if op == A.SUB:
@@ -305,7 +316,13 @@ class Evaluator:
 
     def _setup_windows(self) -> None:
         """Create per-field windows: the sub-arrays the stencil touches.
-        NumPy windows are views (in-place); JAX windows are functional."""
+        NumPy windows are views (in-place); JAX windows are functional.
+
+        K windows that extend past the array edge (scan compositions read
+        k±1 over the WHOLE column; boundary levels select the value away)
+        clamp to the boundary level — the same semantics as the staged
+        Pallas kernel and the debug backend — materialized as edge padding
+        on read-only fields."""
         self.win: dict[str, Any] = {}
         self._win_slices: dict[str, tuple] = {}
         for name, arr in self.arrays.items():
@@ -316,15 +333,42 @@ class Evaluator:
             ext = self.f_ext[name]
             origin = self.origins.get(name, (0, 0, 0))
             sl = []
+            k_pad = (0, 0)
             for ax, (present, lo, size) in enumerate(
                 zip(dims, (ext.i[0], ext.j[0], ext.k[0]), self._win_shape(name))
             ):
                 if present:
                     start = origin[ax] + lo
+                    if ax == 2:
+                        n = arr.shape[len(sl)]
+                        lo_pad = max(0, -start)
+                        hi_pad = max(0, start + size - n)
+                        if lo_pad or hi_pad:
+                            info = self.analyzed.field_infos.get(name)
+                            from gt4py_tpu.cartesian.definitions import AccessKind
+
+                            if info is not None and info.access & AccessKind.WRITE:
+                                raise IndexError(
+                                    f"K access extent of written field '{name}' "
+                                    f"exceeds its allocation"
+                                )
+                            k_pad = (lo_pad, hi_pad)
+                            start, size = max(start, 0), min(start + size, n) - max(start, 0)
                     sl.append(slice(start, start + size))
             sl = tuple(sl) + (slice(None),) * self.data_ndims.get(name, 0)
-            self._win_slices[name] = sl
-            self.win[name] = arr[sl]
+            window = arr[sl]
+            if k_pad != (0, 0):
+                kax = sum(dims[:2])
+                pad = [(0, 0)] * window.ndim
+                pad[kax] = k_pad
+                window = (
+                    np.pad(window, pad, mode="edge")
+                    if self.ops.kind == "numpy"
+                    else self.ops.xp.pad(window, pad, mode="edge")
+                )
+            else:
+                self._win_slices[name] = sl
+            self.win[name] = window
         # Temporaries: lazily-allocated windows.
         for t in self.stencil.temporaries:
             self.win[t.name] = None

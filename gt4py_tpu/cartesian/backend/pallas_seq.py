@@ -97,14 +97,10 @@ def staged_eligible(analyzed: AnalyzedStencil, *, interpret: bool) -> bool:
                     return False
                 if node.data_index and node.name not in datadim_reads:
                     return False
-    # K-halo reads: the staged geometry drops K rows outside [0, nk) in
-    # encode() and clamps plane indices, so a read whose section interval
-    # ± dk escapes the domain would observe a boundary plane instead of the
-    # field's K-halo data. The tiled strategy handles K halos via
-    # _k_window/ext.k — fall back to it.
-    for ext in analyzed.field_extents.values():
-        if ext.k != (0, 0):
-            return False
+    # Out-of-domain K reads (nonzero post-clipping K extents) are handled
+    # in build_staged_fn, where origins distinguish genuine K-halo storage
+    # (tiled strategy territory) from halo-less fields whose edge reads
+    # clamp — the debug/evaluator/plane-scan semantics.
     # PARALLEL write-then-K-offset-read: reference statement-stage semantics
     # (permitted by the race pass) require the read to observe the UPDATED
     # value, but the staged classification would serve it from the shifted
@@ -261,6 +257,23 @@ def build_staged_fn(
         raise PallasUnsupported("staged plane strategy: unsupported construct")
 
     ni, nj, nk = domain
+    # Reads whose K index escapes the compute domain clamp to the boundary
+    # plane (spec index maps / encode row-dropping). That equals the other
+    # backends' semantics only for fields WITHOUT K-halo storage; fields
+    # with a K origin carry real halo data the clamp would shadow, and a
+    # clamped read of a WRITTEN field would observe partial results.
+    from gt4py_tpu.cartesian.definitions import AccessKind as _AK
+
+    for name, ext in analyzed.field_extents.items():
+        if ext.k == (0, 0):
+            continue
+        info = analyzed.field_infos.get(name)
+        if info is not None and info.access & _AK.WRITE:
+            raise PallasUnsupported(
+                f"out-of-domain K read of written field '{name}'"
+            )
+        if origins.get(name, (0, 0, 0))[2] != 0:
+            raise PallasUnsupported(f"K-halo'd field '{name}' (nonzero K origin)")
     geo = _StagedGeometry(analyzed, domain, origins)
     stages = [_Stage(analyzed, vl, nk) for vl in analyzed.stencil.vertical_loops]
     stages = [s for s in stages if s.sections]

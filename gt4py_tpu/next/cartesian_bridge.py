@@ -89,6 +89,13 @@ class _Tracer:
         self.float_dtype = np.dtype(float_dtype)
         self.temps: list[SymNode] = []
         self._n = 0
+        # Multi-loop tracing (scan compositions): vertical loops flushed in
+        # program order; scan outputs become stencil temporaries whose
+        # defining statements live inside their sequential loop.
+        self.loops: list[Any] = []
+        self._flushed = 0  # index into temps of the first unflushed temp
+        self.scan_out_names: list[str] = []
+        self._scan_n = 0
 
     def lift(self, value: Any) -> "SymNode":
         if isinstance(value, SymNode):
@@ -107,6 +114,147 @@ class _Tracer:
             self._n += 1
             self.temps.append(node)
         return node.temp_name
+
+    def flush_parallel(self) -> None:
+        """Emit pending temp definitions as one PARALLEL vertical loop
+        (called before a sequential scan loop so the scan's materialized
+        arguments exist; also for the final out assignment)."""
+        pending = self.temps[self._flushed:]
+        if not pending:
+            return
+        memo: dict = {}
+        body: list[gtir.Stmt] = []
+        for tnode in pending:
+            body.append(
+                gtir.Assign(
+                    target=gtir.FieldAccess(name=tnode.temp_name, offset=(0, 0, 0)),
+                    value=_to_expr(tnode, memo, defining=tnode),
+                )
+            )
+        self._flushed = len(self.temps)
+        self.loops.append(
+            gtir.VerticalLoop(
+                loop_order=gtir.LoopOrder.PARALLEL,
+                sections=[
+                    gtir.VerticalSection(interval=gtir.Interval.full(), body=body)
+                ],
+            )
+        )
+
+    def trace_scan(self, op: Any, args: tuple, kwargs: dict):
+        """Inline a ScanOperator call made on symbolic values: append a
+        two-section sequential vertical loop and return symbolic reads of
+        its output temp field(s). This is the fusion point that lets scan
+        compositions (tridiagonal solves, vadv) compile into ONE cartesian
+        stencil whose cross-loop temporaries ride VMEM in the staged
+        Pallas kernel (reference analog: lift inlining into gtfn
+        ScanExecution, codegens/gtfn/itir_to_gtfn_ir.py)."""
+        import jax
+
+        if kwargs:
+            raise BridgeUnsupported("keyword arguments in a traced scan call")
+        axis_slot = self.dim_axis.get(op.axis)
+        if axis_slot != 2:
+            raise BridgeUnsupported("scan axis is not the vertical (K) dimension")
+
+        sig = inspect.signature(op.definition)
+        names = list(sig.parameters)
+        if len(args) != len(names) - 1:
+            raise BridgeUnsupported("traced scan call arity mismatch")
+
+        # Materialize composite arguments as PARALLEL temporaries; field
+        # and scalar nodes read directly.
+        arg_nodes: list[SymNode] = []
+        for a in args:
+            node = self.lift(a)
+            if node.kind in ("field", "scalar", "literal"):
+                arg_nodes.append(node)
+            else:
+                name = self.make_temp(node)
+                arg_nodes.append(SymNode(self, "field", (name, (0, 0, 0)), ()))
+        self.flush_parallel()
+
+        init_leaves = jax.tree_util.tree_leaves(op.init)
+        for v in init_leaves:
+            if not isinstance(
+                v, (bool, int, float, np.integer, np.floating, np.bool_)
+            ):
+                raise BridgeUnsupported("non-scalar scan init")
+        out_names = []
+        for _ in init_leaves:
+            out_names.append(f"__scan_out_{self._scan_n}")
+            self._scan_n += 1
+        self.scan_out_names.extend(out_names)
+        forward = bool(op.forward)
+        dk = -1 if forward else 1
+        init_struct = jax.tree_util.tree_structure(op.init)
+
+        def trace_section(carry_leaves) -> list[gtir.Stmt]:
+            carry = jax.tree_util.tree_unflatten(init_struct, carry_leaves)
+            n_before = len(self.temps)
+            result = op.definition(carry, *arg_nodes)
+            if len(self.temps) != n_before:
+                raise BridgeUnsupported("shift of a composite inside a scan body")
+            leaves = jax.tree_util.tree_leaves(
+                result, is_leaf=lambda x: isinstance(x, SymNode)
+            )
+            if len(leaves) != len(out_names):
+                raise BridgeUnsupported("scan result structure mismatch")
+            memo: dict = {}
+            return [
+                gtir.Assign(
+                    target=gtir.FieldAccess(name=oname, offset=(0, 0, 0)),
+                    value=_to_expr(self.lift(node), memo),
+                )
+                for oname, node in zip(out_names, leaves)
+            ]
+
+        first_body = trace_section([self.lift(v) for v in init_leaves])
+        rest_body = trace_section(
+            [SymNode(self, "field", (o, (0, 0, dk)), ()) for o in out_names]
+        )
+        if forward:
+            sections = [
+                gtir.VerticalSection(
+                    interval=gtir.Interval(
+                        start=gtir.AxisBound.start(0), end=gtir.AxisBound.start(1)
+                    ),
+                    body=first_body,
+                ),
+                gtir.VerticalSection(
+                    interval=gtir.Interval(
+                        start=gtir.AxisBound.start(1), end=gtir.AxisBound.end(0)
+                    ),
+                    body=rest_body,
+                ),
+            ]
+        else:
+            sections = [
+                gtir.VerticalSection(
+                    interval=gtir.Interval(
+                        start=gtir.AxisBound.end(-1), end=gtir.AxisBound.end(0)
+                    ),
+                    body=first_body,
+                ),
+                gtir.VerticalSection(
+                    interval=gtir.Interval(
+                        start=gtir.AxisBound.start(0), end=gtir.AxisBound.end(-1)
+                    ),
+                    body=rest_body,
+                ),
+            ]
+        self.loops.append(
+            gtir.VerticalLoop(
+                loop_order=(
+                    gtir.LoopOrder.FORWARD if forward else gtir.LoopOrder.BACKWARD
+                ),
+                sections=sections,
+            )
+        )
+        outs = tuple(
+            SymNode(self, "field", (o, (0, 0, 0)), ()) for o in out_names
+        )
+        return jax.tree_util.tree_unflatten(init_struct, outs)
 
     def resolve_offset(self, offset: Any) -> tuple[int, int]:
         """-> (axis, delta) for cartesian offsets; raises otherwise."""
@@ -312,6 +460,19 @@ def _to_expr(node: SymNode, memo: dict, defining: Optional[SymNode] = None) -> g
     return expr
 
 
+def _rename_field(loops, old: str, new: str) -> None:
+    """Rename every FieldAccess of ``old`` to ``new`` across the loops
+    (used to write a scan's output directly into the API out field)."""
+    from gt4py_tpu import eve
+
+    for loop in loops:
+        for section in loop.sections:
+            for stmt in section.body:
+                for node in eve.walk_values(stmt):
+                    if isinstance(node, gtir.FieldAccess) and node.name == old:
+                        node.name = new
+
+
 @dataclasses.dataclass
 class BridgeVariant:
     backend: Any  # cartesian Backend instance
@@ -387,22 +548,46 @@ def build_variant(
         raise BridgeUnsupported("operator result is not a single field expression")
 
     out_name = "__bridge_out"
-    memo: dict = {}
-    body: list[gtir.Stmt] = []
-    for tnode in tr.temps:
-        value = _to_expr(tnode, memo, defining=tnode)
+    # Direct scan result: rename the scan's output temporary to the out
+    # field so the sequential loop writes the API field directly (no
+    # full-field copy loop).
+    rename = None
+    if (
+        result.kind == "field"
+        and result.temp_name is None
+        and result.data[0] in tr.scan_out_names
+        and tuple(result.data[1]) == (0, 0, 0)
+    ):
+        rename = result.data[0]
+    if rename is not None:
+        tr.flush_parallel()
+        _rename_field(tr.loops, rename, out_name)
+        tr.scan_out_names.remove(rename)
+    else:
+        memo: dict = {}
+        body: list[gtir.Stmt] = []
+        for tnode in tr.temps[tr._flushed:]:
+            body.append(
+                gtir.Assign(
+                    target=gtir.FieldAccess(name=tnode.temp_name, offset=(0, 0, 0)),
+                    value=_to_expr(tnode, memo, defining=tnode),
+                )
+            )
+        tr._flushed = len(tr.temps)
         body.append(
             gtir.Assign(
-                target=gtir.FieldAccess(name=tnode.temp_name, offset=(0, 0, 0)),
-                value=value,
+                target=gtir.FieldAccess(name=out_name, offset=(0, 0, 0)),
+                value=_to_expr(result, memo),
             )
         )
-    body.append(
-        gtir.Assign(
-            target=gtir.FieldAccess(name=out_name, offset=(0, 0, 0)),
-            value=_to_expr(result, memo),
+        tr.loops.append(
+            gtir.VerticalLoop(
+                loop_order=gtir.LoopOrder.PARALLEL,
+                sections=[
+                    gtir.VerticalSection(interval=gtir.Interval.full(), body=body)
+                ],
+            )
         )
-    )
 
     params: list[gtir.Decl] = []
     for name, mask, _ in field_params:
@@ -422,20 +607,12 @@ def build_variant(
     for name, value in scalar_args.items():
         params.append(gtir.ScalarDecl(name=name, dtype=np.dtype(type(value))))
 
-    full = gtir.Interval(
-        start=gtir.AxisBound(level=gtir.LevelMarker.START, offset=0),
-        end=gtir.AxisBound(level=gtir.LevelMarker.END, offset=0),
-    )
     stencil = gtir.Stencil(
         name=getattr(definition, "__name__", "bridged_operator"),
         params=params,
-        vertical_loops=[
-            gtir.VerticalLoop(
-                loop_order=gtir.LoopOrder.PARALLEL,
-                sections=[gtir.VerticalSection(interval=full, body=body)],
-            )
-        ],
-        temporaries=[gtir.Temporary(name=t.temp_name) for t in tr.temps],
+        vertical_loops=list(tr.loops),
+        temporaries=[gtir.Temporary(name=t.temp_name) for t in tr.temps]
+        + [gtir.Temporary(name=n) for n in tr.scan_out_names],
     )
     analyzed = analyze_gtir(stencil, {"backend": backend_name})
     backend = REGISTRY[backend_name](analyzed, {})

@@ -31,13 +31,16 @@ class DistributedStencil:
         dist = DistributedStencil(stencil_obj, mesh)
         out = dist.apply(field_a=a, field_b=b, scalar=1.0)   # dict of written
 
-    Fields are global (NI, NJ, NK) arrays (or Storages); NI/NJ must be
-    divisible by the mesh shape. ``boundary`` selects the global boundary
-    condition ("periodic" ICI torus wrap / "clamp" edge replication /
-    "zero"; one value or an (i, j) pair). ``backend`` selects the
-    per-shard compute: "jax" (fused XLA evaluator) or "tpu:pallas"
-    (the Pallas kernel strategies inside each shard; falls back to the
-    evaluator for unsupported constructs).
+    Fields are global (NI, NJ, NK) arrays (or Storages). NI/NJ need not be
+    divisible by the mesh shape: uneven sizes are padded to the next mesh
+    multiple inside the jitted program (cyclic fill under periodic
+    boundaries, edge/zero fill under clamp/zero) and the written outputs
+    are trimmed back — shard shapes stay static for XLA. ``boundary``
+    selects the global boundary condition ("periodic" ICI torus wrap /
+    "clamp" edge replication / "zero"; one value or an (i, j) pair).
+    ``backend`` selects the per-shard compute: "jax" (fused XLA evaluator)
+    or "tpu:pallas" (the Pallas kernel strategies inside each shard; falls
+    back to the evaluator for unsupported constructs).
     """
 
     def __init__(
@@ -66,8 +69,33 @@ class DistributedStencil:
         b = self.field_infos[name].boundary
         return (b.lower[0], b.upper[0], b.lower[1], b.upper[1])
 
+    def _axis_plan(self, size: int, n_shards: int, halo_lo: int, halo_hi: int, mode: str):
+        """Pad-and-trim plan for one sharded axis: (padded_size, lead, trail).
+
+        Uneven sizes pad to the next mesh multiple; periodic boundaries use
+        a cyclic fill with a leading pad >= the low halo so true-edge cells
+        still read wrapped values (under clamp/zero the exchange mode itself
+        serves the unpadded low edge, so only a trailing pad is needed)."""
+        lead = 0
+        need = size
+        if size % n_shards != 0:
+            if mode == "periodic":
+                lead = halo_lo
+                need = size + halo_lo + halo_hi
+        padded = -(-need // n_shards) * n_shards
+        local = padded // n_shards
+        if max(halo_lo, halo_hi) > local:
+            raise ValueError(
+                f"Stencil halo width {max(halo_lo, halo_hi)} exceeds the "
+                f"per-shard extent {local} (axis size {size} over "
+                f"{n_shards} shards) — use a smaller mesh axis or a larger "
+                f"domain"
+            )
+        return padded, lead, padded - size - lead
+
     def _build(self, field_names, shapes, nk):
         import jax
+        import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
 
         mesh = self.mesh.mesh
@@ -75,6 +103,71 @@ class DistributedStencil:
         written = self.written
         halos = {n: self._halo(n) for n in field_names}
         infos = self.field_infos
+
+        # --- pad-and-trim geometry for uneven global sizes ----------------
+        modes = (
+            self.boundary
+            if isinstance(self.boundary, (tuple, list))
+            else (self.boundary, self.boundary)
+        )
+        size_of = {}
+        for name, shape in zip(field_names, shapes):
+            mask = infos[name].domain_mask
+            ax = 0
+            for axis_id in range(2):
+                if mask[axis_id]:
+                    size_of.setdefault(axis_id, shape[ax])
+                    ax += 1
+        halo_max = [
+            (
+                max((halos[n][2 * a] for n in field_names), default=0),
+                max((halos[n][2 * a + 1] for n in field_names), default=0),
+            )
+            for a in range(2)
+        ]
+        plans = {}
+        for axis_id, n_shards in ((0, self.mesh.nx), (1, self.mesh.ny)):
+            if axis_id in size_of:
+                plans[axis_id] = self._axis_plan(
+                    size_of[axis_id], n_shards,
+                    halo_max[axis_id][0], halo_max[axis_id][1],
+                    modes[axis_id],
+                )
+
+        def _pad_axis(arr, axis, n, lead, trail, mode):
+            if lead == 0 and trail == 0:
+                return arr
+            if mode == "periodic":
+                idx = (np.arange(-lead, n + trail) % n).astype(np.int32)
+                return jnp.take(arr, jnp.asarray(idx), axis=axis)
+            width = [(0, 0)] * arr.ndim
+            width[axis] = (lead, trail)
+            if mode == "clamp":
+                return jnp.pad(arr, width, mode="edge")
+            return jnp.pad(arr, width)  # zero
+
+        def pad_field(name, arr):
+            mask = infos[name].domain_mask
+            ax = 0
+            for axis_id in range(2):
+                if not mask[axis_id]:
+                    continue
+                padded, lead, trail = plans[axis_id]
+                arr = _pad_axis(
+                    arr, ax, size_of[axis_id], lead, trail, modes[axis_id]
+                )
+                ax += 1
+            return arr
+
+        def trim_field(name, arr):
+            mask = infos[name].domain_mask
+            sl = []
+            for axis_id in range(2):
+                if not mask[axis_id]:
+                    continue
+                _, lead, _ = plans[axis_id]
+                sl.append(slice(lead, lead + size_of[axis_id]))
+            return arr[tuple(sl)] if sl else arr
 
         def spec_for(name):
             mask = infos[name].domain_mask
@@ -172,7 +265,19 @@ class DistributedStencil:
             out_specs=out_specs,
             check_vma=False,
         )
-        return jax.jit(fn), scalar_names
+
+        needs_pad = any(p[1] or p[2] for p in plans.values())
+        if not needs_pad:
+            return jax.jit(fn), scalar_names
+
+        def padded_fn(*args):
+            fields = [
+                pad_field(n, a) for n, a in zip(field_names, args[: len(field_names)])
+            ]
+            outs = fn(*fields, *args[len(field_names):])
+            return tuple(trim_field(n, o) for n, o in zip(written, outs))
+
+        return jax.jit(padded_fn), scalar_names
 
     def apply(self, **kwargs) -> dict[str, Any]:
         """Run one distributed stencil step; returns {name: updated array}

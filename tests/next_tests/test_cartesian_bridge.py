@@ -281,3 +281,128 @@ def test_scan_bridge_kless_arg_broadcasts(rng):
         rtol=1e-12,
     )
     assert _bridged(acc)
+
+
+# --- fused scan compositions: field_operators containing scan calls ----------
+# The scan calls inline as sequential vertical loops of ONE cartesian
+# stencil (scan outputs = temporaries -> VMEM carries in the staged
+# kernel), the reference's lift-inlining-into-ScanExecution architecture
+# (codegens/gtfn/itir_to_gtfn_ir.py).
+
+Koff = gtx.FieldOffset("Koff", source=KDim, target=(KDim,))
+PROV_K = {"Ioff": IDim, "Joff": JDim, "Koff": KDim}
+
+
+@gtx.scan_operator(axis=KDim, forward=True, init=(0.0, 0.0))
+def _tri_fwd(carry, a: float, b: float, c: float, d: float):
+    cp_prev, dp_prev = carry
+    denom = b - a * cp_prev
+    return (c / denom, (d - a * dp_prev) / denom)
+
+
+@gtx.scan_operator(axis=KDim, forward=False, init=0.0)
+def _tri_bwd(x_kp1, cp: float, dp: float):
+    return dp - cp * x_kp1
+
+
+@gtx.field_operator(backend="tpu:pallas")
+def solve_tridiag(a, b, c, d):
+    cp, dp = _tri_fwd(a, b, c, d)
+    return _tri_bwd(cp, dp)
+
+
+def test_fused_tridiag_composition(rng):
+    from tests.cartesian_tests import stencil_defs as defs
+
+    shape = (8, 9, 8)
+    inf = -np.ones(shape)
+    diag = np.full(shape, 4.0)
+    sup = -np.ones(shape)
+    rhs = rng.random(shape)
+    expected = defs.validate_tridiagonal_solver(inf, diag, sup, rhs)
+
+    out = gtx.zeros({IDim: 8, JDim: 9, KDim: 8})
+    solve_tridiag(
+        gtx.as_field([IDim, JDim, KDim], inf),
+        gtx.as_field([IDim, JDim, KDim], diag),
+        gtx.as_field([IDim, JDim, KDim], sup),
+        gtx.as_field([IDim, JDim, KDim], rhs),
+        out=out,
+    )
+    np.testing.assert_allclose(np.asarray(out.ndarray), expected, rtol=1e-10)
+    var = next(v for v in solve_tridiag._bridge_cache.values() if v is not None)
+    assert var.backend.last_strategy == "staged"
+    orders = [vl.loop_order.name for vl in var.backend.analyzed.stencil.vertical_loops]
+    assert orders == ["FORWARD", "BACKWARD"], orders
+
+
+BET_M, BET_P = 0.5, 0.5
+
+
+@gtx.scan_operator(axis=KDim, forward=True, init=(0.0, 0.0))
+def _vadv_fwd(
+    carry, w_i1, w_c, w_i1_k1, w_k1, us_m1, us, us_p1, upos, uten, utens_st,
+    kidx, klast, dtr,
+):
+    ccol_m1, dcol_m1 = carry
+    first = kidx == 0
+    last = kidx == klast
+    gav = -0.25 * (w_i1 + w_c)
+    gcv = 0.25 * (w_i1_k1 + w_k1)
+    as_ = where(first, 0.0, gav * BET_M)
+    acol = where(first, 0.0, gav * BET_P)
+    cs = where(last, 0.0, gcv * BET_M)
+    ccol = where(last, 0.0, gcv * BET_P)
+    bcol = dtr - acol - ccol
+    corr = -as_ * (us_m1 - us) - cs * (us_p1 - us)
+    dcol = dtr * upos + uten + utens_st + corr
+    divided = 1.0 / (bcol - ccol_m1 * acol)
+    return (ccol * divided, (dcol - dcol_m1 * acol) * divided)
+
+
+@gtx.scan_operator(axis=KDim, forward=False, init=(0.0, 0.0))
+def _vadv_bwd(carry, ccol, dcol, upos, kidx, klast, dtr):
+    data_p1, _ = carry
+    data = where(kidx == klast, dcol, dcol - ccol * data_p1)
+    return (data, dtr * (data - upos))
+
+
+@gtx.field_operator(backend="tpu:pallas")
+def next_vadv(utens_stage, u_stage, wcon, u_pos, utens, kidx, klast: int, dtr: float):
+    ccol, dcol = _vadv_fwd(
+        wcon(Ioff[1]), wcon, wcon(Ioff[1])(Koff[1]), wcon(Koff[1]),
+        u_stage(Koff[-1]), u_stage, u_stage(Koff[1]),
+        u_pos, utens, utens_stage, kidx, klast, dtr,
+    )
+    return _vadv_bwd(ccol, dcol, u_pos, kidx, klast, dtr)[1]
+
+
+def test_fused_vadv_composition(rng):
+    """Field-view vadv (two scans + K/I-shifted args + boundary selection
+    via a K index field) against the cartesian NumPy column oracle."""
+    from tests.cartesian_tests import stencil_defs as defs
+
+    ni, nj, nk = 7, 6, 9
+    utens_stage = rng.random((ni, nj, nk))
+    u_stage = rng.random((ni, nj, nk))
+    wcon = rng.random((ni, nj, nk))
+    u_pos = rng.random((ni, nj, nk))
+    utens = rng.random((ni, nj, nk))
+    dtr_stage = 3.0 / 20.0
+    expected = defs.validate_vertical_advection_dycore(
+        utens_stage, u_stage, wcon, u_pos, utens, dtr_stage
+    )
+
+    as3 = lambda a: gtx.as_field([IDim, JDim, KDim], a)  # noqa: E731
+    kidx = gtx.as_field([KDim], np.arange(nk, dtype=np.int32))
+    out = gtx.zeros({IDim: ni - 1, JDim: nj, KDim: nk})
+    next_vadv(
+        as3(utens_stage), as3(u_stage), as3(wcon), as3(u_pos), as3(utens),
+        kidx, nk - 1, dtr_stage,
+        out=out, offset_provider=PROV_K,
+    )
+    np.testing.assert_allclose(np.asarray(out.ndarray), expected, rtol=1e-10)
+    var = next(v for v in next_vadv._bridge_cache.values() if v is not None)
+    assert var.backend.last_strategy == "staged"
+    orders = [vl.loop_order.name for vl in var.backend.analyzed.stencil.vertical_loops]
+    assert orders == ["FORWARD", "BACKWARD"], orders

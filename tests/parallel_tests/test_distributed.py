@@ -189,3 +189,106 @@ def test_distributed_pallas_backend_in_shards():
     out = dist.apply(in_field=in_field, coeff=coeff, out_field=np.zeros(shape))
     expected = _periodic_hdiff_oracle(in_field, coeff)
     np.testing.assert_allclose(np.asarray(out["out_field"]), expected, rtol=1e-12)
+
+
+# --- uneven domain decomposition (pad-and-trim, round-2 verdict item 7) -----
+
+
+def test_uneven_periodic_matches_oracle():
+    """NI/NJ not divisible by the mesh: cyclic pad + trim must reproduce
+    the periodic oracle exactly."""
+    mesh = CartesianMesh()  # 8 devices -> (2, 4) or similar
+    st = gtscript.stencil(backend="jax", definition=defs.horizontal_diffusion)
+    dist = DistributedStencil(st, mesh)
+
+    rng = np.random.default_rng(11)
+    # 30 % 2 == 0 but 30 % 4 != 0; 17 is odd against everything
+    shape = (30, 17, 3)
+    in_field = rng.random(shape)
+    coeff = rng.random(shape)
+    out = dist.apply(in_field=in_field, coeff=coeff, out_field=np.zeros(shape))
+    expected = _periodic_hdiff_oracle(in_field, coeff)
+    np.testing.assert_allclose(np.asarray(out["out_field"]), expected, rtol=1e-12)
+    assert out["out_field"].shape == shape
+
+
+def test_uneven_clamp_matches_single_chip():
+    mesh = CartesianMesh()
+    st = gtscript.stencil(backend="jax", definition=defs.lap_of_lap)
+    dist = DistributedStencil(st, mesh, boundary="clamp")
+
+    rng = np.random.default_rng(12)
+    shape = (19, 13, 2)
+    inp = rng.random(shape)
+
+    # single-chip clamp oracle: pad with edge values, run numpy backend on
+    # the interior
+    halo = 2
+    padded = np.pad(inp, ((halo, halo), (halo, halo), (0, 0)), mode="edge")
+    st_np = gtscript.stencil(backend="numpy", definition=defs.lap_of_lap)
+    out_np = np.zeros_like(padded)
+    st_np(
+        padded, out_np, origin=(halo, halo, 0), domain=shape,
+    )
+    expected = out_np[halo:-halo, halo:-halo]
+
+    out = dist.apply(inp=inp, out=np.zeros(shape))
+    np.testing.assert_allclose(np.asarray(out["out"]), expected, rtol=1e-12)
+
+
+def test_uneven_zero_boundary():
+    mesh = CartesianMesh()
+    st = gtscript.stencil(backend="jax", definition=defs.shift_all_directions)
+    dist = DistributedStencil(st, mesh, boundary="zero")
+
+    rng = np.random.default_rng(13)
+    shape = (9, 11, 2)
+    inp = rng.random(shape)
+    halo = 1
+    padded = np.pad(inp, ((halo, halo), (halo, halo), (0, 0)))
+    st_np = gtscript.stencil(backend="numpy", definition=defs.shift_all_directions)
+    out_np = np.zeros_like(padded)
+    st_np(padded, out_np, origin=(halo, halo, 0), domain=shape)
+    expected = out_np[halo:-halo, halo:-halo]
+
+    out = dist.apply(inp=inp, out=np.zeros(shape))
+    np.testing.assert_allclose(np.asarray(out["out"]), expected, rtol=1e-12)
+
+
+def test_odd_mesh_shape_uneven():
+    """Explicit odd mesh (1, 8)-style stress: every shard gets a ragged
+    share of a prime-sized axis."""
+    n = len(jax.devices())
+    mesh = CartesianMesh(shape=(1, n))
+    st = gtscript.stencil(backend="jax", definition=defs.horizontal_diffusion)
+    dist = DistributedStencil(st, mesh)
+
+    rng = np.random.default_rng(14)
+    shape = (13, 29, 2)  # 29 prime vs 8 shards
+    in_field = rng.random(shape)
+    coeff = rng.random(shape)
+    out = dist.apply(in_field=in_field, coeff=coeff, out_field=np.zeros(shape))
+    expected = _periodic_hdiff_oracle(in_field, coeff)
+    np.testing.assert_allclose(np.asarray(out["out_field"]), expected, rtol=1e-12)
+
+
+def test_halo_exceeds_shard_width_raises():
+    n = len(jax.devices())
+    mesh = CartesianMesh(shape=(1, n))
+    st = gtscript.stencil(backend="jax", definition=defs.horizontal_diffusion)
+    dist = DistributedStencil(st, mesh)
+    shape = (8, n * 2, 2)  # shard J width 2 == halo 2: ok; width 1 raises
+    rng = np.random.default_rng(15)
+    ok = dist.apply(
+        in_field=rng.random(shape),
+        coeff=rng.random(shape),
+        out_field=np.zeros(shape),
+    )
+    assert ok["out_field"].shape == shape
+    bad = (8, n, 2)  # shard width 1 < halo 2
+    with pytest.raises(ValueError, match="halo width"):
+        dist.apply(
+            in_field=rng.random(bad),
+            coeff=rng.random(bad),
+            out_field=np.zeros(bad),
+        )
