@@ -97,6 +97,76 @@ def _iota(xp, shape, axis, dtype=np.int32):
     return broadcast_iota(xp, shape, axis, dtype)
 
 
+_MAX_SHIFT_CLASSES = 8
+
+
+def _shift_plan(conn, column: int, own_start: int, n: int):
+    """Detect roll-structure in one connectivity column: when
+    ``(table[:, j] - start - arange) mod n`` takes at most
+    ``_MAX_SHIFT_CLASSES`` distinct values, the gather
+    ``x[table[r, j]]`` equals a masked select over K cyclic shifts of
+    ``x`` — pure slice/concat traffic instead of per-row gathers
+    (structured and block-structured meshes, e.g. the periodic quad
+    mesh, have K ≤ 3 per column). Returns (diffs, sel) with ``sel`` the
+    per-row class label, or None for irregular columns. Cached on the
+    connectivity (tables are immutable)."""
+    cache = getattr(conn, "_shift_plans", None)
+    if cache is None:
+        cache = conn._shift_plans = {}
+    key = (column, own_start, n)
+    if key in cache:
+        return cache[key]
+    try:
+        # Traced tables (connectivity passed through jit) cannot be
+        # analyzed — the structure must be known at trace time.
+        t = np.asarray(conn.table[:, column]).astype(np.int64) - own_start
+    except Exception:
+        cache[key] = None
+        return None
+    valid = np.ones(t.shape, dtype=bool)
+    if conn.skip_value is not None:
+        valid = np.asarray(conn.table[:, column]) != conn.skip_value
+    plan = None
+    # Out-of-range neighbors clamp in the fallback; a cyclic shift would
+    # wrap them instead — only rolls over the full codomain are faithful.
+    if n > 0 and not np.any(((t < 0) | (t >= n)) & valid):
+        d = (t - (np.arange(t.shape[0]) % n)) % n
+        vals = np.unique(d[valid]) if valid.any() else np.zeros(1, np.int64)
+        if len(vals) <= _MAX_SHIFT_CLASSES:
+            sel = np.zeros(t.shape[0], dtype=np.int8)
+            for k, v in enumerate(vals):
+                sel[(d == v) & valid] = k
+            plan = (vals.astype(np.int32), sel)
+    cache[key] = plan
+    return plan
+
+
+def _shift_gather_1d(x, conn, column: int, own_start: int):
+    """Gather ``x[table[:, column] - own_start]`` via the shift plan:
+    K rolls (tiled to the source length) + masked selects."""
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    plan = _shift_plan(conn, column, own_start, n)
+    if plan is None:
+        return None
+    diffs, sel = plan
+    n_src = sel.shape[0]
+    m = -(-n_src // n)
+    sel_dev = jnp.asarray(sel)
+
+    def shifted(d):
+        r = jnp.roll(x, -int(d))
+        if m > 1 or n_src != n:
+            r = jnp.tile(r, m)[:n_src] if m > 1 else r[:n_src]
+        return r
+
+    out = shifted(diffs[0])
+    for k in range(1, len(diffs)):
+        out = jnp.where(sel_dev == k, shifted(diffs[k]), out)
+    return out
+
+
 def _rowgather_1d(x, idx):
     """Unstructured 1-D gather as a row gather + in-row mask-select.
 
@@ -339,13 +409,37 @@ class Field:
             safe_idx = np.clip(np.asarray(idx), 0, self.ndarray.shape[axis] - 1)
             gathered = np.take(self.ndarray, safe_idx, axis=axis)
         else:
-            safe_idx = xp.clip(
-                idx.astype(np.int32), 0, self.ndarray.shape[axis] - 1
-            )
+            gathered = None
             if self.ndarray.ndim == 1 and self.ndarray.dtype != np.bool_:
-                gathered = _rowgather_1d(self.ndarray, safe_idx)
-            else:
-                gathered = xp.take(self.ndarray, safe_idx, axis=axis, mode="clip")
+                # Structured-connectivity fast path: columns with few
+                # distinct (target - source) shift classes lower to rolls +
+                # masked selects (bandwidth-bound; the per-row gather rate
+                # of ~2.3 ns/row is ~2 orders below streaming).
+                cols = [column] if column is not None else list(
+                    range(conn.table.shape[1])
+                )
+                parts = []
+                for c in cols:
+                    part = _shift_gather_1d(self.ndarray, conn, c, int(own_start))
+                    if part is None:
+                        parts = None
+                        break
+                    parts.append(part)
+                if parts is not None:
+                    gathered = (
+                        parts[0] if column is not None
+                        else xp.stack(parts, axis=-1)
+                    )
+            if gathered is None:
+                safe_idx = xp.clip(
+                    idx.astype(np.int32), 0, self.ndarray.shape[axis] - 1
+                )
+                if self.ndarray.ndim == 1 and self.ndarray.dtype != np.bool_:
+                    gathered = _rowgather_1d(self.ndarray, safe_idx)
+                else:
+                    gathered = xp.take(
+                        self.ndarray, safe_idx, axis=axis, mode="clip"
+                    )
         # gathered axes: dims[:axis] + (source[, neighbor]) + dims[axis+1:]
         neighbor_ranges = (
             (NamedRange(conn.neighbor_dim, UnitRange(0, conn.table.shape[1])),)

@@ -1,0 +1,181 @@
+"""Hardware tier: the FULL canonical stencil registry through real Mosaic.
+
+Every registry stencil (narrowed to 32-bit — Mosaic has no 64-bit types)
+compiles and runs on the attached TPU through the ``tpu:pallas`` backend
+and must match the ``numpy`` oracle on the same narrowed GTIR; the serving
+kernel strategy is recorded and checked against EXPECTED_STRATEGY, so a
+silent fallback regression fails loudly (reference pattern: per-backend
+exclusion matrices, tests/next_tests/definitions.py:124-208 / ADR 0015).
+
+Run:  GT4PY_TEST_PLATFORM=tpu python -m pytest tests/tpu_tests -m tpu -q
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+from tests.cartesian_tests import stencil_defs as defs  # noqa: E402
+
+#: expected serving strategy per registry stencil on hardware; "xla" means
+#: the transparent XLA fallback (a genuine native-kernel gap — mirrored in
+#: BACKEND_SKIP_TEST_MATRIX). Populated from the first full hardware run.
+EXPECTED_STRATEGY: dict[str, set] = {
+    # PARALLEL, pure-IJ offsets -> fused plane kernels
+    "copy_stencil": {"split", "plane"},
+    "arithmetic_ops": {"split", "plane"},
+    "function_call": {"split", "plane"},
+    "temporary_stencil": {"split", "plane"},
+    "runtime_if": {"split", "plane"},
+    "horizontal_diffusion": {"split", "plane"},
+    "shift_all_directions": {"split", "plane"},
+    "lap_of_lap": {"split", "plane"},
+    "native_function_zoo": {"split", "plane"},
+    "compile_time_if": {"split", "plane"},
+    "ternary_and_masks": {"split", "plane"},
+    "region_interaction": {"split", "plane"},
+    "dycore_smagorinsky_like": {"split", "plane"},
+    "region_conditional": {"split", "plane"},
+    "single_level_offset": {"split", "plane", "staged"},
+    "scalar_inputs": {"split", "plane"},
+    # sequential-K loops -> staged plane kernels
+    "tridiagonal_solver": {"staged"},
+    "vertical_advection_dycore": {"staged"},
+    "forward_cumsum": {"staged"},
+    "backward_cumsum": {"staged"},
+    "multi_section_forward": {"staged"},
+    "region_in_sequential": {"staged"},
+    "staggeredish_interval_chain": {"staged"},
+    "empty_computation_inlined": {"staged"},
+    "large_k_interval": {"split", "plane", "staged"},
+    "iteration_index_sequential": {"staged"},
+    # K-offset / variable-K / table / data-dim classes
+    "iteration_index_parallel": {"split", "plane", "staged", "tiled"},
+    "while_stencil": {"split", "plane", "tiled"},
+}
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU attached (set GT4PY_TEST_PLATFORM=tpu to lift the CPU pin)")
+    return jax.devices()[0]
+
+
+def _narrowed_backends(entry, name):
+    from gt4py_tpu.cartesian import frontend
+    from gt4py_tpu.cartesian.backend.base import REGISTRY as BACKENDS
+    from gt4py_tpu.cartesian.passes.pipeline import analyze_gtir
+    from gt4py_tpu.testing.narrowing import narrow_stencil
+
+    options = {
+        "externals": dict(entry["externals"]),
+        "dtypes": dict(entry["dtypes"]),
+        "literal_float_precision": 32,
+        "literal_int_precision": 32,
+        "name": f"{name}_hw32",
+    }
+    ir = frontend.parse_stencil(entry["definition"], options)
+    ir = narrow_stencil(ir)
+    analyzed = analyze_gtir(ir, options)
+    pallas = BACKENDS["tpu:pallas"](analyzed, {})
+    oracle = BACKENDS["numpy"](analyzed, {})
+    return analyzed, pallas, oracle
+
+
+def _alloc(analyzed, rng, domain):
+    from gt4py_tpu.cartesian.definitions import AccessKind
+
+    arrays = {}
+    for fname, fi in analyzed.field_infos.items():
+        if fi.access == AccessKind.NONE:
+            continue
+        if not fi.axes:  # GlobalTable
+            shape = tuple(fi.data_dims)
+            if np.issubdtype(fi.dtype, np.integer):
+                arrays[fname] = rng.integers(0, 7, shape).astype(fi.dtype)
+            else:
+                arrays[fname] = rng.random(shape).astype(fi.dtype)
+            continue
+        spatial = [
+            lo + d + hi
+            for lo, d, hi, m in zip(fi.boundary.lower, domain, fi.boundary.upper, fi.domain_mask)
+            if m
+        ]
+        shape = tuple(spatial) + tuple(fi.data_dims)
+        if np.issubdtype(fi.dtype, np.integer):
+            arrays[fname] = rng.integers(0, 2, shape).astype(fi.dtype)
+        else:
+            arrays[fname] = (rng.random(shape) + 0.25).astype(fi.dtype)
+    return arrays
+
+
+def _origins(analyzed):
+    from gt4py_tpu.cartesian.definitions import AccessKind
+
+    return {
+        fname: tuple(b for b, m in zip(fi.boundary.lower, fi.domain_mask) if m)
+        + (0,) * len(fi.data_dims)
+        for fname, fi in analyzed.field_infos.items()
+        if fi.access != AccessKind.NONE and fi.axes
+    }
+
+
+_strategy_log: dict[str, str] = {}
+
+
+@pytest.mark.parametrize("name", sorted(defs.REGISTRY))
+def test_registry_stencil_on_hardware(tpu, name):
+    import jax.numpy as jnp
+
+    entry = defs.REGISTRY[name]
+    # special-cased dtypes option keys (vadv uses 'vadv_dt')
+    entry = dict(entry)
+    entry["dtypes"] = {k: np.float32 for k in entry["dtypes"]} or entry["dtypes"]
+    if name == "vertical_advection_dycore":
+        entry["scalars"] = {"dtr_stage": np.float32(0.15)}
+    domain = (8, 9, max(8, entry["min_k"]))
+    analyzed, pallas, oracle = _narrowed_backends(entry, name)
+
+    rng = np.random.default_rng(hash(name) % 2**31)
+    arrays = _alloc(analyzed, rng, domain)
+    scalars = {
+        k: np.asarray(v, dtype=analyzed.parameter_infos[k].dtype)[()]
+        for k, v in entry["scalars"].items()
+        if k in analyzed.parameter_infos
+    }
+    origins = _origins(analyzed)
+
+    ref = oracle.run(
+        {k: v.copy() for k, v in arrays.items()}, dict(scalars), domain, origins
+    )
+    got = pallas.run(
+        {k: jnp.asarray(v) for k, v in arrays.items()}, dict(scalars), domain, origins
+    )
+    strategy = getattr(pallas, "last_strategy", None) or "xla"
+    _strategy_log[name] = strategy
+
+    for fname, expected in ref.items():
+        np.testing.assert_allclose(
+            np.asarray(got[fname]), np.asarray(expected),
+            rtol=2e-4, atol=2e-5,
+            err_msg=f"{name}/{fname} (strategy={strategy})",
+        )
+
+    allowed = EXPECTED_STRATEGY.get(name)
+    if allowed is not None:
+        assert strategy in allowed, (
+            f"{name}: served by {strategy!r}, expected one of {sorted(allowed)}"
+        )
+
+
+def test_print_strategy_table(tpu):
+    """Runs last (alphabetically forced by the z-less name? no — relies on
+    parametrize order above); prints the recorded serving table for the
+    session log."""
+    if _strategy_log:
+        width = max(len(n) for n in _strategy_log)
+        for n in sorted(_strategy_log):
+            print(f"{n:<{width}}  {_strategy_log[n]}")
