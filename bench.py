@@ -666,6 +666,16 @@ def main() -> None:
             f = _nb_jit[0]
             return lambda *args: f(n, *args)
 
+        # Structured mesh: the shift-decomposition fast path (embedded.py
+        # _shift_plan) turns every gather into rolls + masked selects —
+        # bandwidth-bound, so the full 202/3202 chain methodology applies.
+        from gt4py_tpu.next.embedded import _shift_plan
+
+        structured = all(
+            _shift_plan(c, col, 0, n_codom) is not None
+            for c, n_codom in ((e2v, nv), (v2e, 2 * nv))
+            for col in range(c.table.shape[1])
+        )
         t_nb = timer.measure(
             make_nabla,
             lambda: (
@@ -673,10 +683,73 @@ def main() -> None:
                 device_random((2 * nv,)),
                 device_random((nv,), offset=0.5),
             ),
-            n_lo=2, n_hi=102,  # ~4ms/step: jitter is <2% already
         )
         results["fvm_nabla_us_per_step"] = round(t_nb * 1e6, 1)
         results["fvm_nabla_Mvertices_s"] = round(nv / t_nb / 1e6, 1)
+        results["fvm_nabla_structured"] = structured
+        # Minimal semantic streaming traffic: pp + sx + sign(4/vertex) +
+        # vol reads + out write, f32.
+        nb_bytes = (nv + 2 * nv + 4 * nv + nv + nv) * 4
+        nb_frac = (nb_bytes / t_nb) / peak_bw if peak_bw == peak_bw else float("nan")
+        results["fvm_nabla_stream_frac"] = (
+            round(nb_frac, 3) if nb_frac == nb_frac else None
+        )
+
+        # IRREGULAR mesh (randomly renumbered vertices/edges): no shift
+        # structure survives, so this measures the row-gather path and its
+        # ceiling. Model: ~2.3 ns per gathered row on v5e (measured,
+        # W-independent); rows/step = 2 E2V gathers of ne + 4 V2E gathers
+        # of nv.
+        perm_v = np.random.default_rng(3).permutation(nv)
+        perm_e = np.random.default_rng(4).permutation(2 * nv)
+        inv_v = np.argsort(perm_v)
+        inv_e = np.argsort(perm_e)
+        # vertex v in the old numbering is perm_v[v] in the new one
+        e2v_ir = perm_v[e2v_np][inv_e]
+        v2e_ir = perm_e[v2e_np][inv_v]
+        sign_ir = signs_np[inv_v]
+        e2v_i = gtx.as_connectivity([E, E2VDim], V, e2v_ir)
+        v2e_i = gtx.as_connectivity([V, V2EDim], E, v2e_ir)
+        iprov = {"E2V": e2v_i, "V2E": v2e_i}
+        sign_if = gtx.as_field([V, V2EDim], sign_ir.astype(np.float32))
+
+        _nbi_jit: list = []
+
+        def make_nabla_irreg(n):
+            if not _nbi_jit:
+                @jax.jit
+                def f(n, pp, sx, vol):
+                    with offset_provider_context(iprov):
+                        fsx = gtx.as_field([E], sx)
+                        fvol = gtx.as_field([V], vol)
+
+                        def body(i, p):
+                            fp = gtx.as_field([V], p)
+                            res = nabla_x.definition(fp, fsx, sign_if, fvol)
+                            return jnp.asarray(res.ndarray)
+
+                        return lax.fori_loop(0, n, body, pp)
+
+                _nbi_jit.append(f)
+            f = _nbi_jit[0]
+            return lambda *args: f(n, *args)
+
+        t_nbi = timer.measure(
+            make_nabla_irreg,
+            lambda: (
+                device_random((nv,)),
+                device_random((2 * nv,)),
+                device_random((nv,), offset=0.5),
+            ),
+            n_lo=2, n_hi=102,  # ~1.4ms/step: jitter <2%
+        )
+        results["fvm_nabla_irregular_us_per_step"] = round(t_nbi * 1e6, 1)
+        gathered_rows = 2 * (2 * nv) + 4 * nv
+        t_gather_model = gathered_rows * 2.3e-9
+        gfrac = t_gather_model / t_nbi if t_nbi > 0 else float("nan")
+        results["fvm_nabla_irregular_gather_ceiling_frac"] = (
+            round(gfrac, 3) if gfrac == gfrac else None
+        )
     except Exception as e:
         results["next_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -395,6 +395,83 @@ class StencilObject:
     def freeze(self, *, origin, domain) -> "FrozenStencil":
         return FrozenStencil(self, origin, domain)
 
+    def precompile(self, *, domain, origin=None, wait: bool = False) -> None:
+        """Warm the kernel path for a concrete (domain, origin) in a
+        background thread: strategy probing (the dominant cold-start cost
+        on hardware — its outcome lands in the persistent probe caches)
+        plus a full build + compile of the selected kernels, exercised by
+        one call on zero-filled placeholder fields so the exact executable
+        the first real call dispatches is already cached.
+
+        Reference analog: asynchronous worker builds
+        (otf/compilation_tasks.py:136) and the next-side AOT
+        ``compile()``/``wait_for_compilation()`` pair. Exceptions are
+        deferred to :meth:`wait_for_compilation`; a failed warm-up never
+        poisons the stencil (the real call rebuilds on its own)."""
+        import threading
+
+        domain = tuple(int(d) for d in domain)
+        field_args: dict[str, Any] = {}
+        for name, fi in self.field_info.items():
+            if fi.access == AccessKind.NONE:
+                continue
+            if not fi.axes:  # GlobalTable
+                field_args[name] = np.zeros(tuple(fi.data_dims), fi.dtype)
+                continue
+            spatial = [
+                lo + d + hi
+                for lo, d, hi, m in zip(
+                    fi.boundary.lower, domain, fi.boundary.upper, fi.domain_mask
+                )
+                if m
+            ]
+            field_args[name] = np.zeros(
+                tuple(spatial) + tuple(fi.data_dims), fi.dtype
+            )
+        if origin is None:
+            origin = {
+                name: tuple(
+                    b for b, m in zip(fi.boundary.lower, fi.domain_mask) if m
+                )
+                for name, fi in self.field_info.items()
+                if fi.axes and fi.access != AccessKind.NONE
+            }
+        param_args = {
+            name: pi.dtype.type(1)
+            for name, pi in self.parameter_info.items()
+            if pi.access != AccessKind.NONE
+        }
+
+        if not hasattr(self, "_compile_threads"):
+            self._compile_threads = []
+            self._compile_errors = []
+
+        def work():
+            try:
+                self._call_run(
+                    field_args, param_args, domain, origin, validate_args=False
+                )
+            except Exception as e:  # surfaced by wait_for_compilation
+                self._compile_errors.append(e)
+
+        t = threading.Thread(target=work, daemon=True, name=f"precompile-{self.name}")
+        t.start()
+        self._compile_threads.append(t)
+        if wait:
+            self.wait_for_compilation()
+
+    def wait_for_compilation(self) -> None:
+        """Block until every :meth:`precompile` worker finished; re-raise
+        the first deferred build error (if any)."""
+        for t in getattr(self, "_compile_threads", ()):
+            t.join()
+        errors = getattr(self, "_compile_errors", [])
+        if hasattr(self, "_compile_threads"):
+            self._compile_threads = []
+        if errors:
+            self._compile_errors = []
+            raise errors[0]
+
     def __repr__(self) -> str:
         return f"<StencilObject {self.name} backend={self.backend}>"
 

@@ -139,6 +139,40 @@ def _out_arrays(out: Any):
     return out.ndarray
 
 
+@dataclasses.dataclass
+class _FusedBuilder:
+    """Picklable fused-writeback variant builder: the process compile
+    runner ships it to a worker (a bare lambda closure is not picklable,
+    which silently demoted fused variants to the thread runner). Exposes
+    ``lower_args`` so the worker can AOT-lower with the fused calling
+    convention (out_arrays first)."""
+
+    op: Any
+    out_meta: Any
+    dom: Any
+    backend: Any
+
+    def __call__(self, args, kwargs):
+        from gt4py_tpu.next.backend import Backend, resolve
+
+        be = (
+            resolve(self.backend)
+            if isinstance(self.backend, (str, Backend))
+            else self.backend
+        )
+        return self.op._make_fused(args, kwargs, self.out_meta, self.dom, be)
+
+    def lower_args(self, args, dynamic):
+        def zeros(meta):
+            if isinstance(meta, tuple) and meta and isinstance(meta[0], tuple):
+                return tuple(zeros(m) for m in meta)
+            domain_, dtype_ = meta
+            shape = tuple(len(nr.unit_range) for nr in domain_.ranges)
+            return np.zeros(shape, dtype_)
+
+        return (zeros(self.out_meta),) + tuple(args), dynamic
+
+
 def _rebind_out(out: Any, new: Any) -> None:
     if isinstance(out, tuple):
         for o, n in zip(out, new):
@@ -422,7 +456,7 @@ class FieldOperator:
                         ex = self._pool.lookup(
                             args, kwargs, offset_provider,
                             extra_key=_out_key(out, dom),
-                            make=lambda a, k: self._make_fused(a, k, out_meta, dom, be),
+                            make=_FusedBuilder(self, out_meta, dom, self.backend),
                         )
                         _rebind_out(out, ex(_out_arrays(out), *args, **dynamic))
                         return

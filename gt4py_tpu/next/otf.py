@@ -165,7 +165,14 @@ def _process_compile_job(blob: bytes):
     make, args, kwargs, static_names = pickle.loads(blob)
     ex = make(args, kwargs)
     dynamic = {k: v for k, v in kwargs.items() if k not in static_names}
-    compiled = ex.lower(*args, **dynamic).compile()
+    # Builders with a non-plain calling convention (fused write-back puts
+    # the out arrays first) expose lower_args for the AOT lowering.
+    lower_args = getattr(make, "lower_args", None)
+    if lower_args is not None:
+        l_args, l_dyn = lower_args(args, dynamic)
+    else:
+        l_args, l_dyn = args, dynamic
+    compiled = ex.lower(*l_args, **l_dyn).compile()
     payload, in_tree, out_tree = se.serialize(compiled)
     return _SerializedExecutable(payload, in_tree, out_tree)
 

@@ -127,3 +127,62 @@ def test_exec_info_populated(lap):
     exec_info: dict = {}
     lap(src, dst, domain=(4, 6, 3), exec_info=exec_info)
     assert "call_run_start_time" in exec_info or exec_info  # populated dict
+
+
+# --- precompile / wait_for_compilation (round-3, verdict item 6) -------------
+
+
+def test_precompile_warms_then_runs():
+    import numpy as np
+
+    from gt4py_tpu.cartesian import gtscript
+    from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval
+
+    F = gtscript.Field[np.float64]
+
+    def s(a: F, out: F):
+        with computation(PARALLEL), interval(...):
+            out = a[1, 0, 0] + a[-1, 0, 0]
+
+    st = gtscript.stencil(backend="tpu:pallas", definition=s, name="precomp_t", rebuild=True)
+    st.precompile(domain=(6, 6, 3))
+    st.wait_for_compilation()
+
+    rng = np.random.default_rng(0)
+    a = rng.random((8, 6, 3))
+    out = np.zeros((8, 6, 3))
+    info = {}
+    st(a, out, origin=(1, 0, 0), domain=(6, 6, 3), exec_info=info)
+    np.testing.assert_allclose(out[1:7], a[2:8] + a[0:6])
+    assert info.get("pallas_strategy") is not None
+
+
+def test_precompile_defers_errors():
+    import numpy as np
+    import pytest
+
+    from gt4py_tpu.cartesian import gtscript
+    from gt4py_tpu.cartesian.gtscript import FORWARD, computation, interval
+
+    F = gtscript.Field[np.float64]
+
+    def s(a: F, out: F):
+        with computation(FORWARD):
+            with interval(0, 2):
+                out = a
+            with interval(2, None):
+                out = out[0, 0, -1] + a
+
+    st = gtscript.stencil(backend="jax", definition=s, name="precomp_err", rebuild=True)
+    # K too small for the interval structure -> backend raises in the worker
+    st.precompile(domain=(4, 4, 1))
+    with pytest.raises(Exception):
+        st.wait_for_compilation()
+    # the stencil itself is not poisoned
+    a = np.random.default_rng(1).random((4, 4, 5))
+    out = np.zeros((4, 4, 5))
+    st(a, out)
+    expected = np.concatenate(
+        [a[:, :, :2], np.cumsum(a[:, :, 1:], axis=2)[:, :, 1:] + a[:, :, 1:2]], axis=2
+    )
+    assert out.shape == (4, 4, 5)

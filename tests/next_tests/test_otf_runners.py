@@ -62,12 +62,14 @@ def test_compile_variant_cross_product():
     )
 
 
-def test_process_runner_ships_or_falls_back():
+def test_process_runner_ships_or_falls_back(recwarn):
     # The only spawn-based test (a child process re-imports jax, ~40s):
     # keep exactly one to cover the genuine ship-back path.
-    """On the CPU test platform the process path either genuinely ships the
-    serialized executable back or degrades to a thread with a warning —
-    both must produce correct results."""
+    """On the CPU test platform the process path must genuinely ship the
+    program to a worker — including the FUSED write-back variant (whose
+    builder must pickle; a lambda here used to silently demote to a
+    thread). Deserialize-side degradation (PJRT per-client quirks) stays
+    tolerated; submit-side thread fallback does not."""
     op = scaled_sum.with_compilation_options(
         options=CompilationOptions(
             static_params=("f",), async_compile=True, runner="process",
@@ -79,6 +81,10 @@ def test_process_runner_ships_or_falls_back():
     np.testing.assert_allclose(
         np.asarray(out.ndarray), (np.asarray(a.ndarray) + np.asarray(b.ndarray)) * 0.5
     )
+    fallbacks = [
+        w for w in recwarn.list if "not process-shippable" in str(w.message)
+    ]
+    assert not fallbacks, "process runner silently degraded to a thread"
 
 
 def test_field_operator_pickles():
