@@ -99,6 +99,13 @@ def where(cond: Field, a: Union[Field, Any], b: Union[Field, Any]) -> Field:
             return x._builtin("where", cond, a, b)
     """Ternary select (reference fbuiltins.py:281)."""
     operands = [x for x in (cond, a, b) if isinstance(x, Field)]
+    if not operands:
+        # Raw per-level values (inside a scan_operator body the arguments
+        # are plain arrays, not Fields): plain element-wise select.
+        import jax.numpy as jnp
+
+        xp = np if all(isinstance(x, (np.ndarray, np.generic, int, float, bool)) for x in (cond, a, b)) else jnp
+        return xp.where(cond, a, b)
     dims = operands[0].dims
     for o in operands[1:]:
         dims = _promote_dims(dims, o.dims)
