@@ -45,7 +45,27 @@ def empty(
     dimensions: Optional[Sequence[str]] = None,
 ) -> Storage:
     """Allocate an uninitialized-value storage (zero-filled on TPU; XLA has
-    no uninitialized allocation)."""
+    no uninitialized allocation).
+
+    With ``GT4PY_DEBUG_POISON_EMPTY=1`` the fill becomes NaN (floats) /
+    the dtype's max (ints) instead: reference test suites rely on
+    "uninitialized garbage stays untouched" to detect out-of-domain
+    writes and unread cells — the poison fill restores that signal, which
+    a silent zero fill destroys."""
+    import os
+
+    if os.environ.get("GT4PY_DEBUG_POISON_EMPTY", "0") not in ("0", "", "false"):
+        dt = np.dtype(dtype)
+        if dt.kind == "f" or dt.name in ("bfloat16",):
+            fill: Any = float("nan")
+        elif dt.kind in ("i", "u"):
+            fill = np.iinfo(dt).max
+        else:
+            fill = True
+        return full(
+            shape, fill, dtype,
+            backend=backend, aligned_index=aligned_index, dimensions=dimensions,
+        )
     return zeros(
         shape, dtype, backend=backend, aligned_index=aligned_index, dimensions=dimensions
     )
