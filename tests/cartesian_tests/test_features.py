@@ -836,3 +836,53 @@ def test_interval_wrong_axis_bound_rejected():
 
     with pytest.raises(GTScriptSyntaxError, match="K axis"):
         build(s, "numpy")
+
+
+# --- optional fields (reference stencil_definitions.py optional_field) -------
+
+
+def optional_field_defn(
+    in_field: Field3D, out_field: Field3D, dyn_tend: Field3D,
+    phys_tend: Field3D = None, *, dt: float,
+):
+    from __externals__ import PHYS_TEND
+
+    with computation(PARALLEL), interval(...):
+        out_field = in_field + dt * dyn_tend
+        if __INLINED(PHYS_TEND):  # noqa: F821
+            out_field = out_field + dt * phys_tend
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_optional_field(backend):
+    """A field pruned by __INLINED(False) may be omitted at call time
+    (reference optional_field / two_optional_fields pattern)."""
+    rng = np.random.default_rng(0)
+    shape = (4, 4, 3)
+    inf, dyn, phys = rng.random(shape), rng.random(shape), rng.random(shape)
+
+    st_off = build(
+        optional_field_defn, backend, externals={"PHYS_TEND": False},
+        name=f"optoff_{backend}",
+    )
+    out = np.zeros(shape)
+    st_off(inf, out, dyn, dt=0.5)  # phys_tend omitted entirely
+    np.testing.assert_allclose(out, inf + 0.5 * dyn)
+
+    st_on = build(
+        optional_field_defn, backend, externals={"PHYS_TEND": True},
+        name=f"opton_{backend}",
+    )
+    out2 = np.zeros(shape)
+    st_on(inf, out2, dyn, phys, dt=0.5)
+    np.testing.assert_allclose(out2, inf + 0.5 * (dyn + phys))
+
+
+def test_optional_field_required_when_enabled():
+    st = build(
+        optional_field_defn, "numpy", externals={"PHYS_TEND": True},
+        name="optreq",
+    )
+    shape = (3, 3, 2)
+    with pytest.raises(ValueError, match="phys_tend"):
+        st(np.zeros(shape), np.zeros(shape), np.zeros(shape), dt=0.5)
