@@ -17,4 +17,4 @@ _jax.config.update("jax_enable_x64", True)
 
 from gt4py_tpu import cartesian, config, eve, storage  # noqa: F401,E402
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
