@@ -1277,7 +1277,14 @@ def _plane_eligible(
     a K offset (static, variable, or absolute): the grid can then tile K
     without halos and Pallas' automatic pipeline double-buffers the plane
     streams (measured 100% of the v5e HBM roofline on hdiff vs 24% for the
-    fused XLA path)."""
+    fused XLA path).
+
+    Variable/absolute-K gathers are deliberately NOT plane-eligible: a
+    gather needs every K row of the source resident in the block, i.e.
+    tk == nk with full-IJ planes — 20 MB/field at 256x256x80 f32, past
+    VMEM. The tiled strategy is the right shape for this class (ti x tj x
+    full-K tiles with manual DMA) and serves it today; an `allow_k_gather`
+    plane mode would only duplicate it for tiny-nk domains."""
     from gt4py_tpu import eve
 
     for vl in analyzed.stencil.vertical_loops:
