@@ -210,3 +210,68 @@ def test_sharded_staggered_cgrid(mesh):
     )
     to_centers(gtx.as_field([IHalf], u_np), out=out, offset_provider={})
     np.testing.assert_allclose(asnumpy(out), asnumpy(ref))
+
+
+def test_sharded_scan_operator(mesh):
+    """A K scan over an IJ-sharded field: lax.scan runs per-shard (K is
+    unsharded), no cross-device traffic needed."""
+    import jax
+
+    rng = np.random.default_rng(4)
+    data = rng.random((16, 16, 6))
+    f = shard_field(gtx.as_field({I: 16, J: 16, K: 6}, data), mesh).ndarray
+
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def kcum(carry: float, x: float) -> float:
+        return carry + x
+
+    @jax.jit
+    def step(arr):
+        field = gtx.as_field({I: 16, J: 16, K: 6}, arr)
+        return kcum(field).ndarray
+
+    res = np.asarray(step(f))
+    np.testing.assert_allclose(res, np.cumsum(data, axis=2), rtol=1e-12)
+
+
+def test_sharded_scan_composition(mesh):
+    """Field-operator + scan composition (tridiagonal solve) on sharded
+    inputs through the embedded path under jit."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    shape = (16, 16, 6)
+    b = np.full(shape, 4.0)
+    a = -np.ones(shape)
+    c = -np.ones(shape)
+    d = rng.random(shape)
+
+    @gtx.scan_operator(axis=K, forward=True, init=(0.0, 0.0))
+    def fwd(carry, a: float, b: float, c: float, d: float):
+        cp_prev, dp_prev = carry
+        denom = b - a * cp_prev
+        return (c / denom, (d - a * dp_prev) / denom)
+
+    @gtx.scan_operator(axis=K, forward=False, init=0.0)
+    def bwd(x_kp1, cp: float, dp: float):
+        return dp - cp * x_kp1
+
+    @jax.jit
+    def solve(aa, bb, cc, dd):
+        fa = gtx.as_field({I: 16, J: 16, K: 6}, aa)
+        fb = gtx.as_field({I: 16, J: 16, K: 6}, bb)
+        fc = gtx.as_field({I: 16, J: 16, K: 6}, cc)
+        fd = gtx.as_field({I: 16, J: 16, K: 6}, dd)
+        cp, dp = fwd(fa, fb, fc, fd)
+        return bwd(cp, dp).ndarray
+
+    args = [
+        shard_field(gtx.as_field({I: 16, J: 16, K: 6}, x), mesh).ndarray
+        for x in (a, b, c, d)
+    ]
+    got = np.asarray(solve(*args))
+
+    from tests.cartesian_tests import stencil_defs as defs
+
+    expected = defs.validate_tridiagonal_solver(a, b, c, d)
+    np.testing.assert_allclose(got, expected, rtol=1e-10)
