@@ -99,6 +99,8 @@ class StepTimer:
         import jax
 
         self.fetch = jax.jit(lambda a: a.ravel()[0])
+        #: label -> compile+warm seconds of the last measure() call
+        self.compile_times: dict = {}
 
     def sync(self, x) -> None:
         np.asarray(self.fetch(x))
@@ -126,6 +128,7 @@ class StepTimer:
 
         timed(f_lo)  # warm compile + cache paths
         warm_done = time.perf_counter()
+        self.compile_times[label] = round(warm_done - wall0, 1)
         timed(f_hi)
         lo = min(timed(f_lo) for _ in range(trials))
         hi = min(timed(f_hi) for _ in range(trials))
@@ -1100,6 +1103,10 @@ def main() -> None:
                 )
     except Exception:
         pass
+
+    # Per-workload compile+warm seconds (persistent tk-probe + XLA caches
+    # make repeat runs warm; cold numbers reflect the remote Mosaic probes)
+    results["compile_warm_s"] = dict(timer.compile_times)
 
     target = 0.80
     vs_baseline = round(hdiff_frac / target, 3) if hdiff_frac == hdiff_frac else None

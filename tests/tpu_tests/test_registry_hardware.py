@@ -61,6 +61,11 @@ def tpu():
 
     if jax.default_backend() != "tpu":
         pytest.skip("no TPU attached (set GT4PY_TEST_PLATFORM=tpu to lift the CPU pin)")
+    # Compiled kernels survive across sessions — without this every run
+    # pays the full remote Mosaic compile per stencil (~30-60 s each).
+    from gt4py_tpu.cartesian.caching import enable_persistent_cache
+
+    enable_persistent_cache()
     return jax.devices()[0]
 
 
