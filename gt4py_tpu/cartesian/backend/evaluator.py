@@ -170,14 +170,16 @@ def _apply_binop(xp, op, left, right):
     L = gtir.LogicalOperator
     if isinstance(op, C):
         # Mosaic has no bf16/f16 vector comparison ("Target does not
-        # support this comparison"); f32 embeds both exactly, so comparing
-        # in f32 is bit-identical — applied in every backend for parity.
+        # support this comparison"); f32 embeds a half-float exactly, so
+        # widening ONLY the half operand is bit-identical — the other side
+        # keeps its dtype (an f64/int64 counterpart must not be narrowed)
+        # and ordinary promotion finishes the job. Applied in every
+        # backend for parity.
         from gt4py_tpu.core.definitions import HALF_FLOAT_DTYPES
 
-        if any(
-            getattr(v, "dtype", None) in HALF_FLOAT_DTYPES for v in (left, right)
-        ):
+        if getattr(left, "dtype", None) in HALF_FLOAT_DTYPES:
             left = xp.asarray(left).astype(np.float32)
+        if getattr(right, "dtype", None) in HALF_FLOAT_DTYPES:
             right = xp.asarray(right).astype(np.float32)
     if op == A.ADD:
         return xp.add(left, right)
@@ -468,6 +470,11 @@ class Evaluator:
             for w in iter_writes(stmt):
                 if not self.dims[w.name][2]:
                     raise _PlaneUnsupported("write to K-less field in scan")
+                if not all(self.dims[w.name][:2]):
+                    # The carry planes are (I, J) 2-D; a J-less/I-less
+                    # written field would need reduced-rank carries — use
+                    # the per-level path instead.
+                    raise _PlaneUnsupported("write to lower-dim field in scan")
 
         depth: dict[str, int] = {f: 0 for f in written}
         xs_keys: set[tuple[str, int]] = {(f, 0) for f in written}

@@ -386,7 +386,31 @@ def build_staged_fn(
             state.update(call(state, scalars))
         return {n: state[n] for n in written_fields}
 
+    # Out-of-domain K reads clamp to the boundary plane; that is only
+    # faithful when the array has NO K rows beyond the domain (encode drops
+    # trailing rows, so a high-side K halo would be silently shadowed —
+    # the build-time guard covers the low side via origins, the high side
+    # is shape-dependent and checked per call here).
+    k_ext_reads = {
+        name
+        for name, ext in analyzed.field_extents.items()
+        if ext.k != (0, 0) and name in analyzed.field_infos
+    }
+
+    def _check_k_halo(arrays) -> None:
+        for name in k_ext_reads:
+            bk = geo.axes_mask.get(name, (True, True, True))[2]
+            if not bk:
+                continue
+            kax = sum(geo.axes_mask.get(name, (True, True, True))[:2])
+            if arrays[name].shape[kax] - origins[name][2] > nk:
+                raise PallasUnsupported(
+                    f"field '{name}' carries a high-side K halo its "
+                    f"out-of-domain reads would shadow"
+                )
+
     def fn(arrays: dict[str, Any], scalars: dict[str, Any]) -> dict[str, Any]:
+        _check_k_halo(arrays)
         padded = {n: encode(n, arrays[n]) for n in geo.fields}
         results = call_padded(padded, scalars)
         return {n: decode(n, results[n], arrays[n]) for n in written_fields}

@@ -78,6 +78,11 @@ class StencilObject:
         self.domain_info = analyzed.domain_info
         self._signature = inspect.signature(definition)
         self.__doc__ = analyzed.stencil.docstring
+        import threading
+
+        self._compile_lock = threading.Lock()
+        self._compile_threads: list = []
+        self._compile_errors: list = []
 
     @property
     def name(self) -> str:
@@ -442,34 +447,38 @@ class StencilObject:
             if pi.access != AccessKind.NONE
         }
 
-        if not hasattr(self, "_compile_threads"):
-            self._compile_threads = []
-            self._compile_errors = []
-
         def work():
             try:
                 self._call_run(
                     field_args, param_args, domain, origin, validate_args=False
                 )
             except Exception as e:  # surfaced by wait_for_compilation
-                self._compile_errors.append(e)
+                with self._compile_lock:
+                    self._compile_errors.append(e)
 
         t = threading.Thread(target=work, daemon=True, name=f"precompile-{self.name}")
-        t.start()
-        self._compile_threads.append(t)
+        with self._compile_lock:
+            # start under the lock: every thread in the list is started,
+            # so wait_for_compilation can join() unconditionally
+            t.start()
+            self._compile_threads.append(t)
         if wait:
             self.wait_for_compilation()
 
     def wait_for_compilation(self) -> None:
-        """Block until every :meth:`precompile` worker finished; re-raise
-        the first deferred build error (if any)."""
-        for t in getattr(self, "_compile_threads", ()):
-            t.join()
-        errors = getattr(self, "_compile_errors", [])
-        if hasattr(self, "_compile_threads"):
-            self._compile_threads = []
+        """Block until every :meth:`precompile` worker started so far has
+        finished (including ones started while joining); re-raise the
+        first deferred build error (if any)."""
+        while True:
+            with self._compile_lock:
+                pending = [t for t in self._compile_threads if t.is_alive()]
+                if not pending:
+                    self._compile_threads = []
+                    errors, self._compile_errors = self._compile_errors, []
+                    break
+            for t in pending:
+                t.join()
         if errors:
-            self._compile_errors = []
             raise errors[0]
 
     def __repr__(self) -> str:

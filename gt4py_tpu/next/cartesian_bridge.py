@@ -151,14 +151,20 @@ class _Tracer:
         ScanExecution, codegens/gtfn/itir_to_gtfn_ir.py)."""
         import jax
 
-        if kwargs:
-            raise BridgeUnsupported("keyword arguments in a traced scan call")
         axis_slot = self.dim_axis.get(op.axis)
         if axis_slot != 2:
             raise BridgeUnsupported("scan axis is not the vertical (K) dimension")
 
         sig = inspect.signature(op.definition)
         names = list(sig.parameters)
+        if kwargs:
+            # Bind keyword arguments into the positional slots after carry.
+            try:
+                bound = sig.bind(None, *args, **kwargs)
+                bound.apply_defaults()
+            except TypeError as e:
+                raise BridgeUnsupported(f"traced scan call signature: {e}")
+            args = tuple(bound.arguments[n] for n in names[1:])
         if len(args) != len(names) - 1:
             raise BridgeUnsupported("traced scan call arity mismatch")
 
@@ -213,36 +219,7 @@ class _Tracer:
         rest_body = trace_section(
             [SymNode(self, "field", (o, (0, 0, dk)), ()) for o in out_names]
         )
-        if forward:
-            sections = [
-                gtir.VerticalSection(
-                    interval=gtir.Interval(
-                        start=gtir.AxisBound.start(0), end=gtir.AxisBound.start(1)
-                    ),
-                    body=first_body,
-                ),
-                gtir.VerticalSection(
-                    interval=gtir.Interval(
-                        start=gtir.AxisBound.start(1), end=gtir.AxisBound.end(0)
-                    ),
-                    body=rest_body,
-                ),
-            ]
-        else:
-            sections = [
-                gtir.VerticalSection(
-                    interval=gtir.Interval(
-                        start=gtir.AxisBound.end(-1), end=gtir.AxisBound.end(0)
-                    ),
-                    body=first_body,
-                ),
-                gtir.VerticalSection(
-                    interval=gtir.Interval(
-                        start=gtir.AxisBound.start(0), end=gtir.AxisBound.end(-1)
-                    ),
-                    body=rest_body,
-                ),
-            ]
+        sections = _scan_sections(forward, first_body, rest_body)
         self.loops.append(
             gtir.VerticalLoop(
                 loop_order=(
@@ -458,6 +435,41 @@ def _to_expr(node: SymNode, memo: dict, defining: Optional[SymNode] = None) -> g
     if node is not defining:
         memo[key] = expr
     return expr
+
+
+def _scan_sections(forward: bool, first_body, rest_body):
+    """The two-section interval split of a lowered scan: the init level at
+    the marching end, the carry recurrence over the rest (shared by the
+    direct scan path and the traced-composition path)."""
+    if forward:
+        return [
+            gtir.VerticalSection(
+                interval=gtir.Interval(
+                    start=gtir.AxisBound.start(0), end=gtir.AxisBound.start(1)
+                ),
+                body=first_body,
+            ),
+            gtir.VerticalSection(
+                interval=gtir.Interval(
+                    start=gtir.AxisBound.start(1), end=gtir.AxisBound.end(0)
+                ),
+                body=rest_body,
+            ),
+        ]
+    return [
+        gtir.VerticalSection(
+            interval=gtir.Interval(
+                start=gtir.AxisBound.end(-1), end=gtir.AxisBound.end(0)
+            ),
+            body=first_body,
+        ),
+        gtir.VerticalSection(
+            interval=gtir.Interval(
+                start=gtir.AxisBound.start(0), end=gtir.AxisBound.end(-1)
+            ),
+            body=rest_body,
+        ),
+    ]
 
 
 def _rename_field(loops, old: str, new: str) -> None:
@@ -734,37 +746,7 @@ def build_scan_variant(
         SymNode(tr, "field", (oname, (0, 0, dk)), ()) for oname in out_names
     ]
     rest_body = trace_section(carry_reads)
-
-    if forward:
-        sections = [
-            gtir.VerticalSection(
-                interval=gtir.Interval(
-                    start=gtir.AxisBound.start(0), end=gtir.AxisBound.start(1)
-                ),
-                body=first_body,
-            ),
-            gtir.VerticalSection(
-                interval=gtir.Interval(
-                    start=gtir.AxisBound.start(1), end=gtir.AxisBound.end(0)
-                ),
-                body=rest_body,
-            ),
-        ]
-    else:
-        sections = [
-            gtir.VerticalSection(
-                interval=gtir.Interval(
-                    start=gtir.AxisBound.end(-1), end=gtir.AxisBound.end(0)
-                ),
-                body=first_body,
-            ),
-            gtir.VerticalSection(
-                interval=gtir.Interval(
-                    start=gtir.AxisBound.start(0), end=gtir.AxisBound.end(-1)
-                ),
-                body=rest_body,
-            ),
-        ]
+    sections = _scan_sections(forward, first_body, rest_body)
 
     params: list[gtir.Decl] = []
     for name, mask, _ in field_params:

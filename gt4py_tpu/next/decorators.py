@@ -538,7 +538,11 @@ class ScanOperator:
         # Called on symbolic values inside a cartesian-bridge trace: inline
         # as a sequential vertical loop of the enclosing stencil (the
         # composition fusion that keeps scan temporaries in VMEM).
-        symbolic = [a for a in args if getattr(a, "_gt_symbolic_", False)]
+        symbolic = [
+            a
+            for a in (*args, *kwargs.values())
+            if getattr(a, "_gt_symbolic_", False)
+        ]
         if symbolic:
             return symbolic[0].tr.trace_scan(self, args, kwargs)
         if self.type_info is not None and out is not None:

@@ -33,9 +33,8 @@ def _narrow_dtype(dtype):
 def narrow_stencil(stencil: gtir.Stencil) -> gtir.Stencil:
     """Return a deep copy of ``stencil`` with every 64-bit dtype narrowed
     to its 32-bit counterpart."""
-    copy = stencil.copy()
-    # copy() on the datamodel is shallow for nested lists; rebuild via the
-    # pretty round-trip for a guaranteed-independent tree.
+    # datamodel copy() is shallow for nested lists; rebuild via the pretty
+    # round-trip for a guaranteed-independent tree.
     from gt4py_tpu.cartesian.gtir_pretty import parse, pretty
 
     copy = parse(pretty(stencil))

@@ -513,3 +513,23 @@ def test_native_layout_chain_and_lazy_decode():
     assert b._array is None           # public view stale until accessed
     _ = np.asarray(b)                 # lazy decode
     assert b._array is not None
+
+
+def test_high_side_k_halo_stays_correct(rng):
+    """A field carrying K rows ABOVE the domain must have them read (not
+    clamp-shadowed) by every serving path — the staged kernel rejects the
+    shape and falls back (round-3 review regression)."""
+    from gt4py_tpu.cartesian.gtscript import FORWARD, computation, interval
+
+    F = gtscript.Field[np.float64]
+
+    def s(inp: F, out: F):
+        with computation(FORWARD), interval(...):
+            out = inp[0, 0, 1]
+
+    st = build(s, name="khalo_hi")
+    ni, nj, nk = 4, 5, 6
+    inp = rng.random((ni, nj, nk + 1))  # one high-side K halo row
+    out = np.zeros((ni, nj, nk))
+    st(inp, out, domain=(ni, nj, nk))
+    np.testing.assert_allclose(out, inp[:, :, 1 : nk + 1])

@@ -288,3 +288,24 @@ def test_bf16_f16_mix_promotes_to_f32():
     got = _run(s, "jax", arrays, "bf16f16")["out"]
     expected = arrays["a"].astype(np.float32) + arrays["b"].astype(np.float32)
     np.testing.assert_allclose(got, expected, rtol=1e-3)
+
+
+def test_half_comparison_keeps_f64_counterpart():
+    """A bf16 < f64 comparison must widen only the bf16 side: 1.0 (bf16)
+    < 1.0 + 1e-9 (f64) is True; narrowing the f64 to f32 would equal them."""
+
+    def s(a: BF16, b: F64, out: F64):
+        with computation(PARALLEL), interval(...):
+            if a < b:
+                out = 1.0
+            else:
+                out = 0.0
+
+    for backend in ("numpy", "jax"):
+        arrays = {
+            "a": np.ones((2, 2, 1), bfloat16),
+            "b": np.full((2, 2, 1), 1.0 + 1e-9),
+            "out": np.zeros((2, 2, 1)),
+        }
+        got = _run(s, backend, arrays, "halfcmp")["out"]
+        np.testing.assert_allclose(got, 1.0, err_msg=backend)

@@ -406,3 +406,43 @@ def test_fused_vadv_composition(rng):
     assert var.backend.last_strategy == "staged"
     orders = [vl.loop_order.name for vl in var.backend.analyzed.stencil.vertical_loops]
     assert orders == ["FORWARD", "BACKWARD"], orders
+
+
+# --- round-3 review regressions ---------------------------------------------
+
+
+def test_scan_bridge_2d_field_falls_back_correctly(rng):
+    """A scan over an (I, K) field (no J) must produce correct results —
+    via the bridge if supported, via fallback otherwise, never a crash."""
+
+    @gtx.scan_operator(axis=KDim, forward=True, init=0.0, backend="tpu:pallas")
+    def cum2d(carry: float, a: float) -> float:
+        return carry + a
+
+    data = rng.random((6, 8))
+    a = gtx.as_field([IDim, KDim], data)
+    out = gtx.zeros({IDim: 6, KDim: 8})
+    cum2d(a, out=out)
+    np.testing.assert_allclose(
+        np.asarray(out.ndarray), np.cumsum(data, axis=1), rtol=1e-12
+    )
+
+
+def test_traced_scan_call_with_kwargs(rng):
+    """Scans called with keyword arguments inside a traced composition."""
+
+    @gtx.scan_operator(axis=KDim, forward=True, init=0.0)
+    def kcum(carry: float, a: float) -> float:
+        return carry + a
+
+    @gtx.field_operator(backend="tpu:pallas")
+    def op(a):
+        return kcum(a=a)
+
+    data = rng.random((5, 4, 6))
+    a = gtx.as_field([IDim, JDim, KDim], data)
+    out = gtx.zeros({IDim: 5, JDim: 4, KDim: 6})
+    op(a, out=out)
+    np.testing.assert_allclose(
+        np.asarray(out.ndarray), np.cumsum(data, axis=2), rtol=1e-12
+    )
