@@ -295,6 +295,32 @@ class FieldOperator:
     def with_backend(self, backend: Optional[str]) -> "FieldOperator":
         return FieldOperator(self.definition, backend, self.options, self.type_info)
 
+    def inspect(
+        self, *args, stage: str = "jaxpr", offset_provider: Optional[dict] = None,
+        **kwargs,
+    ) -> str:
+        """Textual program artifact for example arguments — the
+        observability analog of the reference's ITIR formatters / transform
+        dumps (program_formatter.py): ``stage`` selects ``"jaxpr"`` (the
+        traced program), ``"stablehlo"`` (lowered, pre-XLA-optimization) or
+        ``"hlo"`` (optimized — what actually runs). Steering happens
+        through ``Transforms.with_rewrites`` (e.g. ``jax.checkpoint`` as
+        the global_tmps/rematerialization analog)."""
+        from gt4py_tpu.next import program_processors as pp
+        from gt4py_tpu.next.embedded import offset_provider_context
+
+        fmt = {
+            "jaxpr": pp.format_jaxpr,
+            "stablehlo": pp.format_lowered,
+            "hlo": pp.format_compiled,
+        }.get(stage)
+        if fmt is None:
+            raise ValueError(
+                f"Unknown stage {stage!r} (expected jaxpr | stablehlo | hlo)"
+            )
+        with offset_provider_context(offset_provider):
+            return fmt(self, *args, **kwargs)
+
     def with_compilation_options(self, options=None, **kwargs) -> "FieldOperator":
         """Reference decorator.py:111 (`with_compilation_options`)."""
         opts = options if options is not None else self.options.replace(**kwargs)

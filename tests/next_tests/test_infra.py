@@ -390,3 +390,32 @@ def test_raw_array_operator_arg_gets_actionable_error():
     out = gtx.zeros({Ir: 4})
     with pytest.raises(TypeError, match="as_field"):
         dbl(np.ones(4), out=out)
+
+
+def test_field_operator_inspect_stages():
+    """op.inspect() exposes the jaxpr/StableHLO/HLO artifacts (the
+    ITIR-formatter observability analog, round-3 Missing #6)."""
+    import numpy as np
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dimension
+
+    I = Dimension("Iins")
+
+    @gtx.field_operator
+    def op(a, b):
+        return a * 2.0 + b
+
+    a = gtx.as_field([I], np.arange(8.0))
+    b = gtx.as_field([I], np.ones(8))
+    jx = op.inspect(a, b, stage="jaxpr")
+    assert "mul" in jx and "add" in jx
+    sh = op.inspect(a, b, stage="stablehlo")
+    assert "stablehlo" in sh or "func" in sh
+    hlo = op.inspect(a, b, stage="hlo")
+    assert "fusion" in hlo or "HloModule" in hlo
+
+    import pytest
+
+    with pytest.raises(ValueError, match="Unknown stage"):
+        op.inspect(a, b, stage="itir")
