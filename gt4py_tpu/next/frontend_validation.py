@@ -218,6 +218,41 @@ def validate_definition(
                 f"*{bad.arg} parameters are not allowed on a {kind}.",
             )
 
+    if kind == "program":
+        # PAST-analog lints (reference past_passes linters + ProgramLowering
+        # checks, next/ffront/past_to_itir.py): a program is a sequence of
+        # operator calls writing through ``out=`` — bare expressions do
+        # nothing and a missing out= silently discards the result.
+        for i, stmt in enumerate(node.body):
+            if (
+                i == 0
+                and isinstance(stmt, ast.Expr)
+                and isinstance(stmt.value, ast.Constant)
+                and isinstance(stmt.value.value, str)
+            ):
+                continue  # docstring
+            if isinstance(stmt, ast.Return) and stmt.value is not None:
+                raise errors.DSLSyntaxError(
+                    _loc(stmt, filename, line_offset, col_offset),
+                    "Programs do not return values; write results through "
+                    "the out= argument of operator calls.",
+                )
+            if isinstance(stmt, ast.Expr):
+                if isinstance(stmt.value, ast.Call):
+                    call = stmt.value
+                    if not any(kw.arg == "out" for kw in call.keywords):
+                        raise errors.DSLSyntaxError(
+                            _loc(stmt, filename, line_offset, col_offset),
+                            "Operator calls inside a program must pass "
+                            "out=<field> — without it the result is "
+                            "discarded.",
+                        )
+                elif not isinstance(stmt.value, ast.Constant):
+                    raise errors.DSLSyntaxError(
+                        _loc(stmt, filename, line_offset, col_offset),
+                        "This statement has no effect inside a program.",
+                    )
+
     checker = _ScopeChecker(
         _environment(fn) | set(extra_symbols), filename, line_offset, col_offset
     )

@@ -30,15 +30,39 @@ USES_GLOBAL_TABLE = "uses_global_table"
 USES_VARIABLE_K_OFFSET = "uses_variable_k_offset"
 USES_ABSOLUTE_K = "uses_absolute_k"
 USES_HORIZONTAL_REGION = "uses_horizontal_region"
+# Native-KERNEL path markers (round-3 hardware deltas): the construct runs
+# correctly on `tpu:pallas` but is SERVED by the XLA fallback, not a
+# Mosaic kernel. Tests asserting `pallas_strategy != "xla"` declare them.
+USES_FLOAT64 = "uses_float64"
+USES_LARGE_GLOBAL_TABLE = "uses_large_global_table"  # > _MAX_TABLE_ONEHOT
+USES_MATMUL = "uses_matmul"  # '@' on data-dim fields
+USES_WHOLE_VECTOR_OPS = "uses_whole_vector_ops"  # unindexed data-dim reads
 
 SKIP = "skip"
 XFAIL = "xfail"
+#: the construct executes CORRECTLY but through the XLA fallback — tests
+#: asserting native-kernel service must not require it
+XLA_FALLBACK = "xla_fallback"
 
-#: backend -> {feature marker -> SKIP | XFAIL}. The Pallas backend
-#: transparently falls back to the XLA path for features its kernel
-#: generator does not cover, so nothing is excluded today; the matrix is
-#: the mechanism future native-only backends hook into.
+#: backend -> {feature marker -> SKIP | XFAIL | XLA_FALLBACK}. Results are
+#: always correct on every backend (the Pallas backend falls back to the
+#: XLA path transparently); entries here are the honest record of which
+#: constructs the KERNEL generators do not serve natively on hardware —
+#: measured by tests/tpu_tests/test_registry_hardware.py (reference
+#: pattern: tests/next_tests/definitions.py:124-208, ADR 0015).
 BACKEND_SKIP_TEST_MATRIX: dict[str, dict[str, str]] = {b: {} for b in ALL_BACKENDS}
+BACKEND_SKIP_TEST_MATRIX["tpu:pallas"] = {
+    # Mosaic has no 64-bit types (pallas_codegen._check_supported).
+    USES_FLOAT64: XLA_FALLBACK,
+    # dynamic lookups one-hot-select over the table; capped at
+    # _MAX_TABLE_ONEHOT entries (pallas_codegen.py).
+    USES_LARGE_GLOBAL_TABLE: XLA_FALLBACK,
+    # '@' on data-dim fields and unindexed whole-vector arithmetic have no
+    # kernel stream decomposition (hardware run: matvec_product,
+    # vector_axpy served by XLA).
+    USES_MATMUL: XLA_FALLBACK,
+    USES_WHOLE_VECTOR_OPS: XLA_FALLBACK,
+}
 
 
 def apply_exclusion(backend: str, *features: str) -> None:
@@ -50,3 +74,10 @@ def apply_exclusion(backend: str, *features: str) -> None:
             pytest.skip(f"{backend} does not support {feature}")
         if action == XFAIL:
             pytest.xfail(f"{backend} known-broken for {feature}")
+
+
+def expects_native_kernel(backend: str, *features: str) -> bool:
+    """False when any feature is served by the XLA fallback on this
+    backend — strategy-assertion tests use this instead of hardcoding."""
+    table = BACKEND_SKIP_TEST_MATRIX.get(backend, {})
+    return not any(table.get(f) == XLA_FALLBACK for f in features)

@@ -140,3 +140,23 @@ def test_sequential_k_extent_from_analysis():
     for info in analyzed.field_infos.values():
         assert info.boundary.lower[2] == 0
         assert info.boundary.upper[2] == 0
+
+
+def test_pallas_native_gap_matrix_populated():
+    """Round-3: the matrix records the genuine hardware deltas (constructs
+    served by the XLA fallback on tpu:pallas) rather than being an empty
+    mechanism."""
+    from tests.cartesian_tests.definitions import (
+        BACKEND_SKIP_TEST_MATRIX,
+        USES_FLOAT64,
+        XLA_FALLBACK,
+        expects_native_kernel,
+    )
+
+    table = BACKEND_SKIP_TEST_MATRIX["tpu:pallas"]
+    assert table, "hardware deltas must be recorded"
+    assert table[USES_FLOAT64] == XLA_FALLBACK
+    assert not expects_native_kernel("tpu:pallas", USES_FLOAT64)
+    assert expects_native_kernel("tpu:pallas", "uses_scan")
+    # every other backend serves everything
+    assert BACKEND_SKIP_TEST_MATRIX["numpy"] == {}

@@ -101,3 +101,53 @@ def test_dsl_builtins_are_known_without_import():
     # execution resolves `where` eagerly from the module globals at trace
     # time only if imported — validation must not flag it, execution may.
     assert op6 is not None
+
+
+# --- program-body lints (PAST-analog, round-3) -------------------------------
+
+
+def test_program_call_without_out_rejected():
+    import pytest
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next.errors import DSLSyntaxError
+
+    @gtx.field_operator
+    def _op(a):
+        return a + 1.0
+
+    with pytest.raises(DSLSyntaxError, match="out="):
+
+        @gtx.program
+        def bad(a, out):
+            _op(a)
+
+
+def test_program_return_rejected():
+    import pytest
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next.errors import DSLSyntaxError
+
+    @gtx.field_operator
+    def _op2(a):
+        return a + 1.0
+
+    with pytest.raises(DSLSyntaxError, match="return"):
+
+        @gtx.program
+        def bad2(a, out):
+            return _op2(a)
+
+
+def test_program_dead_expression_rejected():
+    import pytest
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next.errors import DSLSyntaxError
+
+    with pytest.raises(DSLSyntaxError, match="no effect"):
+
+        @gtx.program
+        def bad3(a, out):
+            a + 1.0  # noqa: B018
