@@ -118,13 +118,39 @@ class _Tracer:
     def flush_parallel(self) -> None:
         """Emit pending temp definitions as one PARALLEL vertical loop
         (called before a sequential scan loop so the scan's materialized
-        arguments exist; also for the final out assignment)."""
+        arguments exist; also for the final out assignment). Statements are
+        ordered by data dependency, not creation order — materializing a
+        scan's composite arguments can register a consumer (``diag``)
+        before one of its inputs (``upper``)."""
         pending = self.temps[self._flushed:]
         if not pending:
             return
+
+        def deps(node: "SymNode", root: "SymNode"):
+            for child in node.children:
+                if child.temp_name is not None and child is not root:
+                    yield child
+                else:
+                    yield from deps(child, root)
+
+        ordered: list[SymNode] = []
+        seen: set[int] = set()
+        pending_ids = {id(t) for t in pending}
+
+        def visit(t: "SymNode") -> None:
+            if id(t) in seen or id(t) not in pending_ids:
+                return
+            seen.add(id(t))
+            for d in deps(t, t):
+                visit(d)
+            ordered.append(t)
+
+        for t in pending:
+            visit(t)
+
         memo: dict = {}
         body: list[gtir.Stmt] = []
-        for tnode in pending:
+        for tnode in ordered:
             body.append(
                 gtir.Assign(
                     target=gtir.FieldAccess(name=tnode.temp_name, offset=(0, 0, 0)),

@@ -446,3 +446,55 @@ def test_traced_scan_call_with_kwargs(rng):
     np.testing.assert_allclose(
         np.asarray(out.ndarray), np.cumsum(data, axis=2), rtol=1e-12
     )
+
+
+def test_composite_scan_args_dependency_order(rng):
+    """Composite scan arguments referencing each other must materialize in
+    dependency order (diag = f(lower, upper) with upper registered later
+    used to trip definitive assignment)."""
+
+    @gtx.scan_operator(axis=KDim, forward=True, init=(0.0, 0.0))
+    def fwd(carry, a: float, b: float, c: float, d: float):
+        cp_prev, dp_prev = carry
+        denom = b - a * cp_prev
+        return (c / denom, (d - a * dp_prev) / denom)
+
+    @gtx.scan_operator(axis=KDim, forward=False, init=0.0)
+    def bwd(x_kp1, cp: float, dp: float):
+        return dp - cp * x_kp1
+
+    @gtx.field_operator(backend="tpu:pallas")
+    def solve(q, kappa, kidx, klast: int, r: float):
+        lower = where(kidx == 0, 0.0, -r * kappa)
+        upper = where(kidx == klast, 0.0, -r * kappa)
+        diag = 1.0 - lower - upper  # reads BOTH composites
+        cp, dp = fwd(lower, diag, upper, q)
+        return bwd(cp, dp)
+
+    ni, nj, nk = 5, 4, 8
+    q0 = rng.random((ni, nj, nk))
+    kappa = 0.5 + 0.5 * rng.random((ni, nj, nk))
+    r = 0.1
+    kidx = gtx.as_field([KDim], np.arange(nk, dtype=np.int32))
+    out = gtx.zeros({IDim: ni, JDim: nj, KDim: nk})
+    solve(
+        gtx.as_field([IDim, JDim, KDim], q0),
+        gtx.as_field([IDim, JDim, KDim], kappa),
+        kidx, nk - 1, r, out=out,
+    )
+    # dense oracle per column
+    expected = np.empty_like(q0)
+    for i in range(ni):
+        for j in range(nj):
+            m = np.zeros((nk, nk))
+            for k in range(nk):
+                lo = 0.0 if k == 0 else -r * kappa[i, j, k]
+                up = 0.0 if k == nk - 1 else -r * kappa[i, j, k]
+                m[k, k] = 1.0 - lo - up
+                if k > 0:
+                    m[k, k - 1] = lo
+                if k < nk - 1:
+                    m[k, k + 1] = up
+            expected[i, j] = np.linalg.solve(m, q0[i, j])
+    np.testing.assert_allclose(np.asarray(out.ndarray), expected, rtol=1e-10)
+    assert _bridged(solve) and _staged(solve)
