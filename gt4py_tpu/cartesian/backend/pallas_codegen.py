@@ -1394,7 +1394,15 @@ def select_plane_tk(
     if not ok_cands:
         raise PallasUnsupported("no K-block size compiles for the plane strategy")
     tk = ok_cands[0]
-    if len(ok_cands) > 1:
+    # GT4PY_PALLAS_PROBE_TIMING=0 skips the on-device timing race (used by
+    # the hardware test tier: correctness runs do not need the optimal tk,
+    # and a pathologically slow candidate kernel would stall the session —
+    # observed ~2 s/step at tiny domains, i.e. 30+ min for one 702-step
+    # probe chain).
+    time_probes = os.environ.get("GT4PY_PALLAS_PROBE_TIMING", "1") not in (
+        "0", "", "false"
+    )
+    if len(ok_cands) > 1 and time_probes:
         # The faster block size flips between compiles (Mosaic scheduling);
         # time the compiling candidates on-device and keep the winner.
         try:
@@ -1406,9 +1414,11 @@ def select_plane_tk(
         except Exception:
             pass
     _plane_tk_cache[key] = tk
-    if not transient:
+    if not transient and (time_probes or len(ok_cands) == 1):
         # A transiently-failed earlier candidate may be the better block
-        # size — don't pin this choice across processes.
+        # size — don't pin this choice across processes. Likewise an
+        # UNTIMED multi-candidate pick (GT4PY_PALLAS_PROBE_TIMING=0) stays
+        # session-local so it cannot shadow a later measured choice.
         try:
             os.makedirs(cache_dir, exist_ok=True)
             tmp = cache_path + ".tmp"
@@ -1472,7 +1482,11 @@ def _probe_plane_time(analyzed, domain, origins, tk, variant) -> float:
         sync(r)
         return time.perf_counter() - t0
 
-    timed(f_lo)
+    first = timed(f_lo)
+    if first > 10.0:
+        # Pathological candidate (~100 ms+/step): abandon before the long
+        # chain — the estimate only needs to LOSE the race.
+        return first / n_lo
     timed(f_hi)
     lo = min(timed(f_lo) for _ in range(3))
     hi = min(timed(f_hi) for _ in range(3))

@@ -66,6 +66,12 @@ def tpu():
     from gt4py_tpu.cartesian.caching import enable_persistent_cache
 
     enable_persistent_cache()
+    # Correctness tier: skip the per-stencil on-device tk timing races
+    # (one pathologically slow candidate kernel stalled full runs for
+    # 30+ minutes at tiny domains).
+    import os
+
+    os.environ.setdefault("GT4PY_PALLAS_PROBE_TIMING", "0")
     return jax.devices()[0]
 
 
