@@ -311,6 +311,15 @@ def build_pallas_fn(
     per-loop plane strategy (sequential loops / static K offsets,
     pallas_seq.py) → tiled manual-DMA strategy.
     """
+    ni, nj, _nk = domain
+    if not interpret and (nj < 16 or ni < 8):
+        # Hardware floor: Mosaic kernels at sub-tile domains have WEDGED
+        # the chip (observed: a region kernel at (8, 9, 8) runs forever
+        # on-device until the client dies). Tiny domains are
+        # dispatch-bound anyway — the fused XLA path serves them.
+        raise PallasUnsupported(
+            f"domain {domain} below the hardware kernel floor (16 J / 8 I)"
+        )
     if _plane_eligible(analyzed, domain):
         from gt4py_tpu.cartesian.backend import pallas_split
 

@@ -147,7 +147,10 @@ def test_registry_stencil_on_hardware(tpu, name):
     entry["dtypes"] = {k: np.float32 for k in entry["dtypes"]} or entry["dtypes"]
     if name == "vertical_advection_dycore":
         entry["scalars"] = {"dtr_stage": np.float32(0.15)}
-    domain = (8, 9, max(8, entry["min_k"]))
+    # (24, 24, *) sits in the known-good Mosaic shape territory
+    # (run_on_tpu uses 32^2/128^2); sub-16 J domains have WEDGED the device
+    # (region kernels at (8, 9, 8) hang on-chip until the client dies).
+    domain = (24, 24, max(8, entry["min_k"]))
     analyzed, pallas, oracle = _narrowed_backends(entry, name)
 
     rng = np.random.default_rng(hash(name) % 2**31)
