@@ -113,6 +113,16 @@ def _check_supported(
         if t.data_dims:
             raise PallasUnsupported("data-dimension temporary")
     for _, _, stmt in analyzed.stencil.walk_stmts():
+        if not interpret and getattr(stmt, "horizontal_masks", ()):
+            # Mosaic hazard (observed on the live toolchain, round 3):
+            # region-masked kernels WEDGE the chip at (8,9,8) and (24,24,8)
+            # — on-device infinite execution until the client dies. Larger
+            # shapes are unverified (each probe risks ~15 min of chip
+            # downtime), so hardware serves regions through the XLA path;
+            # interpret mode keeps the native lowering covered.
+            raise PallasUnsupported(
+                "horizontal regions (Mosaic wedge hazard on this toolchain)"
+            )
         if isinstance(stmt, gtir.While) and not allow_while:
             raise PallasUnsupported("while loop")
         if isinstance(stmt, gtir.Assign) and stmt.target.data_index:

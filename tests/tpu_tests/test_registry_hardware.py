@@ -33,9 +33,12 @@ EXPECTED_STRATEGY: dict[str, set] = {
     "native_function_zoo": {"split", "plane"},
     "compile_time_if": {"split", "plane"},
     "ternary_and_masks": {"split", "plane"},
-    "region_interaction": {"split", "plane"},
+    # horizontal regions: Mosaic wedge hazard -> XLA on hardware
+    # (BACKEND_SKIP_TEST_MATRIX USES_HORIZONTAL_REGION)
+    "region_interaction": {"xla"},
+    "region_conditional": {"xla"},
+    "region_in_sequential": {"xla"},
     "dycore_smagorinsky_like": {"split", "plane"},
-    "region_conditional": {"split", "plane"},
     "single_level_offset": {"split", "plane", "staged"},
     "scalar_inputs": {"split", "plane"},
     # sequential-K loops -> staged plane kernels
@@ -44,7 +47,6 @@ EXPECTED_STRATEGY: dict[str, set] = {
     "forward_cumsum": {"staged"},
     "backward_cumsum": {"staged"},
     "multi_section_forward": {"staged"},
-    "region_in_sequential": {"staged"},
     "staggeredish_interval_chain": {"staged"},
     "empty_computation_inlined": {"staged"},
     "large_k_interval": {"split", "plane", "staged"},
