@@ -38,7 +38,7 @@ EXPECTED_STRATEGY: dict[str, set] = {
     "region_interaction": {"xla"},
     "region_conditional": {"xla"},
     "region_in_sequential": {"xla"},
-    "dycore_smagorinsky_like": {"split", "plane"},
+    "dycore_smagorinsky_like": {"staged"},  # FORWARD relaxation sweep
     "single_level_offset": {"split", "plane", "staged"},
     "scalar_inputs": {"split", "plane"},
     # sequential-K loops -> staged plane kernels
