@@ -782,3 +782,24 @@ def iteration_index_sequential(inp: Field3D, out: Field3D):
             out = inp * (K + 1)
         with interval(1, None):
             out = out[0, 0, -1] + inp * (K + 1)
+
+
+@register(externals={"PHYS_TEND": True}, scalars={"dt": 0.5})
+def optional_tendency(
+    in_field: Field3D,
+    out_field: Field3D,
+    dyn_tend: Field3D,
+    phys_tend: Field3D = None,
+    *,
+    dt: float,
+):
+    """Optional-field pattern (reference optional_field): the phys_tend
+    parameter may be omitted entirely when __INLINED(PHYS_TEND) prunes its
+    use (covered in test_features); registered here with the field live so
+    every backend executes the two-tendency update."""
+    from __externals__ import PHYS_TEND
+
+    with computation(PARALLEL), interval(...):
+        out_field = in_field + dt * dyn_tend
+        if __INLINED(PHYS_TEND):
+            out_field = out_field + dt * phys_tend
