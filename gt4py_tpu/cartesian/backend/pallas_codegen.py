@@ -60,8 +60,13 @@ _SUBLANE = 8
 
 
 #: widest GlobalTable (total entries) served natively via one-hot lookup
-#: (this Mosaic toolchain has no N-D gather — "Only 2D gather is supported")
-_MAX_TABLE_ONEHOT = 64
+#: (this Mosaic toolchain has no N-D gather — "Only 2D gather is supported").
+#: Measured on v5e at 256x256x80: one-hot scales linearly (~3.6 us per
+#: entry per step — T=64: 235 us, T=128: 460 us, T=256: 1.38 ms) and
+#: beats XLA's scalar-gather fallback (43.4 ms at T=256) by ~30x; compile
+#: time grows steeply above 256 (140 s at T=256, T=512 exceeds a 5-min
+#: budget), hence the cap.
+_MAX_TABLE_ONEHOT = 256
 #: widest data-dimension expansion (streams per field) the plane kernels
 #: carry; dynamic data-index reads cost one select per stream.
 _MAX_DATA_STREAMS = 8
