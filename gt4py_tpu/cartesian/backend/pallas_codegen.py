@@ -68,8 +68,10 @@ _SUBLANE = 8
 #: budget), hence the cap.
 _MAX_TABLE_ONEHOT = 256
 #: widest data-dimension expansion (streams per field) the plane kernels
-#: carry; dynamic data-index reads cost one select per stream.
-_MAX_DATA_STREAMS = 8
+#: carry; dynamic data-index reads cost one select per stream (statically
+#: indexed reads — the unrolled vector/matmul form — cost nothing extra,
+#: and a 3x3 matrix field needs 9).
+_MAX_DATA_STREAMS = 16
 
 
 def _check_supported(

@@ -101,6 +101,12 @@ def analyze_gtir(stencil: "gtir.Stencil", options: dict) -> AnalyzedStencil:
     the field-view cartesian bridge, next/cartesian_bridge.py)."""
     check_definitive_assignment(stencil)
     stencil = lower_control_flow(stencil)
+    # Whole-vector / matmul data-dimension assignments unroll into
+    # per-component scalar assignments (reference defir_to_gtir.py:123,195)
+    # — the native form for the Pallas per-stream kernels.
+    from gt4py_tpu.cartesian.passes.vector_unroll import unroll_vector_assignments
+
+    stencil = unroll_vector_assignments(stencil)
     # Structural race detection AFTER mask lowering (Ifs are gone, the
     # statement stream is flat) and BEFORE temporary inlining (which would
     # hide the racy reads it substitutes away).

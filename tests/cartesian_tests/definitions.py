@@ -57,11 +57,8 @@ BACKEND_SKIP_TEST_MATRIX["tpu:pallas"] = {
     # dynamic lookups one-hot-select over the table; capped at
     # _MAX_TABLE_ONEHOT entries (pallas_codegen.py).
     USES_LARGE_GLOBAL_TABLE: XLA_FALLBACK,
-    # '@' on data-dim fields and unindexed whole-vector arithmetic have no
-    # kernel stream decomposition (hardware run: matvec_product,
-    # vector_axpy served by XLA).
-    USES_MATMUL: XLA_FALLBACK,
-    USES_WHOLE_VECTOR_OPS: XLA_FALLBACK,
+    # ('@' matmul and whole-vector arithmetic unroll into per-component
+    # stream assignments since round 3 — served natively.)
     # Region-masked Mosaic kernels WEDGE the chip on the live toolchain
     # (observed at (8,9,8) and (24,24,8); larger shapes unverified) —
     # hardware serves regions through XLA, interpret mode still covers the

@@ -176,3 +176,58 @@ def test_write_then_offset_read_allowed():
             a = b[1, 0, 0]
 
     analyze(ok, opts())
+
+
+# --- vector/matmul unrolling (round-3; reference defir_to_gtir.py:123,195) ---
+
+
+def test_vector_assignment_unrolls_to_components():
+    import numpy as np
+
+    from gt4py_tpu.cartesian import gtir, gtscript
+    from gt4py_tpu.cartesian.frontend import parse_stencil
+    from gt4py_tpu.cartesian.passes.lowering import lower_control_flow
+    from gt4py_tpu.cartesian.passes.vector_unroll import unroll_vector_assignments
+
+    Vec3 = gtscript.Field[(np.float64, (3,))]
+    Mat33 = gtscript.Field[(np.float64, (3, 3))]
+
+    def s(mat: Mat33, vec: Vec3, out: Vec3):
+        with gtscript.computation("PARALLEL"), gtscript.interval(...):
+            out = mat @ vec
+
+    ir = unroll_vector_assignments(lower_control_flow(parse_stencil(s, {})))
+    body = ir.vertical_loops[0].sections[0].body
+    assert len(body) == 3  # one scalar assignment per component
+    for c, stmt in enumerate(body):
+        assert isinstance(stmt, gtir.Assign)
+        (idx,) = stmt.target.data_index
+        assert isinstance(idx, gtir.Literal) and idx.value == c
+        # value is a 3-term sum of mat[c, j] * vec[j]
+        muls = [
+            n
+            for n in __import__("gt4py_tpu").eve.walk_values(stmt.value)
+            if isinstance(n, gtir.BinaryOp)
+            and n.op == gtir.ArithmeticOperator.MUL
+        ]
+        assert len(muls) == 3
+
+
+def test_unroll_caps_large_vectors():
+    import numpy as np
+
+    from gt4py_tpu.cartesian import gtir, gtscript
+    from gt4py_tpu.cartesian.frontend import parse_stencil
+    from gt4py_tpu.cartesian.passes.lowering import lower_control_flow
+    from gt4py_tpu.cartesian.passes.vector_unroll import unroll_vector_assignments
+
+    Big = gtscript.Field[(np.float64, (32,))]
+
+    def s(a: Big, out: Big):
+        with gtscript.computation("PARALLEL"), gtscript.interval(...):
+            out = a * 2.0
+
+    ir = unroll_vector_assignments(lower_control_flow(parse_stencil(s, {})))
+    body = ir.vertical_loops[0].sections[0].body
+    assert len(body) == 1  # above the cap: whole-vector form retained
+    assert not body[0].target.data_index

@@ -54,6 +54,10 @@ EXPECTED_STRATEGY: dict[str, set] = {
     # K-offset / variable-K / table / data-dim classes
     "iteration_index_parallel": {"split", "plane", "staged", "tiled"},
     "while_stencil": {"split", "plane", "tiled"},
+    # data-dim vector/matmul assignments unroll to per-stream form
+    "vector_axpy": {"split", "plane"},
+    "matvec_product": {"split", "plane"},
+    "component_extract": {"split", "plane"},
 }
 
 
