@@ -646,6 +646,15 @@ class Field:
     def __hash__(self):
         return id(self)
 
+    def __bool__(self):
+        # NumPy/JAX semantics: without this, Python's chained comparison
+        # `a < b < c` silently evaluates as just `b < c` (the intermediate
+        # Field is truthy by default) — a wrong-RESULTS trap, not an error.
+        raise TypeError(
+            "The truth value of a Field is ambiguous. For element-wise "
+            "conjunction write (a < b) & (b < c); for branching use where()."
+        )
+
     def __repr__(self) -> str:
         return f"Field({self.domain}, dtype={self.dtype})"
 

@@ -151,3 +151,26 @@ def test_program_dead_expression_rejected():
         @gtx.program
         def bad3(a, out):
             a + 1.0  # noqa: B018
+
+
+def test_chained_comparison_rejected():
+    """`a < b < c` silently evaluated as `b < c` before round 3 (Python
+    truth-tests the intermediate Field) — now rejected at decoration time,
+    and Field.__bool__ raises for undecoded cases."""
+    import numpy as np
+    import pytest
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dimension
+    from gt4py_tpu.next.errors import DSLSyntaxError
+
+    with pytest.raises(DSLSyntaxError, match="Chained comparisons"):
+
+        @gtx.field_operator
+        def bad4(a, b, c):
+            return a < b < c
+
+    I = Dimension("Ichain")
+    f = gtx.as_field([I], np.ones(4))
+    with pytest.raises(TypeError, match="ambiguous"):
+        bool(f < f)
