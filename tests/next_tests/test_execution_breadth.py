@@ -343,3 +343,52 @@ def test_program_jit_inlines_oracle_backend_operators(rng):
     out = gtx.zeros({I: 5})
     prog(gtx.as_field([I], av), out)
     np.testing.assert_allclose(out.asnumpy(), 2 * av)
+
+
+# --- closure variables (reference closure_var_folding semantics) -------------
+
+_CLOSURE_GAIN = 3.0
+
+
+@gtx.field_operator
+def _gain_op(a):
+    return a * _CLOSURE_GAIN
+
+
+def test_closure_vars_snapshot_at_first_compile(rng):
+    """Closure/module constants are compile-time constants (reference
+    foast closure_var_folding): the first compiled variant pins the value;
+    later rebinding the module global does NOT change compiled results."""
+    a = gtx.as_field([I], np.ones(6))
+    out = gtx.zeros({I: 6})
+    _gain_op(a, out=out)
+    np.testing.assert_allclose(np.asarray(out.ndarray), 3.0)
+
+    import tests.next_tests.test_execution_breadth as mod
+
+    old = mod._CLOSURE_GAIN
+    try:
+        mod._CLOSURE_GAIN = 7.0
+        _gain_op(a, out=out)
+        # same variant key -> the pinned constant, like the reference
+        np.testing.assert_allclose(np.asarray(out.ndarray), 3.0)
+    finally:
+        mod._CLOSURE_GAIN = old
+
+
+def test_closure_var_kinds(rng):
+    """int / float / np scalar / bool closure constants all fold."""
+    gain_i = 2
+    gain_f = 0.5
+    gain_np = np.float64(4.0)
+    flag = True
+
+    @gtx.field_operator
+    def op(a):
+        base = a * gain_i + a * gain_f + a * gain_np
+        return where(a > -1.0, base, base) if flag else base
+
+    data = rng.random(5)
+    out = gtx.zeros({I: 5})
+    op(gtx.as_field([I], data), out=out)
+    np.testing.assert_allclose(np.asarray(out.ndarray), data * 6.5, rtol=1e-12)
