@@ -1388,10 +1388,15 @@ def select_plane_tk(
     from gt4py_tpu.cartesian.caching import GT_CACHE_ROOT
     from gt4py_tpu.eve.utils import content_hash
 
+    # Key on the LOCATION-STRIPPED canonical text: repr() embeds source
+    # lines, so unrelated edits to the defining file shifted every key and
+    # re-ran the full probe ladder (~9 min of remote compiles per stencil).
+    from gt4py_tpu.cartesian.gtir_pretty import pretty, strip_locations
+
     key = content_hash(
         variant,
         _KERNEL_REV,
-        analyzed.fingerprint if hasattr(analyzed, "fingerprint") else repr(analyzed.stencil),
+        pretty(strip_locations(analyzed.stencil)),
         domain,
         sorted(origins.items()),
     )

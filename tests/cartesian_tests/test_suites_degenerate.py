@@ -144,3 +144,61 @@ class TestBackwardSingleSection(StencilTestSuite):
         out[:ni, :nj, nk - 1] = inp[:ni, :nj, nk - 1]
         for k in range(nk - 2, -1, -1):
             out[:ni, :nj, k] = 0.5 * out[:ni, :nj, k + 1] + inp[:ni, :nj, k]
+
+
+class TestVariableKOffsetGrind(StencilTestSuite):
+    """Variable K gathers under hypothesis shapes (clamped at the K edges
+    — the kernel/evaluator/debug clamp contract)."""
+
+    dtypes = [np.float64, np.float32]
+    domain_range = [(1, 4), (1, 4), (2, 6)]
+    symbols = dict(
+        src=field(in_range=(-4, 4)),
+        kidx=field(in_range=(-1, 1), dtype=np.int64),
+        out=field(in_range=(-4, 4)),
+    )
+    max_examples = 8
+
+    def definition(src, kidx, out):
+        with gtscript.computation("PARALLEL"), gtscript.interval(...):
+            out = src[0, 0, kidx]
+
+    def validation(src, kidx, out, *, domain, origin):
+        ni, nj, nk = domain
+        kk = np.clip(
+            np.arange(nk)[None, None, :] + kidx[:ni, :nj, :nk].astype(np.int64),
+            0, src.shape[2] - 1,
+        )
+        out[:ni, :nj, :nk] = np.take_along_axis(src, kk, axis=2)[:ni, :nj]
+
+
+class TestMaskedSequentialGrind(StencilTestSuite):
+    """Field-conditional writes inside a FORWARD carry chain."""
+
+    dtypes = [np.float64]
+    domain_range = [(1, 4), (1, 4), (2, 6)]
+    symbols = dict(
+        gate=field(in_range=(-1, 1)),
+        inp=field(in_range=(-2, 2)),
+        out=field(in_range=(-2, 2)),
+    )
+    max_examples = 8
+
+    def definition(gate, inp, out):
+        with gtscript.computation("FORWARD"):
+            with gtscript.interval(0, 1):
+                out = inp
+            with gtscript.interval(1, None):
+                if gate > 0.0:
+                    out = out[0, 0, -1] + inp
+                else:
+                    out = inp
+
+    def validation(gate, inp, out, *, domain, origin):
+        ni, nj, nk = domain
+        out[:ni, :nj, 0] = inp[:ni, :nj, 0]
+        for k in range(1, nk):
+            cond = gate[:ni, :nj, k] > 0.0
+            out[:ni, :nj, k] = np.where(
+                cond, out[:ni, :nj, k - 1] + inp[:ni, :nj, k], inp[:ni, :nj, k]
+            )
