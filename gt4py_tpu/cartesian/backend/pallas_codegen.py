@@ -119,17 +119,27 @@ def _check_supported(
     for t in analyzed.stencil.temporaries:
         if t.data_dims:
             raise PallasUnsupported("data-dimension temporary")
-    for _, _, stmt in analyzed.stencil.walk_stmts():
-        if not interpret and getattr(stmt, "horizontal_masks", ()):
-            # Mosaic hazard (observed on the live toolchain, round 3):
-            # region-masked kernels WEDGE the chip at (8,9,8) and (24,24,8)
-            # — on-device infinite execution until the client dies. Larger
-            # shapes are unverified (each probe risks ~15 min of chip
-            # downtime), so hardware serves regions through the XLA path;
-            # interpret mode keeps the native lowering covered.
-            raise PallasUnsupported(
-                "horizontal regions (Mosaic wedge hazard on this toolchain)"
-            )
+    def _nested(stmts):
+        for s in stmts:
+            yield s
+            if isinstance(s, gtir.While):
+                yield from _nested(s.body)
+
+    for _, _, top in analyzed.stencil.walk_stmts():
+        for stmt in _nested([top]):
+            if not interpret and getattr(stmt, "horizontal_masks", ()):
+                # Mosaic hazard (observed on the live toolchain, round 3):
+                # region-masked kernels WEDGE the chip at (8,9,8) and
+                # (24,24,8) — on-device infinite execution until the client
+                # dies. Larger shapes are unverified (each probe risks
+                # ~15 min of chip downtime), so hardware serves regions
+                # through the XLA path; interpret mode keeps the native
+                # lowering covered. Checked on NESTED statements too
+                # (while bodies carry region masks after lowering).
+                raise PallasUnsupported(
+                    "horizontal regions (Mosaic wedge hazard on this toolchain)"
+                )
+        stmt = top
         if isinstance(stmt, gtir.While) and not allow_while:
             raise PallasUnsupported("while loop")
         if isinstance(stmt, gtir.Assign) and stmt.target.data_index:
@@ -1388,15 +1398,16 @@ def select_plane_tk(
     from gt4py_tpu.cartesian.caching import GT_CACHE_ROOT
     from gt4py_tpu.eve.utils import content_hash
 
-    # Key on the LOCATION-STRIPPED canonical text: repr() embeds source
-    # lines, so unrelated edits to the defining file shifted every key and
-    # re-ran the full probe ladder (~9 min of remote compiles per stencil).
-    from gt4py_tpu.cartesian.gtir_pretty import pretty, strip_locations
+    # Key on the canonical text (pretty renders NO source locations):
+    # repr() embedded source lines, so unrelated edits to the defining
+    # file shifted every key and re-ran the full probe ladder (~9 min of
+    # remote compiles per stencil).
+    from gt4py_tpu.cartesian.gtir_pretty import pretty
 
     key = content_hash(
         variant,
         _KERNEL_REV,
-        pretty(strip_locations(analyzed.stencil)),
+        pretty(analyzed.stencil),
         domain,
         sorted(origins.items()),
     )
@@ -1513,10 +1524,12 @@ def _probe_plane_time(analyzed, domain, origins, tk, variant) -> float:
         sync(r)
         return time.perf_counter() - t0
 
+    timed(f_lo)  # warmup: jit + remote Mosaic compile, excluded from timing
     first = timed(f_lo)
     if first > 10.0:
-        # Pathological candidate (~100 ms+/step): abandon before the long
-        # chain — the estimate only needs to LOSE the race.
+        # Pathological candidate (~100 ms+/step, measured POST-compile):
+        # abandon before the long chain — the estimate only needs to LOSE
+        # the race.
         return first / n_lo
     timed(f_hi)
     lo = min(timed(f_lo) for _ in range(3))

@@ -172,6 +172,12 @@ def _unroll_body(body: list[gtir.Stmt], shapes: _DataShapes) -> list[gtir.Stmt]:
         ):
             out.append(stmt)  # dynamic partial index: keep whole-vector form
             continue
+        if not _self_reads_are_componentwise(stmt, shapes):
+            # `v = mat @ v` (or an explicit cross-component self-read):
+            # component c would read already-overwritten earlier components
+            # — whole-vector evaluation stays atomic.
+            out.append(stmt)
+            continue
         value_shape = shapes.of(stmt.value)
         if value_shape not in ((), target_shape):
             out.append(stmt)  # shape mismatch surfaces at execution
@@ -189,6 +195,42 @@ def _unroll_body(body: list[gtir.Stmt], shapes: _DataShapes) -> list[gtir.Stmt]:
                 )
             )
     return out
+
+
+def _self_reads_are_componentwise(stmt: gtir.Assign, shapes: _DataShapes) -> bool:
+    """True when unrolling cannot observe its own partial writes: every
+    read of the target field inside the value must select exactly the
+    component being written — i.e. carry NO explicit data index (select()
+    appends the output component) and sit outside any ``@`` contraction
+    (which reads across components)."""
+    name = stmt.target.name
+
+    def ok(expr: gtir.Expr, under_matmul: bool) -> bool:
+        if isinstance(expr, gtir.FieldAccess):
+            if expr.name != name:
+                return True
+            return not under_matmul and not expr.data_index
+        if isinstance(expr, gtir.BinaryOp):
+            inner = under_matmul or expr.op == gtir.ArithmeticOperator.MATMUL
+            return ok(expr.left, inner) and ok(expr.right, inner)
+        if isinstance(expr, gtir.UnaryOp):
+            return ok(expr.expr, under_matmul)
+        if isinstance(expr, gtir.TernaryOp):
+            return (
+                ok(expr.cond, under_matmul)
+                and ok(expr.true_expr, under_matmul)
+                and ok(expr.false_expr, under_matmul)
+            )
+        if isinstance(expr, gtir.NativeFuncCall):
+            return all(ok(a, under_matmul) for a in expr.args)
+        if isinstance(expr, gtir.Cast):
+            return ok(expr.expr, under_matmul)
+        return True
+
+    result = ok(stmt.value, False)
+    if stmt.mask is not None:
+        result = result and ok(stmt.mask, False)
+    return result
 
 
 def _matmul_shape(left: tuple[int, ...], right: tuple[int, ...]) -> tuple[int, ...]:

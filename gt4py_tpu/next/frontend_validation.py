@@ -218,18 +218,6 @@ def validate_definition(
                 f"*{bad.arg} parameters are not allowed on a {kind}.",
             )
 
-    # Chained comparisons (`a < b < c`) cannot trace element-wise: Python
-    # truth-tests the intermediate, which Field.__bool__ rejects at
-    # runtime — reject at decoration time with the rewrite hint (the
-    # reference normalizes these with its unchain_compares AST pass).
-    for sub in ast.walk(node):
-        if isinstance(sub, ast.Compare) and len(sub.ops) > 1:
-            raise errors.DSLSyntaxError(
-                _loc(sub, filename, line_offset, col_offset),
-                "Chained comparisons are not supported on fields; write "
-                "(a < b) & (b < c) instead.",
-            )
-
     if kind == "program":
         # PAST-analog lints (reference past_passes linters + ProgramLowering
         # checks, next/ffront/past_to_itir.py): a program is a sequence of

@@ -126,12 +126,13 @@ def _make_test(suite: type, backend: str, dtype: np.dtype):
                 kw = desc.value_st_kwargs
                 if "one_of" in kw:
                     value = data.draw(st.sampled_from(kw["one_of"]), label=name)
-                elif dtype.kind == "f":
+                elif eff.kind == "f":
                     value = data.draw(
                         st.floats(
-                            width=min(dtype.itemsize * 8, 64),
+                            width=min(eff.itemsize * 8, 64),
                             allow_nan=False,
                             allow_infinity=False,
+                            allow_subnormal=False,
                             **kw,
                         ),
                         label=name,
@@ -140,7 +141,7 @@ def _make_test(suite: type, backend: str, dtype: np.dtype):
                     value = data.draw(
                         st.integers(int(kw["min_value"]), int(kw["max_value"])), label=name
                     )
-                arrays[name] = dtype.type(value)
+                arrays[name] = eff.type(value)
                 run_args[name] = arrays[name]
 
         # Backend run on copies.

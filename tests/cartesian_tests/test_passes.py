@@ -231,3 +231,42 @@ def test_unroll_caps_large_vectors():
     body = ir.vertical_loops[0].sections[0].body
     assert len(body) == 1  # above the cap: whole-vector form retained
     assert not body[0].target.data_index
+
+
+def test_unroll_keeps_aliased_matmul_atomic():
+    """`v = mat @ v` must NOT unroll: later components would read already
+    overwritten earlier ones (review-confirmed wrong-results regression)."""
+    import numpy as np
+
+    from gt4py_tpu.cartesian import gtscript
+
+    Vec3 = gtscript.Field[(np.float64, (3,))]
+    Mat33 = gtscript.Field[(np.float64, (3, 3))]
+
+    def s(mat: Mat33, v: Vec3):
+        with gtscript.computation("PARALLEL"), gtscript.interval(...):
+            v = mat @ v
+
+    rng = np.random.default_rng(0)
+    mat = rng.random((2, 2, 1, 3, 3))
+    v0 = rng.random((2, 2, 1, 3))
+    expected = np.einsum("...ij,...j->...i", mat, v0)
+    for backend in ("numpy", "jax"):
+        st = gtscript.stencil(
+            backend=backend, definition=s, name=f"aliasmm_{backend}", rebuild=True
+        )
+        v = v0.copy()
+        st(mat.copy(), v)
+        np.testing.assert_allclose(v, expected, rtol=1e-12, err_msg=backend)
+
+    # elementwise self-reads still unroll (y = a*x + y)
+    from gt4py_tpu.cartesian.frontend import parse_stencil
+    from gt4py_tpu.cartesian.passes.lowering import lower_control_flow
+    from gt4py_tpu.cartesian.passes.vector_unroll import unroll_vector_assignments
+
+    def axpy(x: Vec3, y: Vec3):
+        with gtscript.computation("PARALLEL"), gtscript.interval(...):
+            y = x * 2.0 + y
+
+    ir = unroll_vector_assignments(lower_control_flow(parse_stencil(axpy, {})))
+    assert len(ir.vertical_loops[0].sections[0].body) == 3

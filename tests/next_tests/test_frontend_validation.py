@@ -153,24 +153,34 @@ def test_program_dead_expression_rejected():
             a + 1.0  # noqa: B018
 
 
-def test_chained_comparison_rejected():
+def test_chained_comparison_raises_at_runtime():
     """`a < b < c` silently evaluated as `b < c` before round 3 (Python
-    truth-tests the intermediate Field) — now rejected at decoration time,
-    and Field.__bool__ raises for undecoded cases."""
+    truth-tests the intermediate Field) — Field.__bool__ now raises with a
+    rewrite hint. Chains over compile-time SCALARS stay valid Python, so
+    this is a runtime guard, not a decoration-time lint."""
     import numpy as np
     import pytest
 
     import gt4py_tpu.next as gtx
     from gt4py_tpu.next import Dimension
-    from gt4py_tpu.next.errors import DSLSyntaxError
-
-    with pytest.raises(DSLSyntaxError, match="Chained comparisons"):
-
-        @gtx.field_operator
-        def bad4(a, b, c):
-            return a < b < c
 
     I = Dimension("Ichain")
-    f = gtx.as_field([I], np.ones(4))
+
+    @gtx.field_operator
+    def chained(a, b, c):
+        return a < b < c
+
+    f = lambda: gtx.as_field([I], np.ones(4))  # noqa: E731
+    out = gtx.zeros({I: 4}, dtype=bool)
     with pytest.raises(TypeError, match="ambiguous"):
-        bool(f < f)
+        chained(f(), f(), f(), out=out)
+
+    LO, HI = 1, 5
+
+    @gtx.field_operator
+    def scalar_chain_ok(a):
+        return a * (1.0 if LO < 3 < HI else 0.0)  # scalar chain folds fine
+
+    out2 = gtx.zeros({I: 4})
+    scalar_chain_ok(f(), out=out2)
+    np.testing.assert_allclose(np.asarray(out2.ndarray), 1.0)

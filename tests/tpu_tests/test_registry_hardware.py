@@ -224,8 +224,10 @@ def test_strategy_coverage(tpu):
         print(f"MISMATCH {n}: served {got}, expected {want}")
     pinned = [n for n in _strategy_log if n in EXPECTED_STRATEGY]
     if pinned:
+        # transient remote-compile blips knock at most a stencil or two to
+        # the fallback per run; anything more is a systemic regression
         ok = len(pinned) - len(_strategy_mismatches)
-        assert ok / len(pinned) >= 0.8, (
+        assert len(_strategy_mismatches) <= 2 and ok / len(pinned) >= 0.9, (
             f"only {ok}/{len(pinned)} strategy-pinned stencils served as "
             f"expected: {_strategy_mismatches}"
         )
