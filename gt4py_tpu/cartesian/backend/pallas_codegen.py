@@ -73,6 +73,31 @@ _MAX_TABLE_ONEHOT = 256
 #: and a 3x3 matrix field needs 9).
 _MAX_DATA_STREAMS = 16
 
+#: Horizontal-region kernels on the live Mosaic toolchain WEDGE the chip
+#: (on-device infinite execution until the client dies) when BOTH horizontal
+#: extents are below 32 — probed round 3 (tests/tpu_tests/probe_regions.py):
+#: wedge at (8,9,8) and (24,24,8); clean at (24,32), (32,24), (32,32),
+#: (33,33), (40,33), (64,64) and (256,256,80) across the plane/split/tiled
+#: strategies. Region stencils with max(ni, nj) below this floor serve
+#: through the XLA path instead.
+_REGION_HW_FLOOR = 32
+
+
+def _has_region_masks(analyzed: AnalyzedStencil) -> bool:
+    """Any statement (incl. nested While bodies) carries a horizontal mask."""
+
+    def _nested(stmts):
+        for s in stmts:
+            yield s
+            if isinstance(s, gtir.While):
+                yield from _nested(s.body)
+
+    return any(
+        getattr(stmt, "horizontal_masks", ())
+        for _, _, top in analyzed.stencil.walk_stmts()
+        for stmt in _nested([top])
+    )
+
 
 def _check_supported(
     analyzed: AnalyzedStencil,
@@ -119,26 +144,7 @@ def _check_supported(
     for t in analyzed.stencil.temporaries:
         if t.data_dims:
             raise PallasUnsupported("data-dimension temporary")
-    def _nested(stmts):
-        for s in stmts:
-            yield s
-            if isinstance(s, gtir.While):
-                yield from _nested(s.body)
-
     for _, _, top in analyzed.stencil.walk_stmts():
-        for stmt in _nested([top]):
-            if not interpret and getattr(stmt, "horizontal_masks", ()):
-                # Mosaic hazard (observed on the live toolchain, round 3):
-                # region-masked kernels WEDGE the chip at (8,9,8) and
-                # (24,24,8) — on-device infinite execution until the client
-                # dies. Larger shapes are unverified (each probe risks
-                # ~15 min of chip downtime), so hardware serves regions
-                # through the XLA path; interpret mode keeps the native
-                # lowering covered. Checked on NESTED statements too
-                # (while bodies carry region masks after lowering).
-                raise PallasUnsupported(
-                    "horizontal regions (Mosaic wedge hazard on this toolchain)"
-                )
         stmt = top
         if isinstance(stmt, gtir.While) and not allow_while:
             raise PallasUnsupported("while loop")
@@ -346,6 +352,19 @@ def build_pallas_fn(
         # dispatch-bound anyway — the fused XLA path serves them.
         raise PallasUnsupported(
             f"domain {domain} below the hardware kernel floor (16 J / 8 I)"
+        )
+    if (
+        not interpret
+        and max(ni, nj) < _REGION_HW_FLOOR
+        and os.environ.get("GT4PY_PALLAS_REGIONS_ON_HW", "0") != "1"
+        and _has_region_masks(analyzed)
+    ):
+        # Mosaic wedge hazard at small region-masked domains — see
+        # _REGION_HW_FLOOR. GT4PY_PALLAS_REGIONS_ON_HW=1 lifts the gate
+        # for bounded probes only (tests/tpu_tests/probe_regions.py).
+        raise PallasUnsupported(
+            f"horizontal regions at domain {domain}: Mosaic wedge hazard "
+            f"below the {_REGION_HW_FLOOR}-point floor"
         )
     if _plane_eligible(analyzed, domain):
         from gt4py_tpu.cartesian.backend import pallas_split

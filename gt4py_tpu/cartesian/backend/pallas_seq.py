@@ -89,9 +89,6 @@ def staged_eligible(analyzed: AnalyzedStencil, *, interpret: bool) -> bool:
         if t.data_dims:
             return False
     for _, _, stmt in analyzed.stencil.walk_stmts():
-        if not interpret and getattr(stmt, "horizontal_masks", ()):
-            # Mosaic wedge hazard — see pallas_codegen._check_supported.
-            return False
         if isinstance(stmt, gtir.While):
             return False
         for node in eve.walk_values(stmt):

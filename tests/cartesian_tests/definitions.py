@@ -59,11 +59,10 @@ BACKEND_SKIP_TEST_MATRIX["tpu:pallas"] = {
     USES_LARGE_GLOBAL_TABLE: XLA_FALLBACK,
     # ('@' matmul and whole-vector arithmetic unroll into per-component
     # stream assignments since round 3 — served natively.)
-    # Region-masked Mosaic kernels WEDGE the chip on the live toolchain
-    # (observed at (8,9,8) and (24,24,8); larger shapes unverified) —
-    # hardware serves regions through XLA, interpret mode still covers the
-    # native lowering.
-    USES_HORIZONTAL_REGION: XLA_FALLBACK,
+    # (Horizontal regions serve NATIVELY at domains with max(ni, nj) >= 32
+    # since round 3 — the Mosaic wedge hazard is confined to small shapes
+    # and gated by pallas_codegen._REGION_HW_FLOOR; sub-floor region
+    # stencils fall back to XLA transparently.)
 }
 
 

@@ -149,6 +149,7 @@ def test_pallas_native_gap_matrix_populated():
     from tests.cartesian_tests.definitions import (
         BACKEND_SKIP_TEST_MATRIX,
         USES_FLOAT64,
+        USES_HORIZONTAL_REGION,
         XLA_FALLBACK,
         expects_native_kernel,
     )
@@ -158,5 +159,7 @@ def test_pallas_native_gap_matrix_populated():
     assert table[USES_FLOAT64] == XLA_FALLBACK
     assert not expects_native_kernel("tpu:pallas", USES_FLOAT64)
     assert expects_native_kernel("tpu:pallas", "uses_scan")
+    # regions serve natively at >= _REGION_HW_FLOOR domains since round 3
+    assert expects_native_kernel("tpu:pallas", USES_HORIZONTAL_REGION)
     # every other backend serves everything
     assert BACKEND_SKIP_TEST_MATRIX["numpy"] == {}

@@ -144,6 +144,27 @@ def test_region(rng):
     np.testing.assert_allclose(a, expected)
 
 
+def test_region_hardware_shape_floor(rng):
+    """On hardware (interpret=False), region-masked stencils below the
+    32-point Mosaic wedge floor are rejected up front (-> XLA fallback);
+    the structural check itself no longer gates regions."""
+    from gt4py_tpu.cartesian.backend.pallas_codegen import (
+        PallasUnsupported,
+        _has_region_masks,
+        build_pallas_fn,
+    )
+    from .test_features import region_stencil
+
+    st = build(region_stencil)
+    analyzed = st._analyzed
+    assert _has_region_masks(analyzed)
+    origins = {"a": (0, 0, 0)}
+    with pytest.raises(PallasUnsupported, match="wedge"):
+        build_pallas_fn(analyzed, (24, 24, 8), origins, interpret=False)
+    # interpret mode has no shape gate — the native lowering stays covered
+    build_pallas_fn(analyzed, (24, 24, 8), origins, interpret=True)
+
+
 def test_variable_k_served_by_tiled_kernel(rng):
     """Variable K offsets run natively in the tiled strategy (one-hot
     K-row selection — this Mosaic has no N-D gather)."""

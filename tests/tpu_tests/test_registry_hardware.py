@@ -33,11 +33,11 @@ EXPECTED_STRATEGY: dict[str, set] = {
     "native_function_zoo": {"split", "plane"},
     "compile_time_if": {"split", "plane"},
     "ternary_and_masks": {"split", "plane"},
-    # horizontal regions: Mosaic wedge hazard -> XLA on hardware
-    # (BACKEND_SKIP_TEST_MATRIX USES_HORIZONTAL_REGION)
-    "region_interaction": {"xla"},
-    "region_conditional": {"xla"},
-    "region_in_sequential": {"xla"},
+    # horizontal regions serve natively at max(ni, nj) >= 32 (round-3
+    # probes, pallas_codegen._REGION_HW_FLOOR); the tier runs at 32x32.
+    "region_interaction": {"split", "plane"},
+    "region_conditional": {"split", "plane"},
+    "region_in_sequential": {"staged", "tiled"},
     "dycore_smagorinsky_like": {"staged"},  # FORWARD relaxation sweep
     "single_level_offset": {"split", "plane", "staged"},
     "scalar_inputs": {"split", "plane"},
@@ -167,10 +167,11 @@ def test_registry_stencil_on_hardware(tpu, name):
     entry["dtypes"] = {k: np.float32 for k in entry["dtypes"]} or entry["dtypes"]
     if name == "vertical_advection_dycore":
         entry["scalars"] = {"dtr_stage": np.float32(0.15)}
-    # (24, 24, *) sits in the known-good Mosaic shape territory
-    # (run_on_tpu uses 32^2/128^2); sub-16 J domains have WEDGED the device
-    # (region kernels at (8, 9, 8) hang on-chip until the client dies).
-    domain = (24, 24, max(8, entry["min_k"]))
+    # (32, 32, *) sits in the known-good Mosaic shape territory AND above
+    # the region-kernel wedge floor (pallas_codegen._REGION_HW_FLOOR —
+    # region kernels at (24, 24, 8) and below hang on-chip until the
+    # client dies; >= 32 on either horizontal axis is probed clean).
+    domain = (32, 32, max(8, entry["min_k"]))
     analyzed, pallas, oracle = _narrowed_backends(entry, name)
 
     rng = np.random.default_rng(hash(name) % 2**31)
