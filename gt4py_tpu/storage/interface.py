@@ -17,7 +17,7 @@ import numpy as np
 
 from gt4py_tpu.storage.storage import Storage
 
-_KNOWN_BACKENDS = {"debug", "numpy", "jax", "tpu:pallas"}
+_KNOWN_BACKENDS = {"debug", "numpy", "cpu:c", "jax", "tpu:pallas"}
 
 
 def _validate(shape, aligned_index, dimensions, backend) -> None:

@@ -57,6 +57,7 @@ def is_tpu_backend(backend_name: str) -> bool:
 # the TPU backends prefer K-leading kernel layout (K major, J minor=lanes).
 register("debug", LayoutInfo(alignment=1, device="cpu", layout_map=(0, 1, 2)))
 register("numpy", LayoutInfo(alignment=64, device="cpu", layout_map=(0, 1, 2)))
+register("cpu:c", LayoutInfo(alignment=64, device="cpu", layout_map=(0, 1, 2)))
 register("jax", LayoutInfo(alignment=128, device="tpu", layout_map=(0, 1, 2)))
 register(
     "tpu:pallas",
