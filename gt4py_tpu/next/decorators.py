@@ -272,6 +272,9 @@ class FieldOperator:
     # Deduced signature (next/type_deduction.py) when the definition is
     # annotated; None = legacy unannotated operator (deduction off).
     type_info: Any = None
+    # FOAST transform knobs (next/foast.TransformOptions); None -> the
+    # env-resolved default pipeline (folding + CSE + DCE on).
+    transform_options: Any = None
 
     def __post_init__(self):
         from gt4py_tpu.next.otf import CompilationOptions, CompiledProgramsPool
@@ -283,9 +286,11 @@ class FieldOperator:
     def __getstate__(self):
         # Picklable for the process compile runner (reference ships its
         # programs to CompilationTask workers); the pool (locks, futures)
-        # rebuilds empty in the child.
+        # rebuilds empty in the child, as does the FOAST compile cache
+        # (generated function objects do not pickle).
         state = self.__dict__.copy()
         state.pop("_pool", None)
+        state.pop("_foast_cache", None)
         return state
 
     def __setstate__(self, state):
@@ -293,7 +298,26 @@ class FieldOperator:
         self.__post_init__()
 
     def with_backend(self, backend: Optional[str]) -> "FieldOperator":
-        return FieldOperator(self.definition, backend, self.options, self.type_info)
+        return FieldOperator(
+            self.definition, backend, self.options, self.type_info,
+            self.transform_options,
+        )
+
+    def with_transforms(self, options: Any = None, **kwargs: Any) -> "FieldOperator":
+        """Select FOAST transform options (the analog of the reference
+        pass-manager knobs, iterator/transforms/pass_manager.py:135-144):
+        ``op.with_transforms(unroll_reduce=True)``,
+        ``op.with_transforms(extract_temporaries=True)``,
+        ``op.with_transforms(enabled=False)`` (run the raw definition)."""
+        from gt4py_tpu.next.foast import default_options
+
+        base = options if options is not None else (
+            self.transform_options or default_options()
+        )
+        opts = base.replace(**kwargs) if kwargs else base
+        return FieldOperator(
+            self.definition, self.backend, self.options, self.type_info, opts
+        )
 
     def inspect(
         self, *args, stage: str = "jaxpr", offset_provider: Optional[dict] = None,
@@ -309,6 +333,11 @@ class FieldOperator:
         from gt4py_tpu.next import program_processors as pp
         from gt4py_tpu.next.embedded import offset_provider_context
 
+        if stage == "foast":
+            from gt4py_tpu.next.foast import foast_source
+
+            with offset_provider_context(offset_provider):
+                return foast_source(self)
         fmt = {
             "jaxpr": pp.format_jaxpr,
             "stablehlo": pp.format_lowered,
@@ -316,7 +345,7 @@ class FieldOperator:
         }.get(stage)
         if fmt is None:
             raise ValueError(
-                f"Unknown stage {stage!r} (expected jaxpr | stablehlo | hlo)"
+                f"Unknown stage {stage!r} (expected foast | jaxpr | stablehlo | hlo)"
             )
         with offset_provider_context(offset_provider):
             return fmt(self, *args, **kwargs)
@@ -324,11 +353,16 @@ class FieldOperator:
     def with_compilation_options(self, options=None, **kwargs) -> "FieldOperator":
         """Reference decorator.py:111 (`with_compilation_options`)."""
         opts = options if options is not None else self.options.replace(**kwargs)
-        return FieldOperator(self.definition, self.backend, opts, self.type_info)
+        return FieldOperator(
+            self.definition, self.backend, opts, self.type_info,
+            self.transform_options,
+        )
 
     def _make_executable(self, args, kwargs) -> Callable:
         from gt4py_tpu.next.backend import Backend, resolve
+        from gt4py_tpu.next.foast import exec_definition
 
+        definition = exec_definition(self)
         statics = {k: v for k, v in kwargs.items() if k in self.options.static_params}
         dynamic = {k: v for k, v in kwargs.items() if k not in statics}
         be = resolve(self.backend) if isinstance(self.backend, (str, Backend)) else None
@@ -336,7 +370,7 @@ class FieldOperator:
             # Build through the backend's Transforms workflow (reference
             # backend.py:154 Backend.compile): user-replaced steps apply.
             return be.make_executable(
-                self.definition,
+                definition,
                 op_kind="field_operator",
                 static_args=tuple(sorted(statics.items())),
                 type_info=self.type_info,
@@ -345,7 +379,7 @@ class FieldOperator:
             )
         import jax
 
-        fn = functools.partial(self.definition, **statics) if statics else self.definition
+        fn = functools.partial(definition, **statics) if statics else definition
         return jax.jit(fn)
 
     def _make_fused(self, args, kwargs, out_meta, dom, be) -> Callable:
@@ -353,8 +387,11 @@ class FieldOperator:
         dispatch per call instead of four — see the module comment)."""
         import jax
 
+        from gt4py_tpu.next.foast import exec_definition
+
+        definition = exec_definition(self)
         statics = {k: v for k, v in kwargs.items() if k in self.options.static_params}
-        fn = functools.partial(self.definition, **statics) if statics else self.definition
+        fn = functools.partial(definition, **statics) if statics else definition
         pt = getattr(be.transforms, "program_transforms", None)
         for rw in getattr(pt, "rewrites", ()) or ():
             fn = rw(fn)
@@ -403,8 +440,12 @@ class FieldOperator:
         **kwargs,
     ):
         if out is None:
-            # Called from inside another field operator: plain application.
-            return self.definition(*args, **kwargs)
+            # Called from inside another field operator: plain application
+            # (through the callee's own FOAST pipeline, so transforms
+            # compose across nested operator calls).
+            from gt4py_tpu.next.foast import exec_definition
+
+            return exec_definition(self)(*args, **kwargs)
         if self.type_info is not None:
             from gt4py_tpu.next.type_deduction import check_call_args, check_out_arg
 
@@ -427,7 +468,9 @@ class FieldOperator:
                     # Inside an enclosing jit (whole-program trace): the
                     # outer trace owns execution — inline regardless of
                     # this operator's declared backend.
-                    result = self.definition(*args, **kwargs)
+                    from gt4py_tpu.next.foast import exec_definition
+
+                    result = exec_definition(self)(*args, **kwargs)
                     _write_out(result, out, dom)
                     return
                 kind = backend_kind(self.backend)
@@ -450,7 +493,9 @@ class FieldOperator:
                         self, args, kwargs, out, offset_provider
                     ):
                         return
-                    result = self.definition(*args, **kwargs)
+                    from gt4py_tpu.next.foast import exec_definition
+
+                    result = exec_definition(self)(*args, **kwargs)
                     _write_out(result, out, dom)
                     return
                 if kind == "jax" and self.options.enable_jit:
@@ -489,7 +534,9 @@ class FieldOperator:
                     ex = self._pool.lookup(args, kwargs, offset_provider)
                     result = ex(*args, **dynamic)
                 else:
-                    result = self.definition(*args, **kwargs)
+                    from gt4py_tpu.next.foast import exec_definition
+
+                    result = exec_definition(self)(*args, **kwargs)
                 _write_out(result, out, dom)
 
     def __get__(self, obj, objtype=None):

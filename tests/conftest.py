@@ -7,6 +7,11 @@ pin JAX_PLATFORMS — override both the env var and the live config."""
 
 import os
 
+# FOAST pipeline bugs must FAIL tests, not silently fall back to the raw
+# definition (production default is graceful fallback with the reason
+# recorded on the operator).
+os.environ.setdefault("GT4PY_FOAST_STRICT", "1")
+
 if os.environ.get("GT4PY_TEST_PLATFORM", "cpu") != "tpu":
     os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
