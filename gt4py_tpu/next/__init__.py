@@ -43,6 +43,7 @@ from gt4py_tpu.next.decorators import (  # noqa: F401
     scan_operator,
 )
 from gt4py_tpu.next.embedded import Field  # noqa: F401
+from gt4py_tpu.next.foast import TransformOptions  # noqa: F401
 from gt4py_tpu.next.errors import (  # noqa: F401
     DSLError,
     DSLSyntaxError,

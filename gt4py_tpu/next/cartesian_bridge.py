@@ -224,7 +224,9 @@ class _Tracer:
         def trace_section(carry_leaves) -> list[gtir.Stmt]:
             carry = jax.tree_util.tree_unflatten(init_struct, carry_leaves)
             n_before = len(self.temps)
-            result = op.definition(carry, *arg_nodes)
+            from gt4py_tpu.next.foast import exec_definition
+
+            result = exec_definition(op)(carry, *arg_nodes)
             if len(self.temps) != n_before:
                 raise BridgeUnsupported("shift of a composite inside a scan body")
             leaves = jax.tree_util.tree_leaves(
@@ -738,7 +740,9 @@ def build_scan_variant(
                 call_args.append(scalar_nodes[n])
             else:
                 raise BridgeUnsupported(f"unbound scan parameter '{n}'")
-        result = op.definition(carry, *call_args)
+        from gt4py_tpu.next.foast import exec_definition
+
+        result = exec_definition(op)(carry, *call_args)
         leaves = jax.tree_util.tree_leaves(
             result, is_leaf=lambda x: isinstance(x, SymNode)
         )
@@ -924,8 +928,11 @@ def try_call(op, args, kwargs, out, providers) -> bool:
         if key in cache:
             return False
         try:
+            from gt4py_tpu.next.foast import exec_definition
+
             variant = build_variant(
-                op.definition, field_args, scalar_args, out, providers, op.backend
+                exec_definition(op), field_args, scalar_args, out, providers,
+                op.backend,
             )
         except BridgeUnsupported:
             cache[key] = None

@@ -589,15 +589,35 @@ class ScanOperator:
     backend: Optional[str] = "jax"
     # Deduced signature (next/type_deduction.py); params[0] is the carry.
     type_info: Any = None
+    # FOAST transform knobs for the per-level body (next/foast).
+    transform_options: Any = None
 
     def with_backend(self, backend: Optional[str]) -> "ScanOperator":
         return ScanOperator(
-            self.definition, self.axis, self.forward, self.init, backend, self.type_info
+            self.definition, self.axis, self.forward, self.init, backend,
+            self.type_info, self.transform_options,
+        )
+
+    def with_transforms(self, options: Any = None, **kwargs: Any) -> "ScanOperator":
+        """FOAST transform options for the per-level body — see
+        FieldOperator.with_transforms (folding/CSE/DCE apply level-wise;
+        reductions/temporaries knobs are meaningless inside a scan body
+        but harmless)."""
+        from gt4py_tpu.next.foast import default_options
+
+        base = options if options is not None else (
+            self.transform_options or default_options()
+        )
+        opts = base.replace(**kwargs) if kwargs else base
+        return ScanOperator(
+            self.definition, self.axis, self.forward, self.init, self.backend,
+            self.type_info, opts,
         )
 
     def __getstate__(self):
         state = self.__dict__.copy()
         state.pop("_exec_cache", None)  # jitted executables do not pickle
+        state.pop("_foast_cache", None)  # generated functions do not pickle
         return state
 
     def __call__(
@@ -693,6 +713,9 @@ class ScanOperator:
         from jax import lax
 
         from gt4py_tpu.next.backend import backend_kind
+        from gt4py_tpu.next.foast import exec_definition
+
+        definition = exec_definition(self)
 
         if backend_kind(self.backend) == "numpy" and not _under_trace(args):
             args = tuple(_as_numpy(a) for a in args)
@@ -735,7 +758,7 @@ class ScanOperator:
         non_k_shape = tuple(s for i, s in enumerate(dom.shape) if i != k_axis)
 
         def body(carry, per_level):
-            new = self.definition(carry, *per_level, **kwargs)
+            new = definition(carry, *per_level, **kwargs)
             return new, new
 
         def broadcast_init(value):
@@ -759,6 +782,8 @@ class ScanOperator:
             levels = []
             order = range(nk) if self.forward else range(nk - 1, -1, -1)
             for k in order:
+                # Oracle independence: the NumPy level loop always runs the
+                # RAW definition (FOAST-equivalence is what oracle tests check).
                 carry = self.definition(carry, *(x[k] for x in xs), **kwargs)
                 levels.append(carry)
             if not self.forward:

@@ -91,6 +91,10 @@ class _DimCondTy:
 class _OperatorRef:
     info: "OperatorTypeInfo"
     name: str
+    # Scan-operator reference: params[0] is the implicit carry and the
+    # remaining declared types are per-LEVEL element types (a Field arg of
+    # any dims with a matching dtype is valid; the scan axis is implicit).
+    is_scan: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -674,13 +678,36 @@ class _Typer(ast.NodeVisitor):
             got = bound.get(pname, UNKNOWN)
             if got is UNKNOWN or declared is UNKNOWN:
                 continue
-            if not _compatible(declared, got):
+            ok = (
+                _scan_arg_compatible(declared, got)
+                if ref.is_scan
+                else _compatible(declared, got)
+            )
+            if not ok:
                 self._fail(
                     node,
                     f"Argument '{pname}' of {ref.name}(): expected {declared}, "
                     f"got {_fmt(got)}.",
                 )
         return info.returns if info.returns is not None else UNKNOWN
+
+
+def _scan_arg_compatible(declared: Any, got: Any) -> bool:
+    """Scan call-site rule (deduction-time analog of _element_accepts):
+    declared per-level scalars accept a Field of any dims with the same
+    dtype, a matching scalar, or a weak literal of a fitting kind."""
+    if isinstance(declared, ts.ScalarType):
+        if isinstance(got, (ts.FieldType, ts.ScalarType)):
+            return np.dtype(got.dtype) == np.dtype(declared.dtype)
+        if isinstance(got, _WeakScalar):
+            kind = {"bool": "b", "int": "i", "float": "f"}[got.kind]
+            return np.dtype(declared.dtype).kind in {"b": "b", "i": "iuf", "f": "f"}[kind]
+        return True
+    if isinstance(declared, ts.TupleType) and isinstance(got, ts.TupleType):
+        return len(declared.types) == len(got.types) and all(
+            _scan_arg_compatible(d, g) for d, g in zip(declared.types, got.types)
+        )
+    return True
 
 
 def _classify_value(value: Any) -> Any:
@@ -705,7 +732,14 @@ def _classify_value(value: Any) -> Any:
     if isinstance(info, OperatorTypeInfo):
         defn = getattr(value, "definition", None)
         name = getattr(defn, "__name__", "operator")
-        return _OperatorRef(info, name)
+        is_scan = hasattr(value, "axis") and hasattr(value, "init")
+        if is_scan:
+            names = list(info.params)
+            info = OperatorTypeInfo(
+                params={n: info.params[n] for n in names[1:]},  # drop carry
+                returns=UNKNOWN,  # field result dims depend on the call site
+            )
+        return _OperatorRef(info, name, is_scan)
     # DSL builtins imported into the user module (where, neighbor_sum, ...).
     if callable(value) and getattr(value, "__module__", "") == "gt4py_tpu.next.fbuiltins":
         return _BuiltinRef(value.__name__)

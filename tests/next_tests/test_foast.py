@@ -460,3 +460,81 @@ def test_generated_function_shares_live_globals():
     # the definition has no closure cells.
     fn = foast.exec_definition(_arith)
     assert fn.__globals__ is _arith.definition.__globals__
+
+
+# --- scan operators through the FOAST pipeline ----------------------------------------
+
+
+@gtx.scan_operator(axis=K, forward=True, init=0.0)
+def _cumsum(carry: gtx.float64, x: gtx.float64):
+    dead = x - carry  # noqa: F841  (DCE candidate)
+    k = 2.0 * 0.5  # folds to 1.0
+    return carry + x * k
+
+
+def test_scan_body_through_foast():
+    src = foast.exec_definition(_cumsum).__gt_foast_source__
+    assert "dead" not in src and "1.0" in src
+    f = gtx.as_field([K], np.arange(6.0))
+    out = gtx.zeros({K: 6})
+    _cumsum(f, out=out)
+    np.testing.assert_allclose(out.asnumpy(), np.cumsum(np.arange(6.0)))
+
+
+def test_scan_with_transforms_disabled_matches():
+    f = gtx.as_field([I, K], np.random.default_rng(3).uniform(-1, 1, (4, 7)))
+    out_a = gtx.zeros({I: 4, K: 7})
+    out_b = gtx.zeros({I: 4, K: 7})
+    _cumsum(f, out=out_a)
+    _cumsum.with_transforms(enabled=False)(f, out=out_b)
+    np.testing.assert_array_equal(out_a.asnumpy(), out_b.asnumpy())
+
+
+def test_scan_cse_in_tuple_carry_body():
+    @gtx.scan_operator(axis=K, forward=False, init=(0.0, 0.0))
+    def op(carry: tuple, x: gtx.float64):
+        s = carry[0] + x * 2.0
+        t = carry[1] - x * 2.0  # x * 2.0 is CSE'd across the two uses
+        return (s, t)
+
+    src = foast.exec_definition(op).__gt_foast_source__
+    assert "__cse_1" in src
+    f = gtx.as_field([K], np.arange(5.0))
+    out = (gtx.zeros({K: 5}), gtx.zeros({K: 5}))
+    op(f, out=out)
+    rev = np.arange(5.0)[::-1]
+    np.testing.assert_allclose(out[0].asnumpy(), (2 * rev).cumsum()[::-1])
+    np.testing.assert_allclose(out[1].asnumpy(), (-2 * rev).cumsum()[::-1])
+
+
+def test_scan_numpy_oracle_runs_raw_definition():
+    # The oracle path must execute the untouched definition so oracle
+    # comparisons double as FOAST-equivalence checks.
+    f = gtx.as_field([K], np.arange(6.0))
+    out = gtx.zeros({K: 6})
+    _cumsum.with_backend("numpy")(f, out=out)
+    np.testing.assert_allclose(out.asnumpy(), np.cumsum(np.arange(6.0)))
+
+
+def test_bridged_scan_composition_uses_foast_form():
+    # A field operator containing a scan call traces through the cartesian
+    # bridge; the scan body runs in its FOAST form there (dead statements
+    # must not break the symbolic trace and results must match embedded).
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def acc(carry: gtx.float64, x: gtx.float64):
+        waste = carry * 3.0  # noqa: F841
+        return carry + x
+
+    @gtx.field_operator
+    def op(a: gtx.Field[gtx.Dims[I, J, K], gtx.float64]):
+        return acc(a) * 2.0
+
+    rng = np.random.default_rng(11)
+    f = gtx.as_field([I, J, K], rng.uniform(-1, 1, (6, 5, 8)))
+    out_jax = gtx.zeros({I: 6, J: 5, K: 8})
+    op(f, out=out_jax)
+    out_pl = gtx.zeros({I: 6, J: 5, K: 8})
+    op.with_backend("tpu:pallas")(f, out=out_pl)
+    expect = 2 * np.cumsum(f.asnumpy(), axis=2)
+    np.testing.assert_allclose(out_jax.asnumpy(), expect, rtol=1e-12)
+    np.testing.assert_allclose(out_pl.asnumpy(), expect, rtol=1e-12)
