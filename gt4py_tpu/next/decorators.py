@@ -851,6 +851,16 @@ class Program:
         merged = {**(self.bound_args or {}), **bound}
         return Program(self.definition, self.backend, merged)
 
+    def inspect(self, stage: str = "past") -> str:
+        """The program's PAST-generated source after passes (reference
+        past pretty printing; see FieldOperator.inspect for the
+        expression-level stages)."""
+        if stage != "past":
+            raise ValueError(f"Unknown stage {stage!r} (expected past)")
+        from gt4py_tpu.next.past import past_source
+
+        return past_source(self)
+
     def __call__(self, *args, offset_provider: Optional[dict] = None, **kwargs):
         if self.bound_args:
             overlap = set(self.bound_args) & set(kwargs)
@@ -892,11 +902,14 @@ class Program:
             )
             fn = cache.get(pkey)
             if fn is None:
+                from gt4py_tpu.next.past import exec_program
+
                 provider = offset_provider
+                definition = exec_program(self)
 
                 def fn(a, kw):
                     with offset_provider_context(provider):
-                        self.definition(*a, **kw)
+                        definition(*a, **kw)
                     return tuple(
                         f.ndarray for f in _collect_fields(a) + _collect_fields(kw)
                     )
@@ -907,12 +920,15 @@ class Program:
             for f, arr in zip(fields, new_arrays):
                 f.ndarray = arr
             return
+        from gt4py_tpu.next.past import exec_program
+
         with offset_provider_context(offset_provider):
-            self.definition(*args, **kwargs)
+            exec_program(self)(*args, **kwargs)
 
     def __getstate__(self):
         state = self.__dict__.copy()
         state.pop("_exec_cache", None)  # jitted executables do not pickle
+        state.pop("_past_cache", None)  # generated functions do not pickle
         return state
 
 
@@ -921,6 +937,14 @@ def program(definition: Optional[Callable] = None, *, backend: str | None = "jax
 
     def wrap(fn):
         validate_definition(fn, kind="program")
+        # Decoration-time PAST compile: program type errors (bad operator
+        # arguments, mismatched out= fields) surface here, before any call
+        # (reference past_passes type deduction). The result is discarded —
+        # exec_program re-compiles lazily so closure cells filled after
+        # decoration are honored.
+        from gt4py_tpu.next.past import compile_to_python
+
+        compile_to_python(fn)
         return functools.wraps(fn)(Program(fn, backend))
 
     return wrap(definition) if definition is not None else wrap
