@@ -212,6 +212,13 @@ class Field:
     # None = all valid. Same shape as ndarray.
     mask: Any = None
 
+    # Opt out of NumPy ufunc dispatch: ``np.float64(x) <= field`` must
+    # defer to the reflected Field operator (mask field), not attempt
+    # element-wise broadcasting over the Field object (which ends in the
+    # __bool__ guard). Reference embedded fields inherit the same via
+    # NDArrayObject interop.
+    __array_ufunc__ = None
+
     def __post_init__(self):
         expected = tuple(
             1 if not r.unit_range.is_finite else len(r.unit_range)
