@@ -463,6 +463,24 @@ class _Generator:
             raise CUnsupported(f"statement {type(stmt).__name__}")
 
     def _emit_assign(self, stmt: gtir.Assign, *, guard: str) -> None:
+        t = stmt.target
+        if t.koffset is not None:
+            # Variable-K-offset write: out-of-range target levels are
+            # DROPPED (a clamp would smear onto the boundary level).
+            m = self.fields.get(t.name)
+            if m is None:
+                raise CUnsupported(f"access to unknown symbol '{t.name}'")
+            v = m.var
+            kt = (
+                f"({v}_ok + k + ({t.offset[2]}) + "
+                f"(long long)({self._expr(t.koffset)}))"
+            )
+            cond = f"{kt} >= 0 && {kt} < {v}_nk"
+            if stmt.mask is not None:
+                cond = f"({self._expr(stmt.mask)}) && ({cond})"
+            store = f"{self._access(t, k_override=kt)} = {self._expr(stmt.value)};"
+            self.emit(f"if ({cond}) {{ {store} }}")
+            return
         store = f"{self._access(stmt.target)} = {self._expr(stmt.value)};"
         if stmt.mask is None:
             self.emit(store)
@@ -474,7 +492,7 @@ class _Generator:
 
     # -- expressions ---------------------------------------------------------
 
-    def _access(self, node: gtir.FieldAccess) -> str:
+    def _access(self, node: gtir.FieldAccess, *, k_override: str = "") -> str:
         m = self.fields.get(node.name)
         if m is None:
             raise CUnsupported(f"access to unknown symbol '{node.name}'")
@@ -486,13 +504,20 @@ class _Generator:
         if m.axes[1]:
             terms.append(f"({v}_oj + j + ({node.offset[1]})) * {v}_sj")
         if m.axes[2]:
-            if node.abs_k is not None:
-                kexpr = f"{v}_ok + (long long)({self._expr(node.abs_k)})"
-            elif node.koffset is not None:
-                kexpr = f"{v}_ok + k + (long long)({self._expr(node.koffset)})"
+            if k_override:
+                # caller computed (and bounds-checked) the K index
+                terms.append(f"{k_override} * {v}_sk")
             else:
-                kexpr = f"{v}_ok + k + ({node.offset[2]})"
-            terms.append(f"gt_clampk({kexpr}, {v}_nk) * {v}_sk")
+                if node.abs_k is not None:
+                    kexpr = f"{v}_ok + (long long)({self._expr(node.abs_k)})"
+                elif node.koffset is not None:
+                    kexpr = (
+                        f"{v}_ok + k + ({node.offset[2]}) + "
+                        f"(long long)({self._expr(node.koffset)})"
+                    )
+                else:
+                    kexpr = f"{v}_ok + k + ({node.offset[2]})"
+                terms.append(f"gt_clampk({kexpr}, {v}_nk) * {v}_sk")
         for d, e in enumerate(node.data_index):
             terms.append(f"((long long)({self._expr(e)})) * {v}_d{d}")
         offset = " + ".join(terms) if terms else "0"

@@ -125,7 +125,11 @@ class _PointInterpreter:
         else:
             raise TypeError(type(stmt).__name__)
 
-    def _index(self, access: gtir.FieldAccess, pt) -> tuple:
+    def _index(self, access: gtir.FieldAccess, pt, *, clamp_k: bool = True):
+        """Storage index for an access; reads clamp K (variable-K read
+        policy), writes pass ``clamp_k=False`` and get None for
+        out-of-range target levels (the write is dropped, never smeared
+        onto the boundary)."""
         name = access.name
         dims = self.dims[name]
         origin = self.origins.get(name, (0, 0, 0))
@@ -140,11 +144,14 @@ class _PointInterpreter:
             if access.abs_k is not None:
                 kk = origin[2] + int(self.eval(access.abs_k, pt))
             elif access.koffset is not None:
-                kk = origin[2] + k + int(self.eval(access.koffset, pt))
+                kk = origin[2] + k + access.offset[2] + int(self.eval(access.koffset, pt))
             else:
                 kk = origin[2] + k + access.offset[2]
             k_axis = len(idx)
-            kk = min(max(kk, 0), arr.shape[k_axis] - 1)
+            if clamp_k:
+                kk = min(max(kk, 0), arr.shape[k_axis] - 1)
+            elif not 0 <= kk < arr.shape[k_axis]:
+                return None
             idx.append(kk)
         for e in access.data_index:
             idx.append(int(self.eval(e, pt)))
@@ -152,7 +159,10 @@ class _PointInterpreter:
 
     def _write(self, target: gtir.FieldAccess, value, pt) -> None:
         arr = self.arrays[target.name]
-        arr[self._index(target, pt)] = value
+        idx = self._index(target, pt, clamp_k=False)
+        if idx is None:
+            return
+        arr[idx] = value
 
     def eval(self, expr: gtir.Expr, pt) -> Any:
         if isinstance(expr, gtir.Literal):

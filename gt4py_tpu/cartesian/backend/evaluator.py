@@ -92,6 +92,22 @@ class _NamespaceOps:
         idx = xp.clip(idx, 0, arr.shape[2] - 1)
         return xp.take_along_axis(arr, idx, axis=2)
 
+    def put_along_k(self, arr, idx, value, valid):
+        """Masked per-gridpoint scatter along K (variable-K-offset
+        writes): lanes with out-of-range indices — or ``valid`` False —
+        keep their old value (dropped, not clamped-overwritten)."""
+        xp = self.xp
+        nk = arr.shape[2]
+        safe = xp.clip(idx, 0, nk - 1)
+        inb = (idx >= 0) & (idx < nk)
+        ok = inb if valid is None else xp.logical_and(valid, inb)
+        old = xp.take_along_axis(arr, safe, axis=2)
+        new = xp.where(ok, value, old)
+        if self.kind == "numpy":
+            xp.put_along_axis(arr, safe, new, axis=2)
+            return arr
+        return xp.put_along_axis(arr, safe, new, axis=2, inplace=False)
+
     def iota(self, n: int, axis: int, shape3) -> Any:
         vec = self.xp.arange(n, dtype=np.int64)
         reshape = [1, 1, 1]
@@ -457,6 +473,11 @@ class Evaluator:
         for stmt in section.body:
             if isinstance(stmt, gtir.While):
                 raise _PlaneUnsupported("while in sequential section")
+            for wacc in iter_writes(stmt):
+                if wacc.offset[2] != 0 or wacc.koffset is not None:
+                    # K-offset writes need the whole K column live, not
+                    # plane carries — served by the per-level loop.
+                    raise _PlaneUnsupported("K-offset write in sequential section")
             for access in _iter_reads(stmt):
                 if not any(self.dims.get(access.name, (True,) * 3)):
                     continue  # GlobalTable: read directly
@@ -852,6 +873,9 @@ class Evaluator:
         if ctx.plane is not None:
             self._plane_write(target, value, mask, ctx)
             return
+        if target.koffset is not None:
+            self._write_variable_k(target, value, mask, ctx)
+            return
         dims = self.dims[name]
         ext = ctx.ext
         f_ext = self.f_ext[name]
@@ -870,7 +894,8 @@ class Evaluator:
             shape_out.append(Nj)
         if dims[2]:
             base = ctx.ks if ctx.k_seq is None else ctx.k_seq
-            starts.append(base - f_ext.k[0])
+            # K-offset writes (sequential loops only) land at k + dk.
+            starts.append(base + target.offset[2] - f_ext.k[0])
             shape_out.append(Nk)
         elif Nk != 1:
             raise NotImplementedError(
@@ -946,6 +971,53 @@ class Evaluator:
                 self.win[name] = self.ops.update_nd(w, starts, block)
             else:
                 self.win[name] = self.ops.update_nd(w, starts, value)
+
+    def _write_variable_k(
+        self, target: gtir.FieldAccess, value, mask, ctx: _Ctx
+    ) -> None:
+        """Per-gridpoint variable-K-offset write (``A[0, 0, lev] = x``
+        with runtime ``lev``; reference test_code_generation.py
+        ::test_K_offset_write_conditional). Sequential loops only; out-of-
+        range target levels are dropped, mirroring the clamped-read
+        policy's bounds safety without corrupting boundary levels."""
+        xp = self.ops.xp
+        name = target.name
+        dims = self.dims[name]
+        if target.data_index:
+            raise NotImplementedError(
+                "variable-K-offset write combined with data-dimension indexing"
+            )
+        if not (dims[0] and dims[1] and dims[2]):
+            raise NotImplementedError(
+                "variable-K-offset writes require a full IJK field"
+            )
+        if ctx.k_seq is None:
+            raise RuntimeError(
+                "variable-K-offset write outside a sequential loop "
+                "(should have been rejected at parse time)"
+            )
+        ext = ctx.ext
+        f_ext = self.f_ext[name]
+        Ni, Nj, Nk = self._window_shape(ctx)
+        w = self._get_window(name)
+        value = self._broadcast_target(value, ctx, target)
+
+        starts = [ext.i[0] - f_ext.i[0], ext.j[0] - f_ext.j[0]]
+        sizes = [Ni, Nj]
+        block = self.ops.slice_nd(w, starts, sizes)  # (Ni, Nj, K_window)
+        koff = self._broadcast(self.eval_expr(target.koffset, ctx), ctx)
+        kidx = xp.asarray(
+            ctx.k_seq + target.offset[2] + koff - f_ext.k[0]
+        ).astype(np.int64)
+        kidx = xp.broadcast_to(kidx, (Ni, Nj, Nk))
+        value = xp.broadcast_to(xp.asarray(value).astype(w.dtype), (Ni, Nj, Nk))
+        if mask is not None:
+            mask = xp.broadcast_to(mask, (Ni, Nj, Nk))
+        new_block = self.ops.put_along_k(block, kidx, value, mask)
+        if self.ops.kind == "numpy":
+            # slice_nd returned a view; put_along_k wrote through.
+            return
+        self.win[name] = self.ops.update_nd(w, starts, new_block)
 
     def _set_data_index(self, old, index_exprs, value, mask, ctx: _Ctx):
         """Per-gridpoint data-index WRITE: blend ``value`` into ``old`` at

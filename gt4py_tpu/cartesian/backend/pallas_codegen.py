@@ -153,6 +153,13 @@ def _check_supported(
                 isinstance(e, gtir.Literal) for e in stmt.target.data_index
             ):
                 raise PallasUnsupported("dynamic data index write")
+        from gt4py_tpu.cartesian.passes.extents import iter_writes as _iterw
+
+        for wacc in _iterw(stmt):
+            if wacc.offset[2] != 0 or wacc.koffset is not None:
+                # K-offset writes need the whole K column mutable per
+                # level — the kernel strategies stream planes/carries.
+                raise PallasUnsupported("K-offset write")
         for node in eve.walk_values(stmt):
             if isinstance(node, gtir.FieldAccess):
                 if (

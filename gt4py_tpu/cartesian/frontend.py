@@ -466,8 +466,18 @@ class IRMaker(ast.NodeVisitor):
             access = self.visit_expr(node)
             if not isinstance(access, gtir.FieldAccess):
                 raise self._error("Invalid assignment target", node)
-            if access.offset != (0, 0, 0) or access.koffset is not None or access.abs_k is not None:
-                raise self._error("Assignments must be at zero offset", node)
+            if access.offset[0] != 0 or access.offset[1] != 0:
+                raise self._error(
+                    "Assignments must be at zero offset in I and J", node
+                )
+            if access.abs_k is not None:
+                raise self._error(
+                    "Assignments to absolute K indices are not supported", node
+                )
+            # K offsets (static or variable) are allowed; sequential-order
+            # validation happens per computation block (reference
+            # gtscript_frontend K-offset-write support; PARALLEL rejected
+            # in _validate_sections).
             return access
         raise self._error("Invalid assignment target", node)
 
@@ -954,6 +964,27 @@ def _validate_sections(
         sections.sort(key=sort_key)
     elif order == gtir.LoopOrder.BACKWARD:
         sections.sort(key=sort_key, reverse=True)
+    else:
+        # K-offset writes are only meaningful under a defined iteration
+        # order (reference gtscript_frontend.py K-offset-write check).
+        # Pre-lowering statement stream: If nodes still exist here.
+        def _walk_writes(stmt):
+            if isinstance(stmt, gtir.Assign):
+                yield stmt.target
+            elif isinstance(stmt, (gtir.While, gtir.If)):
+                for s in list(stmt.body) + list(getattr(stmt, "orelse", [])):
+                    yield from _walk_writes(s)
+
+        for section in sections:
+            for stmt in section.body:
+                for w in _walk_writes(stmt):
+                    if w.offset[2] != 0 or w.koffset is not None:
+                        raise maker._error(
+                            "Assignment to non-zero offsets in K is not "
+                            "available in PARALLEL. Choose FORWARD or "
+                            "BACKWARD.",
+                            node,
+                        )
     # Statically detectable overlaps (same-level bounds):
     ordered = sorted(sections, key=sort_key)
     for a, b in zip(ordered[:-1], ordered[1:]):

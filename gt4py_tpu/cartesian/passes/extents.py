@@ -47,6 +47,9 @@ def _iter_reads(stmt: gtir.Stmt) -> Iterator[gtir.FieldAccess]:
             yield from eve.walk_type(stmt.mask, gtir.FieldAccess)
         for idx in stmt.target.data_index:
             yield from eve.walk_type(idx, gtir.FieldAccess)
+        if stmt.target.koffset is not None:
+            # variable-K WRITE: the level expression is a read
+            yield from eve.walk_type(stmt.target.koffset, gtir.FieldAccess)
     elif isinstance(stmt, gtir.While):
         yield from eve.walk_type(stmt.cond, gtir.FieldAccess)
         if stmt.mask is not None:
@@ -105,6 +108,21 @@ class ExtentAnalysis:
                     continue
                 prev = self.field_extents.get(read.name, Extent.zeros())
                 self.field_extents[read.name] = prev.union(contrib).clamped()
+
+            # Writes at a K offset land outside the iteration level: the
+            # field needs that K halo, which also shrinks the default
+            # domain computed from its shape (reference K-offset-write
+            # semantics, test_code_generation.py::test_K_offset_write_*).
+            for w in writes:
+                dkw = w.offset[2]
+                if dkw == 0 or w.koffset is not None:
+                    # Variable-K writes are bounds-guarded at runtime
+                    # (out-of-range lanes are dropped) — no static demand.
+                    continue
+                k_lo, k_hi = _k_halo(section, dkw)
+                contrib = Extent(i=ext.i, j=ext.j, k=(-k_lo, k_hi))
+                prev = self.field_extents.get(w.name, Extent.zeros())
+                self.field_extents[w.name] = prev.union(contrib).clamped()
 
 
 def compute_min_k_size(stencil: gtir.Stencil) -> int:

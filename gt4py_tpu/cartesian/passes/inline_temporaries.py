@@ -71,6 +71,9 @@ def _reads_of(expr: gtir.Expr) -> set[str]:
 def _inlinable_def(stmt: gtir.Assign) -> bool:
     if stmt.mask is not None or stmt.horizontal_masks or stmt.target.data_index:
         return False
+    if stmt.target.offset[2] != 0 or stmt.target.koffset is not None:
+        # A K-offset write is not a plain definition of the target.
+        return False
     for a in eve.walk_type(stmt.value, gtir.FieldAccess):
         if a.koffset is not None or a.abs_k is not None or a.data_index:
             return False

@@ -178,6 +178,9 @@ def _all_reads(stmt: gtir.Stmt):
             yield from eve.walk_type(stmt.mask, gtir.FieldAccess)
         for idx in stmt.target.data_index:
             yield from eve.walk_type(idx, gtir.FieldAccess)
+        if stmt.target.koffset is not None:
+            # variable-K WRITE target: the level expression is a read
+            yield from eve.walk_type(stmt.target.koffset, gtir.FieldAccess)
     elif isinstance(stmt, gtir.While):
         yield from eve.walk_type(stmt.cond, gtir.FieldAccess)
         if stmt.mask is not None:
@@ -191,6 +194,8 @@ def _all_scalar_reads(stmt: gtir.Stmt):
         yield from eve.walk_type(stmt.value, gtir.ScalarAccess)
         if stmt.mask is not None:
             yield from eve.walk_type(stmt.mask, gtir.ScalarAccess)
+        if stmt.target.koffset is not None:
+            yield from eve.walk_type(stmt.target.koffset, gtir.ScalarAccess)
     elif isinstance(stmt, gtir.While):
         yield from eve.walk_type(stmt.cond, gtir.ScalarAccess)
         for s in stmt.body:

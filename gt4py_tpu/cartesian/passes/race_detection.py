@@ -39,6 +39,8 @@ def _stmt_reads(stmt: gtir.Stmt):
             yield from eve.walk_type(stmt.mask, gtir.FieldAccess)
         for i in stmt.target.data_index:
             yield from eve.walk_type(i, gtir.FieldAccess)
+        if stmt.target.koffset is not None:
+            yield from eve.walk_type(stmt.target.koffset, gtir.FieldAccess)
     elif isinstance(stmt, gtir.While):
         yield from eve.walk_type(stmt.cond, gtir.FieldAccess)
         if stmt.mask is not None:

@@ -24,9 +24,11 @@ from gt4py_tpu.next.common import (  # noqa: F401
     Domain,
     FieldOffset,
     GridType,
+    Infinity,
     NamedRange,
     UnitRange,
     domain,
+    named_range,
     unit_range,
 )
 from gt4py_tpu.next.constructors import (  # noqa: F401

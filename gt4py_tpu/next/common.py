@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import operator
+import typing
 from typing import Any, Iterator, Optional, Sequence, Union
 
 
@@ -114,17 +116,38 @@ _NEG_INF = -(2**62)
 _POS_INF = 2**62
 
 
+class Infinity:
+    """Named sentinel bounds for unbounded ranges (reference
+    common.py:159): ``UnitRange(0, Infinity.POSITIVE)`` is the half-line
+    [0, ∞). The sentinels are plain ints so range arithmetic stays in
+    integer land; ``UnitRange`` pins them under shifts."""
+
+    POSITIVE = _POS_INF
+    NEGATIVE = _NEG_INF
+
+
+def _fmt_bound(v: int) -> str:
+    if v <= _NEG_INF:
+        return "Infinity.NEGATIVE"
+    if v >= _POS_INF:
+        return "Infinity.POSITIVE"
+    return str(v)
+
+
 @dataclasses.dataclass(frozen=True)
 class UnitRange:
     """Half-open integer range [start, stop) (reference common.py:197);
-    may be unbounded on either side (broadcast placeholder ranges)."""
+    may be unbounded on either side (broadcast placeholder ranges).
+    Empty ranges are normalized to the canonical ``UnitRange(0, 0)`` so
+    every empty range compares equal (reference semantics)."""
 
     start: int
     stop: int
 
     def __post_init__(self):
-        if self.stop < self.start:
-            object.__setattr__(self, "stop", self.start)
+        if self.stop <= self.start:
+            object.__setattr__(self, "start", 0)
+            object.__setattr__(self, "stop", 0)
 
     @classmethod
     def infinite(cls) -> "UnitRange":
@@ -134,10 +157,17 @@ class UnitRange:
     def is_finite(self) -> bool:
         return self.start > _NEG_INF and self.stop < _POS_INF
 
+    def is_empty(self) -> bool:
+        return self.start >= self.stop
+
     @classmethod
-    def from_value(cls, value: Union[int, "UnitRange", range, tuple]) -> "UnitRange":
+    def from_value(
+        cls, value: Union[int, "UnitRange", range, tuple, None]
+    ) -> "UnitRange":
         if isinstance(value, UnitRange):
             return value
+        if value is None:
+            return cls.infinite()
         if isinstance(value, int):
             return cls(0, value)
         if isinstance(value, range):
@@ -145,27 +175,79 @@ class UnitRange:
                 raise ValueError("UnitRange requires step 1")
             return cls(value.start, value.stop)
         if isinstance(value, tuple) and len(value) == 2:
-            return cls(int(value[0]), int(value[1]))
+            lo = _NEG_INF if value[0] is None else int(value[0])
+            hi = _POS_INF if value[1] is None else int(value[1])
+            return cls(lo, hi)
         raise TypeError(f"Cannot build UnitRange from {value!r}")
 
     def __len__(self) -> int:
+        if not self.is_finite:
+            raise ValueError(f"Open UnitRange {self!r} has no length.")
         return max(0, self.stop - self.start)
 
-    def __contains__(self, value: int) -> bool:
-        return self.start <= value < self.stop
+    def __iter__(self) -> Iterator[int]:
+        if not self.is_finite:
+            raise ValueError(f"Cannot iterate open UnitRange {self!r}.")
+        return iter(range(self.start, self.stop))
+
+    def __getitem__(self, index: Union[int, slice]) -> Union[int, "UnitRange"]:
+        if isinstance(index, slice):
+            if index.step not in (None, 1):
+                raise ValueError("UnitRange slices require step 1")
+            start, stop, _ = index.indices(len(self))
+            return UnitRange(self.start + start, self.start + stop)
+        n = len(self)
+        if index < 0:
+            index += n
+        if not 0 <= index < n:
+            raise IndexError(f"UnitRange index {index} out of range")
+        return self.start + index
+
+    def __contains__(self, value: Any) -> bool:
+        if isinstance(value, bool):
+            return False
+        try:
+            v = int(operator.index(value))  # accepts numpy integers too
+        except TypeError:
+            return False
+        return self.start <= v < self.stop
 
     def intersection(self, other: "UnitRange") -> "UnitRange":
         return UnitRange(max(self.start, other.start), min(self.stop, other.stop))
 
+    __and__ = intersection
+
+    # Subset ordering (reference common.py: ``r1 <= r2`` means r1 ⊆ r2).
+    def __le__(self, other: "UnitRange") -> bool:
+        return self.start >= other.start and self.stop <= other.stop
+
+    def __lt__(self, other: "UnitRange") -> bool:
+        return self <= other and self != other
+
+    def __ge__(self, other: "UnitRange") -> bool:
+        return other <= self
+
+    def __gt__(self, other: "UnitRange") -> bool:
+        return other < self
+
     def shifted(self, offset: int) -> "UnitRange":
-        return UnitRange(self.start + offset, self.stop + offset)
+        # Unbounded ends stay pinned at the sentinels under shifts.
+        lo = self.start if self.start <= _NEG_INF else self.start + offset
+        hi = self.stop if self.stop >= _POS_INF else self.stop + offset
+        return UnitRange(lo, hi)
+
+    def __repr__(self) -> str:
+        return f"UnitRange({_fmt_bound(self.start)}, {_fmt_bound(self.stop)})"
 
     def __str__(self) -> str:
         return f"({self.start}:{self.stop})"
 
 
-@dataclasses.dataclass(frozen=True)
-class NamedRange:
+class NamedRange(typing.NamedTuple):
+    """A (dimension, range) pair. A tuple subtype (reference common.py
+    NamedRange is a NamedTuple) so ``(IDim, UnitRange(0, 4))`` compares
+    equal to ``NamedRange(IDim, UnitRange(0, 4))``."""
+
     dim: Dimension
     unit_range: UnitRange
 
@@ -173,11 +255,58 @@ class NamedRange:
         return f"{self.dim.value}={self.unit_range}"
 
 
-@dataclasses.dataclass(frozen=True)
+def named_range(value: Union["NamedRange", tuple]) -> NamedRange:
+    """Coerce a ``(dim, range-like)`` pair into a NamedRange (reference
+    common.named_range)."""
+    if isinstance(value, NamedRange):
+        return value
+    if isinstance(value, tuple) and len(value) == 2 and isinstance(value[0], Dimension):
+        return NamedRange(value[0], UnitRange.from_value(value[1]))
+    raise TypeError(f"Cannot build NamedRange from {value!r}")
+
+
+@dataclasses.dataclass(frozen=True, init=False)
 class Domain:
-    """Ordered set of named ranges (reference common.py:433)."""
+    """Ordered set of named ranges (reference common.py:433).
+
+    Accepted constructor forms (all reference-parity):
+
+    - ``Domain(named_ranges_tuple)`` — a single iterable of NamedRanges
+    - ``Domain(NamedRange(I, ...), NamedRange(J, ...))`` — varargs
+    - ``Domain(dims=(I, J), ranges=(UnitRange(0, 2), UnitRange(0, 3)))``
+    """
 
     ranges: tuple[NamedRange, ...] = ()
+
+    def __init__(self, *args: Any, dims: Any = None, ranges: Any = None):
+        if dims is not None or ranges is not None:
+            if args:
+                raise ValueError(
+                    "Either provide named ranges positionally or dims=/ranges=, not both."
+                )
+            if dims is None or ranges is None:
+                raise ValueError("dims= and ranges= must be provided together.")
+            dims = tuple(dims)
+            ranges = tuple(ranges)
+            if len(dims) != len(ranges):
+                raise ValueError(
+                    f"Number of provided dimensions ({len(dims)}) does not match "
+                    f"number of provided ranges ({len(ranges)})."
+                )
+            nrs = tuple(
+                NamedRange(d, UnitRange.from_value(r)) for d, r in zip(dims, ranges)
+            )
+        elif len(args) == 1 and not isinstance(args[0], NamedRange):
+            # legacy/primary form: one iterable of named ranges
+            nrs = tuple(named_range(r) for r in args[0])
+        else:
+            nrs = tuple(named_range(r) for r in args)
+        seen_dims = [nr.dim for nr in nrs]
+        if len(set(seen_dims)) != len(seen_dims):
+            raise NotImplementedError(
+                f"Domain dimensions must be unique, not {seen_dims}."
+            )
+        object.__setattr__(self, "ranges", nrs)
 
     @classmethod
     def from_sizes(cls, **sizes: Any) -> "Domain":
@@ -195,25 +324,53 @@ class Domain:
     def ndim(self) -> int:
         return len(self.ranges)
 
+    def __len__(self) -> int:
+        return len(self.ranges)
+
+    def is_empty(self) -> bool:
+        """True when any constituent range is empty (reference
+        Domain.is_empty); the zero-dimensional domain is non-empty."""
+        return any(r.unit_range.is_empty() for r in self.ranges)
+
     def __iter__(self) -> Iterator[NamedRange]:
         return iter(self.ranges)
 
-    def __getitem__(self, dim: Union[int, Dimension]) -> NamedRange:
+    def __getitem__(self, dim: Union[int, slice, Dimension]) -> Any:
+        if isinstance(dim, slice):
+            return Domain(self.ranges[dim])
         if isinstance(dim, int):
             return self.ranges[dim]
-        for r in self.ranges:
-            if r.dim == dim:
-                return r
-        raise KeyError(f"Dimension {dim} not in domain {self}")
+        if isinstance(dim, Dimension):
+            for r in self.ranges:
+                if r.dim == dim:
+                    return r
+            raise KeyError(f"No Dimension of type {dim} is present in the Domain.")
+        raise KeyError("Invalid index type, must be either int, slice, or Dimension.")
 
     def index(self, dim: Dimension) -> int:
         for i, r in enumerate(self.ranges):
             if r.dim == dim:
                 return i
-        raise KeyError(f"Dimension {dim} not in domain {self}")
+        raise KeyError(f"No Dimension of type {dim} is present in the Domain.")
 
-    def __contains__(self, dim: Dimension) -> bool:
-        return any(r.dim == dim for r in self.ranges)
+    def dim_index(self, dim: Dimension) -> Optional[int]:
+        """Position of ``dim``, or None when absent (reference
+        Domain.dim_index non-strict mode)."""
+        for i, r in enumerate(self.ranges):
+            if r.dim == dim:
+                return i
+        return None
+
+    def __contains__(self, item: Any) -> bool:
+        if isinstance(item, Dimension):
+            return any(r.dim == item for r in self.ranges)
+        if isinstance(item, tuple) and len(item) == 2:
+            try:
+                nr = named_range(item)
+            except TypeError:
+                return False
+            return nr in self.ranges
+        return False
 
     def intersection(self, other: "Domain") -> "Domain":
         """Promote to the union of dims; intersect ranges of shared dims
@@ -230,12 +387,59 @@ class Domain:
                 ranges.append(o)
         return Domain(tuple(ranges))
 
-    def replace(self, dim: Dimension, *new: NamedRange) -> "Domain":
-        idx = self.index(dim)
-        return Domain(self.ranges[:idx] + tuple(new) + self.ranges[idx + 1:])
+    __and__ = intersection
+
+    @property
+    def slice_at(self) -> "_DomainSliceIndexer":
+        """Relative-slice indexing: ``domain.slice_at[2:5, 0:3]`` slices
+        every range by position (reference Domain.slice_at)."""
+        return _DomainSliceIndexer(self)
+
+    def pop(self, index: Union[int, Dimension] = -1) -> "Domain":
+        """Domain without the given dimension/position (reference
+        Domain.pop)."""
+        if isinstance(index, Dimension):
+            index = self.index(index)
+        if index < 0:
+            index += len(self.ranges)
+        if not 0 <= index < len(self.ranges):
+            raise IndexError(f"Domain index {index} out of range")
+        return Domain(self.ranges[:index] + self.ranges[index + 1:])
+
+    def replace(self, dim: Union[int, Dimension], *new: NamedRange) -> "Domain":
+        idx = self.index(dim) if isinstance(dim, Dimension) else dim
+        if idx < 0:
+            idx += len(self.ranges)
+        if not 0 <= idx < len(self.ranges):
+            raise IndexError(f"Domain index {idx} out of range")
+        new_nrs = tuple(named_range(n) for n in new)
+        return Domain(self.ranges[:idx] + new_nrs + self.ranges[idx + 1:])
 
     def __str__(self) -> str:
         return "Domain(" + ", ".join(str(r) for r in self.ranges) + ")"
+
+
+class _DomainSliceIndexer:
+    """Helper backing :attr:`Domain.slice_at`."""
+
+    def __init__(self, domain: Domain):
+        self._domain = domain
+
+    def __getitem__(self, item: Any) -> Domain:
+        if not isinstance(item, tuple):
+            item = (item,)
+        if not all(isinstance(s, slice) for s in item):
+            raise TypeError("slice_at indices must be slices")
+        if len(item) != self._domain.ndim:
+            raise ValueError(
+                f"Number of slices ({len(item)}) does not match the number of "
+                f"dimensions ({self._domain.ndim})."
+            )
+        new_ranges = []
+        for s, nr in zip(item, self._domain.ranges):
+            sub = nr.unit_range[s]
+            new_ranges.append(NamedRange(nr.dim, sub))
+        return Domain(tuple(new_ranges))
 
 
 def check_dims(dims: Sequence["Dimension"]) -> None:
@@ -260,9 +464,10 @@ def unit_range(value: Union[int, "UnitRange", range, tuple]) -> UnitRange:
     return UnitRange.from_value(value)
 
 
-def domain(spec: Union[dict, Sequence[NamedRange], Domain]) -> Domain:
-    """Build a Domain from {dim: size-or-(start, stop)} or NamedRanges
-    (reference common.py domain constructor)."""
+def domain(spec: Union[dict, Sequence, Domain]) -> Domain:
+    """Build a Domain from {dim: size-or-(start, stop)}, a sequence of
+    NamedRanges / (dim, range-like) pairs, or a Domain (reference
+    common.py domain constructor)."""
     if isinstance(spec, Domain):
         return spec
     if isinstance(spec, dict):
@@ -270,7 +475,7 @@ def domain(spec: Union[dict, Sequence[NamedRange], Domain]) -> Domain:
             tuple(NamedRange(d, UnitRange.from_value(v)) for d, v in spec.items())
         )
     else:
-        result = Domain(tuple(spec))
+        result = Domain(tuple(named_range(r) for r in spec))
     check_dims(result.dims)
     return result
 

@@ -481,29 +481,74 @@ class Field:
 
     # -- restriction -------------------------------------------------------
 
-    def __getitem__(self, item) -> "Field":
-        """Domain restriction (reference NdArrayField.restrict :378)."""
-        if not isinstance(item, tuple):
+    def __getitem__(self, item):
+        """Absolute (domain-coordinate) indexing/restriction (reference
+        NdArrayField.restrict :378 and absolute-indexing semantics of
+        tests/next_tests/unit_tests/embedded_tests/test_nd_array_field.py
+        :1055): entries are NamedRanges, ``(dim, (start, stop))`` pairs
+        (restrict), or ``(dim, index)`` pairs (collapse the dimension).
+        Collapsing every dimension returns the scalar value."""
+        # NamedRange is a tuple, so disambiguate the single-entry forms:
+        # a NamedRange itself, or a (Dimension, index-or-range) pair.
+        if isinstance(item, NamedRange):
+            item = (item,)
+        elif (
+            isinstance(item, tuple)
+            and len(item) == 2
+            and isinstance(item[0], Dimension)
+        ):
+            item = (item,)
+        elif not isinstance(item, tuple):
             item = (item,)
         ranges = list(self.domain.ranges)
         slices = [slice(None)] * self.domain.ndim
+        collapses: list[tuple[Dimension, int]] = []
         for entry in item:
             if isinstance(entry, NamedRange):
-                axis = self.domain.index(entry.dim)
-                own = self.domain.ranges[axis].unit_range
-                rel = slice(
-                    entry.unit_range.start - own.start,
-                    entry.unit_range.stop - own.start,
-                )
-                slices[axis] = rel
-                ranges[axis] = entry
+                pass
+            elif (
+                isinstance(entry, tuple)
+                and len(entry) == 2
+                and isinstance(entry[0], Dimension)
+            ):
+                dim, spec = entry
+                if isinstance(spec, int) and not isinstance(spec, bool):
+                    own = self.domain[dim].unit_range
+                    if spec not in own:
+                        raise IndexError(
+                            f"index {spec} out of range {own} for {dim}"
+                        )
+                    collapses.append((dim, spec - own.start))
+                    continue
+                entry = NamedRange(dim, UnitRange.from_value(spec))
             else:
                 raise TypeError(f"Invalid restriction: {entry!r}")
-        return Field(
+            axis = self.domain.index(entry.dim)
+            own = self.domain.ranges[axis].unit_range
+            if (
+                entry.unit_range.start < own.start
+                or entry.unit_range.stop > own.stop
+            ):
+                raise IndexError(
+                    f"restriction {entry.unit_range} outside field range "
+                    f"{own} for {entry.dim}"
+                )
+            rel = slice(
+                entry.unit_range.start - own.start,
+                entry.unit_range.stop - own.start,
+            )
+            slices[axis] = rel
+            ranges[axis] = entry
+        result = Field(
             Domain(tuple(ranges)),
             self.ndarray[tuple(slices)],
             self.mask[tuple(slices)] if self.mask is not None else None,
         )
+        for dim, rel_idx in collapses:
+            result = result._reduce_index(dim, rel_idx)
+        if collapses and result.domain.ndim == 0:
+            return result.as_scalar()
+        return result
 
     # -- arithmetic --------------------------------------------------------
 

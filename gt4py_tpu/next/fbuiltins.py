@@ -110,12 +110,21 @@ def where(cond: Field, a: Union[Field, Any], b: Union[Field, Any]) -> Field:
     for o in operands[1:]:
         dims = _promote_dims(dims, o.dims)
 
+    # Align every operand onto the COMMON intersection domain of all
+    # three (pairwise alignment misses narrowing imposed by the third
+    # operand when all domains differ — reference
+    # test_where_builtin_different_domain semantics).
+    target = operands[0].domain
+    for o in operands[1:]:
+        target = target.intersection(o.domain)
+    probe = object.__new__(Field)
+    probe.domain = target
+    probe.ndarray = operands[0].ndarray
+    probe.mask = None
+
     def align(x):
         if isinstance(x, Field):
-            ref = operands[0] if x is not operands[0] else (
-                operands[1] if len(operands) > 1 else operands[0]
-            )
-            dom, arr = x._aligned(dims, ref)
+            dom, arr = x._aligned(dims, probe)
             return dom, arr
         return None, x
 

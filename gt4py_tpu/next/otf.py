@@ -145,12 +145,29 @@ class _SerializedExecutable:
         return se.deserialize_and_load(self.payload, self.in_tree, self.out_tree)
 
 
+def _force_cpu_in_child():
+    """Pool initializer: pin the worker to the host CPU backend. Jobs are
+    only shipped when the parent's target is CPU (submit() guards on
+    ``jax.default_backend() == "cpu"``), but the child re-imports jax
+    under the ambient site configuration, which may point at a remote
+    accelerator — and remote-plugin discovery can block indefinitely
+    when that device is unreachable. The explicit config (not just the
+    env var, which site hooks may override) keeps the worker hermetic."""
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def _process_compile_job(blob: bytes):
     """Worker-process entry: build, AOT-compile, and serialize one variant.
     Module-level so it is importable in the child (reference ships file
     paths to its CompilationTask workers; we ship pickled closures)."""
     import pickle
 
+    _force_cpu_in_child()
     from jax.experimental import serialize_executable as se
 
     try:
@@ -217,6 +234,7 @@ class _ProcessRunner:
                 self._pool = concurrent.futures.ProcessPoolExecutor(
                     max_workers=self.workers,
                     mp_context=multiprocessing.get_context("spawn"),
+                    initializer=_force_cpu_in_child,
                 )
             return self._pool.submit(_process_compile_job, blob)
         warnings.warn(
@@ -304,7 +322,13 @@ class CompiledProgramsPool:
             try:
                 entry = entry.result()
                 if isinstance(entry, _SerializedExecutable):
-                    entry = entry.load()
+                    # PJRT deserialization is per-client finicky AND a
+                    # successfully loaded executable can still fail on
+                    # first execution (device-topology mismatch between
+                    # worker and parent clients) — guard the first call.
+                    entry = self._guard_shipped(
+                        entry.load(), key, make or self._make, args, kwargs
+                    )
             except Exception as e:
                 import warnings
 
@@ -317,6 +341,32 @@ class CompiledProgramsPool:
             with self._lock:
                 self._programs[key] = entry
         return entry
+
+    def _guard_shipped(self, loaded, key, builder, args, kwargs):
+        """First-call validation for a worker-shipped executable: on any
+        execution failure, rebuild inline (the rebuild is cheap — the
+        worker warmed the persistent XLA disk cache) and memoize the
+        replacement; on success, memoize the raw loaded executable."""
+        state = {"fn": loaded}
+
+        def call(*a, **k):
+            try:
+                out = state["fn"](*a, **k)
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    "shipped executable is not executable in this client "
+                    f"({type(e).__name__}); recompiling inline",
+                    stacklevel=2,
+                )
+                state["fn"] = builder(args, kwargs)
+                out = state["fn"](*a, **k)
+            with self._lock:
+                self._programs[key] = state["fn"]
+            return out
+
+        return call
 
     def _executor_submit(self, args, kwargs, builder=None):
         builder = builder or self._make
