@@ -90,11 +90,11 @@ def _write_out(result: Any, out: Any, domain: Optional[Domain]) -> None:
         if xp_v is np:
             buf = np.array(out.ndarray, copy=True)
             buf[sl] = np.asarray(value)
-            out.ndarray = buf
+            out._rebind(buf)
         else:
-            out.ndarray = jnp.asarray(out.ndarray).at[sl].set(value)
+            out._rebind(jnp.asarray(out.ndarray).at[sl].set(value))
     else:
-        out.ndarray = (
+        out._rebind(
             np.asarray(value) if xp_v is np else jnp.asarray(value)
         )
 
@@ -178,7 +178,7 @@ def _rebind_out(out: Any, new: Any) -> None:
         for o, n in zip(out, new):
             _rebind_out(o, n)
         return
-    out.ndarray = new
+    out._rebind(new)
 
 
 def _writeback_traced(result: Any, meta: Any, dom: Optional[Domain], out_arrays: Any):

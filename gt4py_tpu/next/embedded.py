@@ -211,6 +211,14 @@ class Field:
     # Validity mask for gathered neighbor values (skip_value handling);
     # None = all valid. Same shape as ndarray.
     mask: Any = None
+    # View write-back link: ``(parent_field, index_tuple)`` set by
+    # restriction so ``out=field[:, 1:]`` (reference relative-slicing
+    # out-arg idiom, test_icon_like_scan.py:79) propagates writes to the
+    # base field. The reference gets this for free from mutable ndarray
+    # views; our fields rebind immutable jax arrays, so the link is
+    # explicit. Writes flow view -> base only (views snapshot the base at
+    # restriction time). Not part of the pytree (eager write-back only).
+    base: Any = None
 
     # Opt out of NumPy ufunc dispatch: ``np.float64(x) <= field`` must
     # defer to the reflected Field operator (mask field), not attempt
@@ -370,7 +378,86 @@ class Field:
                 new_ranges.append(nr)
         arr = self.ndarray[tuple(slices)]
         mask = self.mask[tuple(slices)] if self.mask is not None else None
-        return Field(Domain(tuple(new_ranges)), arr, mask)
+        return Field(Domain(tuple(new_ranges)), arr, mask, base=(self, tuple(slices)))
+
+    def _rebind(self, new_array: Any) -> None:
+        """Replace the backing array, writing through to the base field when
+        this field is a restriction view (out-arg write-back path)."""
+        self.ndarray = new_array
+        if self.base is not None:
+            parent, sl = self.base
+            buf = parent.ndarray
+            if isinstance(buf, np.ndarray):
+                buf = buf.copy()
+                buf[sl] = np.asarray(new_array)
+            else:
+                import jax.numpy as jnp
+
+                buf = jnp.asarray(buf).at[sl].set(new_array)
+            parent._rebind(buf)
+
+    def _restrict_relative(self, index: tuple) -> Any:
+        """Relative (positional) indexing: tuples of slices / ints /
+        Ellipsis over the domain dims in order (reference
+        embedded/common.py:33 ``_relative_sub_domain``). Slices narrow the
+        unit range in place; ints collapse the dimension. Negative values
+        count from the range stop. Step slicing is rejected."""
+        n = self.domain.ndim
+        if sum(1 for e in index if e is Ellipsis) > 1:
+            raise IndexError("an index can only have a single Ellipsis")
+        if Ellipsis in index:
+            at = index.index(Ellipsis)
+            fill = n - (len(index) - 1)
+            if fill < 0:
+                raise IndexError(
+                    f"too many indices for field with {n} dimensions: {index!r}"
+                )
+            index = index[:at] + (slice(None),) * fill + index[at + 1 :]
+        if len(index) > n:
+            raise IndexError(
+                f"too many indices for field with {n} dimensions: {index!r}"
+            )
+        index = index + (slice(None),) * (n - len(index))
+        ranges: list = []
+        arr_index: list = []
+        for nr, idx in zip(self.domain.ranges, index):
+            rng = nr.unit_range
+            if isinstance(idx, slice):
+                if idx.step not in (None, 1):
+                    raise IndexError("field slicing does not support a step")
+                if not rng.is_finite:
+                    if idx != slice(None):
+                        raise IndexError(
+                            f"cannot slice unbounded dimension {nr.dim}"
+                        )
+                    arr_index.append(slice(None))
+                    ranges.append(nr)
+                    continue
+                lo, hi, _ = idx.indices(len(rng))
+                hi = max(hi, lo)
+                arr_index.append(slice(lo, hi))
+                ranges.append(
+                    NamedRange(nr.dim, UnitRange(rng.start + lo, rng.start + hi))
+                )
+            else:
+                i = int(idx)
+                if not rng.is_finite:
+                    raise IndexError(f"cannot index unbounded dimension {nr.dim}")
+                pos = i if i >= 0 else len(rng) + i
+                if pos < 0 or pos >= len(rng):
+                    raise IndexError(
+                        f"index {i} out of range {rng} for {nr.dim}"
+                    )
+                arr_index.append(pos)
+        result = Field(
+            Domain(tuple(ranges)),
+            self.ndarray[tuple(arr_index)],
+            self.mask[tuple(arr_index)] if self.mask is not None else None,
+            base=(self, tuple(arr_index)),
+        )
+        if result.domain.ndim == 0:
+            return result.as_scalar()
+        return result
 
     def _shift_dynamic(self, dim: Dimension, idx: "Field") -> "Field":
         """Per-point variable shift along ``dim`` (reference experimental
@@ -488,6 +575,22 @@ class Field:
         :1055): entries are NamedRanges, ``(dim, (start, stop))`` pairs
         (restrict), or ``(dim, index)`` pairs (collapse the dimension).
         Collapsing every dimension returns the scalar value."""
+        # Relative (positional) indexing: plain slices / ints / Ellipsis
+        # map onto domain dims in order (reference
+        # common.py:415 is_relative_index_sequence).
+        def _is_rel(e):
+            return (
+                e is Ellipsis
+                or isinstance(e, slice)
+                or (isinstance(e, (int, np.integer)) and not isinstance(e, bool))
+            )
+
+        if not isinstance(item, NamedRange):
+            if _is_rel(item) and not isinstance(item, tuple):
+                return self._restrict_relative((item,))
+            if isinstance(item, tuple) and item and all(_is_rel(e) for e in item):
+                return self._restrict_relative(item)
+
         # NamedRange is a tuple, so disambiguate the single-entry forms:
         # a NamedRange itself, or a (Dimension, index-or-range) pair.
         if isinstance(item, NamedRange):
@@ -543,6 +646,7 @@ class Field:
             Domain(tuple(ranges)),
             self.ndarray[tuple(slices)],
             self.mask[tuple(slices)] if self.mask is not None else None,
+            base=(self, tuple(slices)) if not collapses else None,
         )
         for dim, rel_idx in collapses:
             result = result._reduce_index(dim, rel_idx)

@@ -93,7 +93,9 @@ def where(cond: Field, a: Union[Field, Any], b: Union[Field, Any]) -> Field:
         # with the same condition.
         if not (isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b)):
             raise TypeError("where: tuple branches must have matching structure")
-        return tuple(where(cond, x, y) for x, y in zip(a, b))
+        elts = [where(cond, x, y) for x, y in zip(a, b)]
+        # Preserve NamedTuple carries (icon-like scan State pattern).
+        return type(a)(*elts) if hasattr(a, "_fields") else tuple(elts)
     for x in (cond, a, b):
         if _is_sym(x):
             return x._builtin("where", cond, a, b)

@@ -33,6 +33,8 @@ import os
 import types
 from typing import Any, Callable, Optional
 
+import numpy as np
+
 from gt4py_tpu.eve import Node, datamodel, field
 
 
@@ -403,8 +405,14 @@ def _emit(e: Expr) -> str:
     if isinstance(e, Compare):
         return f"({_emit(e.left)} {e.op} {_emit(e.right)})"
     if isinstance(e, IfExpr):
+        # Runtime-dispatched ternary: plain-bool conditions keep Python
+        # short-circuit semantics; Field / traced-array conditions lower
+        # to where() with both branches evaluated (reference
+        # foast_to_gtir ternary lowering). The thunks keep the untaken
+        # branch unevaluated for compile-time conditions.
         return (
-            f"({_emit(e.true_expr)} if {_emit(e.cond)} else {_emit(e.false_expr)})"
+            f"__gtx_ternary__({_emit(e.cond)}, "
+            f"lambda: {_emit(e.true_expr)}, lambda: {_emit(e.false_expr)})"
         )
     if isinstance(e, Call):
         parts = [_emit(a) for a in e.args]
@@ -503,12 +511,42 @@ def default_options() -> TransformOptions:
     return TransformOptions()
 
 
+def _gtx_ternary(cond: Any, true_thunk: Callable, false_thunk: Callable) -> Any:
+    """Runtime form of ``a if cond else b`` in a field operator.
+
+    Python-bool conditions (compile-time flags, folded scalar chains)
+    branch natively. Everything else — Fields, traced arrays, per-level
+    scan values, bridge SymNodes — evaluates both branches and selects
+    with ``where`` (the reference lowers FOAST ternaries the same way,
+    ffront/foast_to_gtir.py ``visit_IfExp``). Tuple branches (e.g. a
+    NamedTuple scan carry, test_icon_like_scan.py:49) select leaf-wise,
+    preserving the carry structure."""
+    if isinstance(cond, (bool, np.bool_)):
+        return true_thunk() if cond else false_thunk()
+    from gt4py_tpu.next.fbuiltins import where
+
+    a = true_thunk()
+    b = false_thunk()
+    if isinstance(a, tuple) or isinstance(b, tuple):
+        import jax.tree_util as jtu
+
+        if jtu.tree_structure(a) != jtu.tree_structure(b):
+            raise TypeError(
+                "ternary branches must have the same (tuple) structure, got "
+                f"{type(a).__name__} vs {type(b).__name__}"
+            )
+        return jtu.tree_map(lambda x, y: where(cond, x, y), a, b)
+    return where(cond, a, b)
+
+
 def _function_from_source(
     src: str, name: str, definition: Callable, inject: Optional[dict]
 ) -> Callable:
     """Build a function object from generated source sharing the
     definition's *live* globals (no namespace pollution: the code object
     is extracted from the compiled module and wrapped directly)."""
+    if "__gtx_ternary__(" in src:
+        inject = {**(inject or {}), "__gtx_ternary__": _gtx_ternary}
     module = compile(src, f"<foast:{name}>", "exec")
     code = next(
         c
