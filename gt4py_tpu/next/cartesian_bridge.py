@@ -244,9 +244,40 @@ class _Tracer:
             ]
 
         first_body = trace_section([self.lift(v) for v in init_leaves])
-        rest_body = trace_section(
-            [SymNode(self, "field", (o, (0, 0, dk)), ()) for o in out_names]
-        )
+
+        # Constant-after-first carry specialization: a carry leaf whose
+        # first-section value is a literal L, and whose rest-section value
+        # re-traces to the SAME literal when the carry read is assumed to
+        # be L, is constant at every level the rest section sees (proof by
+        # induction over K). Feed the literal instead of a field read so
+        # dependent selections fold (the icon-like `first_level: bool`
+        # pattern, reference test_icon_like_scan.py:43-53, compiles to
+        # straight-line sections with no bool stream or masks).
+        lit_vals: dict[int, tuple] = {}
+        for i, st in enumerate(first_body):
+            if isinstance(st.value, gtir.Literal):
+                lit_vals[i] = (st.value.value, st.value.dtype)
+        const_idx = set(lit_vals)
+        while True:
+            carry_nodes = [
+                SymNode(self, "literal", lit_vals[i], ())
+                if i in const_idx
+                else SymNode(self, "field", (o, (0, 0, dk)), ())
+                for i, o in enumerate(out_names)
+            ]
+            rest_body = trace_section(carry_nodes)
+            bad = {
+                i
+                for i in const_idx
+                if not (
+                    isinstance(rest_body[i].value, gtir.Literal)
+                    and (rest_body[i].value.value, rest_body[i].value.dtype)
+                    == lit_vals[i]
+                )
+            }
+            if not bad:
+                break
+            const_idx -= bad
         sections = _scan_sections(forward, first_body, rest_body)
         self.loops.append(
             gtir.VerticalLoop(
@@ -400,6 +431,16 @@ class SymNode:
     def _builtin(self, name: str, *args: Any) -> "SymNode":
         if name == "where":
             cond, a, b = (self.tr.lift(x) for x in args)
+            # Fold literal selections: a literal condition picks its
+            # branch (first-scan-level tracing feeds literal carries);
+            # equal literal branches collapse (the icon-like
+            # `first_level=False` in both ternary arms). This is what
+            # lets constant-after-first carry leaves specialize out of
+            # the sequential sections (trace_scan below).
+            if cond.kind == "literal":
+                return a if cond.data[0] else b
+            if a.kind == "literal" and b.kind == "literal" and a.data == b.data:
+                return a
             return SymNode(self.tr, "ternary", None, (cond, a, b))
         if name == "astype":
             (value, dtype) = args

@@ -498,3 +498,60 @@ def test_composite_scan_args_dependency_order(rng):
             expected[i, j] = np.linalg.solve(m, q0[i, j])
     np.testing.assert_allclose(np.asarray(out.ndarray), expected, rtol=1e-10)
     assert _bridged(solve) and _staged(solve)
+
+
+def test_scan_bridge_bool_carry_specializes(rng):
+    """Constant-after-first carry leaves (the icon-like ``first_level``
+    bool, reference test_icon_like_scan.py:43-53) fold out of the
+    sequential sections: the lowered GTIR has straight-line sections, no
+    ternaries, and no bool carry temp."""
+    from typing import NamedTuple
+
+    class State(NamedTuple):
+        q: float
+        w: float
+        first: bool
+
+    @gtx.scan_operator(axis=KDim, forward=True, init=State(0.0, 0.0, True))
+    def sc(state: State, w: float, q: float, a: float, b: float, c: float) -> State:
+        g = b + a * state.q
+        qn = (0.0 - c) * g
+        wn = a * state.w * g
+        return (
+            State(q=q, w=w, first=False)
+            if state.first
+            else State(q=qn, w=wn, first=False)
+        )
+
+    @gtx.field_operator(backend="tpu:pallas")
+    def solve(w, q, a, b, c):
+        qr, wr, dummy = sc(w, q, a, b, c)
+        return qr + wr
+
+    ni, nj, nk = 5, 4, 7
+    data = {x: rng.random((ni, nj, nk)) for x in "wqabc"}
+    f = {x: gtx.as_field([IDim, JDim, KDim], v) for x, v in data.items()}
+    out = gtx.zeros({IDim: ni, JDim: nj, KDim: nk})
+    solve(f["w"], f["q"], f["a"], f["b"], f["c"], out=out)
+
+    var = next(v for v in solve._bridge_cache.values() if v is not None)
+    from gt4py_tpu.cartesian.gtir_pretty import pretty
+
+    text = pretty(var.backend.analyzed.stencil)
+    assert "?" not in text and "where" not in text  # no ternaries survive
+    assert "bool" not in text  # the bool carry temp is gone
+    assert text.count("interval(") == 3  # first level + rest + out copy
+
+    # numerics vs a per-column oracle
+    zq = np.zeros((ni, nj, nk))
+    zw = np.zeros((ni, nj, nk))
+    qp = np.zeros((ni, nj))
+    wp = np.zeros((ni, nj))
+    for kk in range(nk):
+        g = data["b"][..., kk] + data["a"][..., kk] * qp
+        qn = -data["c"][..., kk] * g
+        wn = data["a"][..., kk] * wp * g
+        zq[..., kk] = data["q"][..., kk] if kk == 0 else qn
+        zw[..., kk] = data["w"][..., kk] if kk == 0 else wn
+        qp, wp = zq[..., kk], zw[..., kk]
+    np.testing.assert_allclose(out.asnumpy(), zq + zw, rtol=1e-10)
