@@ -96,6 +96,10 @@ class _Tracer:
         self._flushed = 0  # index into temps of the first unflushed temp
         self.scan_out_names: list[str] = []
         self._scan_n = 0
+        # Vertical range of the out domain (start, stop) — set by the
+        # variant builders; concat_where boundary coordinates resolve
+        # against it (the variant key pins this range, signature_key).
+        self.k_range: Optional[tuple[int, int]] = None
 
     def lift(self, value: Any) -> "SymNode":
         if isinstance(value, SymNode):
@@ -115,15 +119,65 @@ class _Tracer:
             self.temps.append(node)
         return node.temp_name
 
-    def flush_parallel(self) -> None:
+    def concat_k(self, cond: Any, a: Any, b: Any) -> "SymNode":
+        """Lower ``concat_where(KDim <op> v, a, b)`` to K-interval
+        sections (reference experimental concat_where,
+        ffront/experimental.py:52, which gtfn compiles to per-interval
+        stencil executions). The result is a temporary assigned ``a`` on
+        the satisfying sub-interval(s) and ``b`` elsewhere — specialized
+        straight-line sections instead of per-point masks, which is what
+        lets vadv-style boundary coefficients ride the staged Pallas
+        kernels at cartesian parity."""
+        axis = self.dim_axis.get(cond.dim)
+        if axis != 2:
+            raise BridgeUnsupported(
+                "concat_where condition is not on the vertical dimension"
+            )
+        if self.k_range is None:
+            raise BridgeUnsupported("concat_where without a vertical out domain")
+        s0, s1 = self.k_range
+        nk = s1 - s0
+
+        def clamp(x: int) -> int:
+            return max(0, min(nk, x))
+
+        # Breakpoints from the condition's coordinate regions, relative to
+        # the out K start; segments pick child 0 (true) or 1 (false) by
+        # midpoint membership, then coalesce.
+        points = {0, nk}
+        for reg in cond.regions:
+            points.add(clamp(reg.start - s0))
+            points.add(clamp(reg.stop - s0))
+        cuts = sorted(points)
+        segs: list[tuple[int, int, int]] = []
+        for lo, hi in zip(cuts, cuts[1:]):
+            if lo >= hi:
+                continue
+            coord = s0 + lo
+            which = 0 if any(coord in reg for reg in cond.regions) else 1
+            if segs and segs[-1][2] == which:
+                segs[-1] = (segs[-1][0], hi, which)
+            else:
+                segs.append((lo, hi, which))
+        children = (self.lift(a), self.lift(b))
+        if len(segs) == 1:
+            return children[segs[0][2]]
+        node = SymNode(self, "ksections", (tuple(segs), nk), children)
+        self.make_temp(node)
+        return node
+
+    def flush_parallel(self, final_assign: Optional[tuple] = None) -> None:
         """Emit pending temp definitions as one PARALLEL vertical loop
         (called before a sequential scan loop so the scan's materialized
         arguments exist; also for the final out assignment). Statements are
         ordered by data dependency, not creation order — materializing a
         scan's composite arguments can register a consumer (``diag``)
-        before one of its inputs (``upper``)."""
+        before one of its inputs (``upper``). concat_where temporaries
+        (kind "ksections") emit as their own multi-section loops between
+        the full-interval batches. ``final_assign=(name, node)`` appends
+        ``name = node`` to the last batch (the variant's out write)."""
         pending = self.temps[self._flushed:]
-        if not pending:
+        if not pending and final_assign is None:
             return
 
         def deps(node: "SymNode", root: "SymNode"):
@@ -150,7 +204,56 @@ class _Tracer:
 
         memo: dict = {}
         body: list[gtir.Stmt] = []
+
+        def emit_batch() -> None:
+            if body:
+                self.loops.append(
+                    gtir.VerticalLoop(
+                        loop_order=gtir.LoopOrder.PARALLEL,
+                        sections=[
+                            gtir.VerticalSection(
+                                interval=gtir.Interval.full(), body=list(body)
+                            )
+                        ],
+                    )
+                )
+                body.clear()
+
+        def k_bound(pos: int, nk: int) -> gtir.AxisBound:
+            return (
+                gtir.AxisBound.end(0)
+                if pos == nk
+                else gtir.AxisBound.start(pos)
+            )
+
         for tnode in ordered:
+            if tnode.kind == "ksections":
+                # concat_where temp: one loop, one section per K piece.
+                emit_batch()
+                segs, nk = tnode.data
+                sections = []
+                for lo, hi, which in segs:
+                    sections.append(
+                        gtir.VerticalSection(
+                            interval=gtir.Interval(
+                                start=k_bound(lo, nk), end=k_bound(hi, nk)
+                            ),
+                            body=[
+                                gtir.Assign(
+                                    target=gtir.FieldAccess(
+                                        name=tnode.temp_name, offset=(0, 0, 0)
+                                    ),
+                                    value=_to_expr(tnode.children[which], {}),
+                                )
+                            ],
+                        )
+                    )
+                self.loops.append(
+                    gtir.VerticalLoop(
+                        loop_order=gtir.LoopOrder.PARALLEL, sections=sections
+                    )
+                )
+                continue
             body.append(
                 gtir.Assign(
                     target=gtir.FieldAccess(name=tnode.temp_name, offset=(0, 0, 0)),
@@ -158,14 +261,15 @@ class _Tracer:
                 )
             )
         self._flushed = len(self.temps)
-        self.loops.append(
-            gtir.VerticalLoop(
-                loop_order=gtir.LoopOrder.PARALLEL,
-                sections=[
-                    gtir.VerticalSection(interval=gtir.Interval.full(), body=body)
-                ],
+        if final_assign is not None:
+            name, node = final_assign
+            body.append(
+                gtir.Assign(
+                    target=gtir.FieldAccess(name=name, offset=(0, 0, 0)),
+                    value=_to_expr(node, memo),
+                )
             )
-        )
+        emit_batch()
 
     def trace_scan(self, op: Any, args: tuple, kwargs: dict):
         """Inline a ScanOperator call made on symbolic values: append a
@@ -442,6 +546,9 @@ class SymNode:
             if a.kind == "literal" and b.kind == "literal" and a.data == b.data:
                 return a
             return SymNode(self.tr, "ternary", None, (cond, a, b))
+        if name == "concat_where":
+            cond, a, b = args
+            return self.tr.concat_k(cond, a, b)
         if name == "astype":
             (value, dtype) = args
             return SymNode(
@@ -624,6 +731,11 @@ def build_variant(
     for name in scalar_args:
         sym_args[name] = SymNode(tr, "scalar", name, ())
 
+    k_dim = next((d for d, ax in dim_axis.items() if ax == 2), None)
+    if k_dim is not None and k_dim in out.domain:
+        rr = out.domain[k_dim].unit_range
+        tr.k_range = (rr.start, rr.stop)
+
     result = definition(**sym_args)
     if not isinstance(result, SymNode):
         raise BridgeUnsupported("operator result is not a single field expression")
@@ -645,30 +757,7 @@ def build_variant(
         _rename_field(tr.loops, rename, out_name)
         tr.scan_out_names.remove(rename)
     else:
-        memo: dict = {}
-        body: list[gtir.Stmt] = []
-        for tnode in tr.temps[tr._flushed:]:
-            body.append(
-                gtir.Assign(
-                    target=gtir.FieldAccess(name=tnode.temp_name, offset=(0, 0, 0)),
-                    value=_to_expr(tnode, memo, defining=tnode),
-                )
-            )
-        tr._flushed = len(tr.temps)
-        body.append(
-            gtir.Assign(
-                target=gtir.FieldAccess(name=out_name, offset=(0, 0, 0)),
-                value=_to_expr(result, memo),
-            )
-        )
-        tr.loops.append(
-            gtir.VerticalLoop(
-                loop_order=gtir.LoopOrder.PARALLEL,
-                sections=[
-                    gtir.VerticalSection(interval=gtir.Interval.full(), body=body)
-                ],
-            )
-        )
+        tr.flush_parallel(final_assign=(out_name, result))
 
     params: list[gtir.Decl] = []
     for name, mask, _ in field_params:
@@ -748,6 +837,9 @@ def build_scan_variant(
     out_dtype = np.dtype(out0.dtype)
     float_dtype = out_dtype if out_dtype.kind == "f" else np.dtype(np.float64)
     tr = _Tracer(dim_axis, providers or {}, float_dtype)
+    if op.axis in out0.domain:
+        rr = out0.domain[op.axis].unit_range
+        tr.k_range = (rr.start, rr.stop)
 
     field_params = []
     arg_nodes = {}
@@ -874,6 +966,13 @@ def signature_key(field_args, scalar_args, out, providers, backend_name):
     for name, v in scalar_args.items():
         parts.append((name, np.dtype(type(v)).str))
     parts.append(("out", tuple(nr.dim for nr in out.domain.ranges), str(out.dtype)))
+    # Pin the vertical out range: concat_where boundary coordinates
+    # resolve against it at trace time, so a different K window must
+    # rebuild the variant (trace+analyze only; kernels are per-domain
+    # cached downstream anyway).
+    for nr in out.domain.ranges:
+        if nr.dim.kind == DimensionKind.VERTICAL:
+            parts.append(("out_k", nr.unit_range.start, nr.unit_range.stop))
     if providers:
         parts.append(tuple(sorted((k, repr(v)) for k, v in providers.items())))
     return tuple(parts)

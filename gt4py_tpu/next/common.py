@@ -25,6 +25,15 @@ class DimensionKind(enum.Enum):
     LOCAL = "local"
 
 
+def _is_plain_int(v: Any) -> bool:
+    """A Python or NumPy integer (bools excluded) — valid as a domain
+    coordinate in dimension comparisons (``KDim < nlev - 1`` where nlev
+    arrives as np.int32, reference test_concat_where.py:85)."""
+    import numpy as np
+
+    return isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class Dimension:
     value: str
@@ -56,45 +65,127 @@ class Dimension:
     def __eq__(self, other):
         if isinstance(other, Dimension):
             return self.value == other.value and self.kind == other.kind
-        if isinstance(other, int):
+        if _is_plain_int(other):
             return DimCondition(self, "==", other)
         return NotImplemented
 
     def __ne__(self, other):
         if isinstance(other, Dimension):
             return not self.__eq__(other)
-        if isinstance(other, int):
+        if _is_plain_int(other):
             return DimCondition(self, "!=", other)
         return NotImplemented
 
     def __lt__(self, other):
-        if isinstance(other, int):
+        if _is_plain_int(other):
             return DimCondition(self, "<", other)
         return NotImplemented
 
     def __le__(self, other):
-        if isinstance(other, int):
+        if _is_plain_int(other):
             return DimCondition(self, "<=", other)
         return NotImplemented
 
     def __gt__(self, other):
-        if isinstance(other, int):
+        if _is_plain_int(other):
             return DimCondition(self, ">", other)
         return NotImplemented
 
     def __ge__(self, other):
-        if isinstance(other, int):
+        if _is_plain_int(other):
             return DimCondition(self, ">=", other)
         return NotImplemented
 
 
+def merge_regions(regions) -> tuple:
+    """Sort, drop empties, and coalesce touching/overlapping UnitRanges."""
+    rs = sorted((r for r in regions if not r.is_empty()), key=lambda r: r.start)
+    out: list = []
+    for r in rs:
+        if out and r.start <= out[-1].stop:
+            if r.stop > out[-1].stop:
+                out[-1] = UnitRange(out[-1].start, r.stop)
+        else:
+            out.append(r)
+    return tuple(out)
+
+
+def complement_regions(regions) -> tuple:
+    """The complement of a merged disjoint region list over (-inf, inf)."""
+    rs = merge_regions(regions)
+    out = []
+    prev = _NEG_INF
+    for r in rs:
+        if r.start > prev:
+            out.append(UnitRange(prev, r.start))
+        prev = r.stop
+    if prev < _POS_INF:
+        out.append(UnitRange(prev, _POS_INF))
+    return tuple(out)
+
+
+def _regions_from_op(op: str, v: int) -> tuple:
+    if op == "==":
+        return (UnitRange(v, v + 1),)
+    if op == "!=":
+        return (UnitRange(_NEG_INF, v), UnitRange(v + 1, _POS_INF))
+    if op == "<":
+        return (UnitRange(_NEG_INF, v),)
+    if op == "<=":
+        return (UnitRange(_NEG_INF, v + 1),)
+    if op == ">":
+        return (UnitRange(v + 1, _POS_INF),)
+    if op == ">=":
+        return (UnitRange(v, _POS_INF),)
+    raise ValueError(f"unknown comparison op {op!r}")  # pragma: no cover
+
+
 @dataclasses.dataclass(frozen=True)
 class DimCondition:
-    """Symbolic per-dimension index condition, e.g. ``KDim < 1``."""
+    """Symbolic per-dimension index-region condition, e.g. ``KDim < 1``
+    (the reference builds 1-D Domains from dimension comparisons,
+    common.py Dimension.__lt__ et al.). Conditions combine with ``&`` /
+    ``|`` / ``~`` into multi-region conditions
+    (``(KDim < 2) | (KDim >= 5)``, reference test_concat_where.py:262).
+    ``regions`` — disjoint sorted UnitRanges of domain coordinates where
+    the condition holds — is the source of truth; ``op``/``value`` are
+    kept for single comparisons."""
 
     dim: "Dimension"
-    op: str
-    value: int
+    op: Optional[str] = None
+    value: Optional[int] = None
+    regions: tuple = ()
+
+    def __post_init__(self):
+        if self.op is not None and not self.regions:
+            object.__setattr__(
+                self, "regions", _regions_from_op(self.op, int(self.value))
+            )
+        else:
+            object.__setattr__(self, "regions", merge_regions(self.regions))
+
+    def _check(self, other: "DimCondition") -> None:
+        if not isinstance(other, DimCondition):
+            raise TypeError(f"cannot combine DimCondition with {other!r}")
+        if other.dim != self.dim:
+            raise ValueError(
+                "conditions combine along one dimension only "
+                f"({self.dim} vs {other.dim})"
+            )
+
+    def __and__(self, other: "DimCondition") -> "DimCondition":
+        self._check(other)
+        inter = tuple(
+            a.intersection(b) for a in self.regions for b in other.regions
+        )
+        return DimCondition(self.dim, regions=inter)
+
+    def __or__(self, other: "DimCondition") -> "DimCondition":
+        self._check(other)
+        return DimCondition(self.dim, regions=self.regions + other.regions)
+
+    def __invert__(self) -> "DimCondition":
+        return DimCondition(self.dim, regions=complement_regions(self.regions))
 
 
 class Dims:

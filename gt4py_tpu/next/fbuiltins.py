@@ -302,6 +302,11 @@ def concat_where(cond, a, b) -> Field:
 
     if not isinstance(cond, DimCondition):
         return where(cond, a, b)
+    # Bridge tracing: lower to K-interval sections (straight-line
+    # specialized code per vertical piece, cartesian_bridge.concat_k).
+    sym = next((x for x in (a, b) if _is_sym(x)), None)
+    if sym is not None:
+        return sym._builtin("concat_where", cond, a, b)
     operands = [x for x in (a, b) if isinstance(x, Field)]
     if not operands:
         raise TypeError("concat_where requires at least one Field operand")
@@ -310,25 +315,111 @@ def concat_where(cond, a, b) -> Field:
         dims = _promote_dims(dims, o.dims)
     if cond.dim not in dims:
         raise ValueError(f"Condition dimension {cond.dim} not in operands")
-    ref = operands[0]
-    dom = None
-    arrs = []
-    for x in (a, b):
-        if isinstance(x, Field):
-            d, arr = x._aligned(dims, ref if x is not ref else operands[-1])
-            dom = d if dom is None else dom.intersection(d)
-            arrs.append(arr)
-        else:
-            arrs.append(x)
+
+    # Reference semantics (nd_array_field.py:905 ``_concat_where``): the
+    # result is the CONCATENATION along the condition dimension of the
+    # true field restricted to the condition region(s) and the false
+    # field restricted to the complement — each operand only needs to
+    # cover its own region (boundary-condition idiom: the interior
+    # branch may be shrunk by shifts). Orthogonal dims intersect.
+    from gt4py_tpu.next.common import complement_regions
+
+    true_regions = cond.regions
+    false_regions = complement_regions(true_regions)
+
+    # Orthogonal intersection over operands that have the dim.
+    ortho: dict = {}
+    for d in dims:
+        if d == cond.dim:
+            continue
+        rr = None
+        for o in operands:
+            if d in o.domain:
+                orr = o.domain[d].unit_range
+                rr = orr if rr is None else rr.intersection(orr)
+        ortho[d] = rr if rr is not None else UnitRange.infinite()
+
+    xp = _xp(operands[0].ndarray)
+    result_dtype = xp.result_type(
+        *(o.ndarray for o in operands),
+        *(x for x in (a, b) if not isinstance(x, Field)),
+    )
+
+    # Bounding hull along the condition dim (finite operand ranges): a
+    # scalar or dim-less contributor covers any region, clipped to the
+    # hull so the result stays finite (the reference materializes an
+    # infinite ConstantField instead; downstream the out write clips it —
+    # reference test_concat_where_scalar_broadcast).
+    hull = None
+    for o in operands:
+        if cond.dim in o.domain:
+            orr = o.domain[cond.dim].unit_range
+            if orr.is_finite:
+                hull = (
+                    orr
+                    if hull is None
+                    else UnitRange(min(hull.start, orr.start), max(hull.stop, orr.stop))
+                )
+
+    def contributions(x, regions):
+        for reg in regions:
+            if isinstance(x, Field) and cond.dim in x.domain and x.domain[
+                cond.dim
+            ].unit_range.is_finite:
+                rr = x.domain[cond.dim].unit_range.intersection(reg)
+            elif hull is not None:
+                rr = hull.intersection(reg)
+            else:
+                rr = reg
+            if rr.is_empty():
+                continue
+            if not rr.is_finite:
+                raise ValueError(
+                    f"concat_where region {rr} along {cond.dim} is unbounded; "
+                    "bound it with a field that has a finite range there"
+                )
+            yield rr, x
+
+    pieces = sorted(
+        [*contributions(a, true_regions), *contributions(b, false_regions)],
+        key=lambda p: p[0].start,
+    )
+    if not pieces:
+        raise ValueError("concat_where: no contributing region")
+    for (r0, _), (r1, _) in zip(pieces, pieces[1:]):
+        if r0.stop < r1.start:
+            raise ValueError(
+                f"concat_where: non-contiguous result domain along {cond.dim} "
+                f"(gap between {r0} and {r1})"
+            )
+        if r0.stop > r1.start:  # pragma: no cover — regions are disjoint
+            raise ValueError("concat_where: overlapping contributions")
+
+    def piece_array(rr: "UnitRange", x) -> Any:
+        target_ranges = tuple(
+            NamedRange(d, rr if d == cond.dim else ortho[d]) for d in dims
+        )
+        shape = tuple(
+            len(r.unit_range) if r.unit_range.is_finite else 1
+            for r in target_ranges
+        )
+        if not isinstance(x, Field):
+            return xp.full(shape, x, dtype=result_dtype)
+        probe = object.__new__(Field)
+        probe.domain = Domain(target_ranges)
+        probe.ndarray = operands[0].ndarray
+        probe.mask = None
+        probe.base = None
+        _, arr = x._aligned(dims, probe)
+        return xp.broadcast_to(arr, shape).astype(result_dtype)
+
+    arrays = [piece_array(rr, x) for rr, x in pieces]
     axis = list(dims).index(cond.dim)
-    start = dom[cond.dim].unit_range.start
-    size = len(dom[cond.dim].unit_range)
-    shape = [1] * len(dims)
-    shape[axis] = size
-    idx = jnp.arange(start, start + size).reshape(shape)
-    ops = {
-        "==": jnp.equal, "!=": jnp.not_equal, "<": jnp.less,
-        "<=": jnp.less_equal, ">": jnp.greater, ">=": jnp.greater_equal,
-    }
-    mask = ops[cond.op](idx, cond.value)
-    return Field(dom, jnp.where(mask, arrs[0], arrs[1]))
+    full_range = UnitRange(pieces[0][0].start, pieces[-1][0].stop)
+    out_ranges = tuple(
+        NamedRange(d, full_range if d == cond.dim else ortho[d]) for d in dims
+    )
+    return Field(
+        Domain(out_ranges),
+        arrays[0] if len(arrays) == 1 else xp.concatenate(arrays, axis=axis),
+    )
