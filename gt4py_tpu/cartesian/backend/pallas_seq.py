@@ -363,10 +363,28 @@ def build_staged_fn(
         rows = jnp.pad(rows, ((0, 0), (0, pk), (0, pi), (0, pj)))
         return rows if nd else rows[0]
 
+    # Fields that skip their seed stream (write-only, fully covered) carry
+    # garbage OUTSIDE the compute domain in the kernel result; decode
+    # pastes only the domain region back onto the original.
+    unseeded_fields = {
+        name
+        for stage in stages
+        for name in stage.written
+        if _seed_skippable(analyzed, stage, name, nk)
+    }
+
     def decode(n: str, r: Any, original: Any) -> Any:
         kf = jnp.transpose(original, (2, 0, 1))
         ok = origins[n][2]
-        rows = r[: min(nk, kf.shape[0] - ok), : kf.shape[1], : kf.shape[2]]
+        nk_eff = min(nk, kf.shape[0] - ok)
+        if n in unseeded_fields:
+            oi, oj = origins[n][0], origins[n][1]
+            block = r[:nk_eff, oi : oi + ni, oj : oj + nj]
+            kf = jnp.asarray(kf).at[
+                ok : ok + nk_eff, oi : oi + ni, oj : oj + nj
+            ].set(block)
+            return jnp.transpose(kf, (1, 2, 0))
+        rows = r[:nk_eff, : kf.shape[1], : kf.shape[2]]
         if ok > 0 or ok + rows.shape[0] < kf.shape[0]:
             rows = jnp.concatenate([kf[:ok], rows, kf[ok + rows.shape[0] :]], axis=0)
         return jnp.transpose(rows, (1, 2, 0))
@@ -424,6 +442,45 @@ def build_staged_fn(
     return fn
 
 
+def _seed_skippable(analyzed, stage, name: str, nk: int) -> bool:
+    """Whether a written buffer can skip its dk=0 seed stream in ``stage``:
+    a write-ONLY full-3D API field whose unmasked plain writes cover the
+    stage walk never consumes the seed — the copy would be a genuinely
+    extra HBM read (bridged vadv with a separate out field: 7 streams vs
+    6, 220us vs 188us measured). Everything else keeps the seed (it
+    preserves non-domain points through the full-block write-back; decode
+    pastes only the domain region for unseeded fields)."""
+    info = analyzed.field_infos.get(name)
+    if info is None or (info.access & AccessKind.READ):
+        return False
+    if info.axes != ("I", "J", "K") or info.data_dims:
+        return False
+    # The walk must span the WHOLE buffer: grid steps only visit
+    # [k_start, k_end) — planes outside an incomplete walk keep their
+    # content through the input-output alias, which skipping removes.
+    if stage.k_start != 0 or stage.k_end != nk:
+        return False
+    covered: list[tuple[int, int]] = []
+    for ks, ke, sec in stage.sections:
+        if any(
+            isinstance(st, gtir.Assign)
+            and st.target.name == name
+            and st.mask is None
+            and not st.horizontal_masks
+            and st.target.koffset is None
+            and st.target.abs_k is None
+            for st in sec.body
+        ):
+            covered.append((ks, ke))
+    covered.sort()
+    pos = stage.k_start
+    for ks, ke in covered:
+        if ks > pos:
+            return False
+        pos = max(pos, ke)
+    return pos >= stage.k_end
+
+
 def _build_stage_call(
     geo: _StagedGeometry,
     stage: _Stage,
@@ -465,13 +522,18 @@ def _build_stage_call(
         if is_buffer(name):
             written_bufs.append(name)
 
-    # Every written buffer is seeded from a dk=0 input alias: API fields
-    # need it to preserve non-domain points through the full-block
-    # write-back, and (measured) seeding temporaries is FASTER too —
-    # an unseeded, partially-written output block forces the backend into
-    # a read-modify-write on the out stream (vadv: 195us pruned vs 182us
+    # Written buffers are seeded from a dk=0 input alias: API fields need
+    # it to preserve non-domain points through the full-block write-back,
+    # and (measured) seeding temporaries is FASTER too — an unseeded,
+    # partially-written output block forces the backend into a
+    # read-modify-write on the out stream (vadv: 195us pruned vs 182us
     # seeded), so the "saved" input stream comes back with interest.
-    seeded = list(written_bufs)
+    # Exception: _seed_skippable (write-only fully-covered fields).
+    seeded = [
+        n
+        for n in written_bufs
+        if not _seed_skippable(geo.analyzed, stage, n, geo.domain[2])
+    ]
 
     # Input spec list: (stream_key, dk) pairs — only streams actually
     # consumed: dk=0 original reads, shifted original reads, and seeds.
@@ -1056,13 +1118,19 @@ def _build_fused_call(
                 continue
             if (name, dk) not in specs:
                 specs.append((name, dk))
-        seeded = sorted(n for n in stage.written if is_buffer(n))
+        written_bufs_s = sorted(n for n in stage.written if is_buffer(n))
+        # Same seed-skip rule as the per-stage call (_seed_skippable).
+        seeded = [
+            n
+            for n in written_bufs_s
+            if not _seed_skippable(geo.analyzed, stage, n, geo.domain[2])
+        ]
         for name in seeded:
             if (name, 0) not in specs:
                 specs.append((name, 0))
         stage_specs.append(specs)
         stage_seeded.append(seeded)
-        stage_written_bufs.append(seeded)
+        stage_written_bufs.append(written_bufs_s)
 
     # Flat operand list: (stage_idx, name, dk).
     flat_specs: list[tuple[int, str, int]] = []
@@ -1176,7 +1244,8 @@ def _build_fused_call(
         ]
         aliases = {}
         for wi, (si, n) in enumerate(out_names):
-            aliases[len(scalar_names) + flat_specs.index((si, n, 0))] = wi
+            if (si, n, 0) in flat_specs:  # unseeded write-only: fresh buffer
+                aliases[len(scalar_names) + flat_specs.index((si, n, 0))] = wi
 
         scratch = []
         for name in sorted(cross):

@@ -114,6 +114,14 @@ def analyze_gtir(stencil: "gtir.Stencil", options: dict) -> AnalyzedStencil:
 
     detect_races(stencil)
     infer_dtypes(stencil)
+    # PARALLEL coefficient temporaries consumed by one sequential loop
+    # compute per level inside it (reference vertical-loop-merging role):
+    # one grid sweep instead of one per producing loop, and concat_where
+    # piece boundaries become specialized consumer sections.
+    if options.get("backend_opts", {}).get("fuse_sequential", True):
+        from gt4py_tpu.cartesian.passes.seq_fusion import fuse_parallel_temporaries
+
+        stencil = fuse_parallel_temporaries(stencil)
     pre_inline: "gtir.Stencil | None" = None
     if options.get("backend_opts", {}).get("inline_temporaries", True):
         from gt4py_tpu.cartesian.passes.inline_temporaries import inline_temporaries

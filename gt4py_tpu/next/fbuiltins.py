@@ -367,6 +367,8 @@ def concat_where(cond, a, b) -> Field:
                 cond.dim
             ].unit_range.is_finite:
                 rr = x.domain[cond.dim].unit_range.intersection(reg)
+            elif reg.is_finite:
+                rr = reg  # scalar / dim-less branch on a bounded region
             elif hull is not None:
                 rr = hull.intersection(reg)
             else:
