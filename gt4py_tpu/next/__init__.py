@@ -25,6 +25,7 @@ from gt4py_tpu.next.common import (  # noqa: F401
     FieldOffset,
     GridType,
     Infinity,
+    NamedIndex,
     NamedRange,
     UnitRange,
     domain,

@@ -42,8 +42,16 @@ class Dimension:
     def __str__(self) -> str:
         return f"{self.value}[{self.kind.value}]"
 
-    # Convenience for building domains: IDim(10) or IDim(range)
-    def __call__(self, rng: Union[int, "UnitRange", range, tuple]) -> "NamedRange":
+    # Reference parity (common.py:86): ``KDim(0)`` is a NamedIndex — an
+    # absolute coordinate usable in field restriction (``f[V2EDim(0)]``
+    # collapses the dimension, reference test_external_local_field.py:56).
+    # Range-like arguments keep building NamedRanges for domain
+    # construction: ``IDim((0, 10))``, ``IDim(range(10))``.
+    def __call__(
+        self, rng: Union[int, "UnitRange", range, tuple]
+    ) -> Union["NamedIndex", "NamedRange"]:
+        if _is_plain_int(rng):
+            return NamedIndex(self, int(rng))
         return NamedRange(self, UnitRange.from_value(rng))
 
     def __hash__(self) -> int:
@@ -344,6 +352,18 @@ class NamedRange(typing.NamedTuple):
 
     def __str__(self) -> str:
         return f"{self.dim.value}={self.unit_range}"
+
+
+class NamedIndex(typing.NamedTuple):
+    """An absolute (dimension, coordinate) pair (reference common.py:370):
+    restriction with a NamedIndex collapses the dimension at that
+    coordinate — ``f[KDim(2)]`` reads plane 2."""
+
+    dim: Dimension
+    value: int
+
+    def __str__(self) -> str:
+        return f"{self.dim.value}={self.value}"
 
 
 def named_range(value: Union["NamedRange", tuple]) -> NamedRange:

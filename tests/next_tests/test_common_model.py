@@ -70,7 +70,14 @@ def test_unit_range_infinite():
 
 
 def test_dimension_call_builds_named_range():
-    nr = I(10)
+    # Reference parity: an INT argument builds a NamedIndex (absolute
+    # coordinate, common.py:86); range-likes build NamedRanges.
+    from gt4py_tpu.next import NamedIndex
+
+    ni_ = I(10)
+    assert isinstance(ni_, NamedIndex)
+    assert ni_.dim == I and ni_.value == 10
+    nr = I((0, 10))
     assert isinstance(nr, NamedRange)
     assert nr.dim == I and nr.unit_range == UnitRange(0, 10)
     nr2 = J((2, 6))
@@ -99,7 +106,7 @@ def test_domain_construction_forms():
     d1 = domain({I: 4, J: (1, 5)})
     assert d1.shape == (4, 4)
     assert d1.dims == (I, J)
-    d2 = domain([I(4), J((1, 5))])
+    d2 = domain([I((0, 4)), J((1, 5))])
     assert d2 == d1
     assert domain(d1) is d1
 
@@ -131,7 +138,7 @@ def test_domain_intersection():
 
 def test_domain_replace():
     d = domain({I: 4, J: 5})
-    d2 = d.replace(J, K(7))
+    d2 = d.replace(J, K((0, 7)))
     assert d2.dims == (I, K)
     assert d2[K].unit_range == UnitRange(0, 7)
 

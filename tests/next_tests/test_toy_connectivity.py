@@ -122,3 +122,37 @@ def test_numpy_oracle_matches_jax_on_composition(prov):
         gtx.as_field([V], PP), out=out_n, offset_provider=prov
     )
     np.testing.assert_allclose(out_j.asnumpy(), out_n.asnumpy())
+
+
+def test_external_local_field(prov):
+    """A field WITH a local dimension as a direct operator input
+    (reference test_external_local_field.py:24): multiply by a shifted
+    field and reduce over the local dim."""
+    import gt4py_tpu.next as gtx
+
+    @gtx.field_operator
+    def testee(inp, ones):
+        return neighbor_sum(inp * ones(V2E), axis=V2EDim)
+
+    inp = gtx.as_field([V, V2EDim], V2E_TABLE.astype(np.int32))
+    ones = gtx.as_field([E], np.ones(4, dtype=np.int32))
+    out = gtx.zeros({V: 4}, dtype=np.int32)
+    testee(inp, ones, out=out, offset_provider=prov)
+    np.testing.assert_array_equal(out.asnumpy(), V2E_TABLE.sum(axis=1))
+
+
+def test_index_external_local_field(prov):
+    """Indexing a local dimension with NamedIndex literals
+    (reference test_external_local_field.py:49: inp[V2EDim(0)] + ...)."""
+    import gt4py_tpu.next as gtx
+
+    @gtx.field_operator
+    def testee(inp):
+        return inp[V2EDim(0)] + inp[V2EDim(1)]
+
+    inp = gtx.as_field([V, V2EDim], V2E_TABLE.astype(np.int32))
+    out = gtx.zeros({V: 4}, dtype=np.int32)
+    testee(inp, out=out, offset_provider=prov)
+    np.testing.assert_array_equal(
+        out.asnumpy(), V2E_TABLE[:, 0] + V2E_TABLE[:, 1]
+    )
