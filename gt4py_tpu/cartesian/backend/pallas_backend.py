@@ -207,8 +207,27 @@ class PallasBackend(JaxBackend):
                 dec = _decoders[key] = jax.jit(decode)
             return dec
 
+        # Seed-skipped outputs (write-only, full coverage) come back with
+        # undefined content OUTSIDE the compute domain. When the public
+        # array carries halo (shape exceeds the domain), the chained
+        # native must stay halo-correct: paste the fresh domain region
+        # onto the previous (halo-correct) native. No-halo arrays skip
+        # this — only invisible padding is undefined there.
+        unseeded = getattr(pfn, "unseeded", frozenset())
+        ndom_i, ndom_j, ndom_k = domain
+
         def step(written_nat, read_nat, sc):
-            return pfn.call_padded({**read_nat, **written_nat}, sc)
+            out = pfn.call_padded({**read_nat, **written_nat}, sc)
+            for n in unseeded:
+                if n in written_nat and _needs_halo_paste[n]:
+                    out[n] = (
+                        written_nat[n]
+                        .at[:ndom_k, :ndom_i, :ndom_j]
+                        .set(out[n][:ndom_k, :ndom_i, :ndom_j])
+                    )
+            return out
+
+        _needs_halo_paste: dict = {}
 
         import os as _os
 
@@ -223,6 +242,14 @@ class PallasBackend(JaxBackend):
 
         def runner(infos, scalars):
             self.last_strategy = strategy
+            for n in unseeded:
+                if n in infos:
+                    _needs_halo_paste[n] = any(
+                        s > d
+                        for s, d in zip(
+                            infos[n].shape, (ndom_i, ndom_j, ndom_k)
+                        )
+                    )
             natives = {}
             for n in pfn.reads:
                 info = infos[n]

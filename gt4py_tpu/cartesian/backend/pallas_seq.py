@@ -333,7 +333,10 @@ def build_staged_fn(
         cross_temps = set()  # cross values live in VMEM scratch, not HBM
     else:
         stage_calls = [
-            _build_stage_call(geo, stage, cross_temps, scalar_names, interpret=interpret)
+            _build_stage_call(
+                geo, stage, cross_temps, scalar_names,
+                interpret=interpret, all_stages=stages,
+            )
             for stage in stages
         ]
 
@@ -370,7 +373,7 @@ def build_staged_fn(
         name
         for stage in stages
         for name in stage.written
-        if _seed_skippable(analyzed, stage, name, nk)
+        if _seed_skippable(analyzed, stages, stage, name, nk, origins)
     }
 
     def decode(n: str, r: Any, original: Any) -> Any:
@@ -439,22 +442,39 @@ def build_staged_fn(
     fn.reads = tuple(geo.fields)
     fn.writes = tuple(written_fields)
     fn.strategy = "staged"
+    #: written fields whose kernel result is undefined OUTSIDE the compute
+    #: domain (their seed stream was skipped) — consumers that retain the
+    #: padded buffer (native-layout chaining) must paste the domain region
+    #: onto halo-correct content when the public array carries halo.
+    fn.unseeded = frozenset(unseeded_fields)
     return fn
 
 
-def _seed_skippable(analyzed, stage, name: str, nk: int) -> bool:
+def _seed_skippable(analyzed, stages, stage, name: str, nk: int, origins) -> bool:
     """Whether a written buffer can skip its dk=0 seed stream in ``stage``:
-    a write-ONLY full-3D API field whose unmasked plain writes cover the
-    stage walk never consumes the seed — the copy would be a genuinely
-    extra HBM read (bridged vadv with a separate out field: 7 streams vs
-    6, 220us vs 188us measured). Everything else keeps the seed (it
-    preserves non-domain points through the full-block write-back; decode
-    pastes only the domain region for unseeded fields)."""
+    a full-3D API field that is never read as an ORIGINAL value (carry
+    reads of its own just-written planes are fine — they come from VMEM
+    rings, not the seed) and whose unmasked plain writes cover the stage
+    walk never consumes the seed — the copy would be a genuinely extra
+    HBM read (bridged vadv with a separate out field: 7 streams vs 6,
+    220us vs 188us measured; tridiag's backward solve reads x only
+    through its carry). Everything else keeps the seed (it preserves
+    non-domain points through the full-block write-back; decode pastes
+    only the domain region for unseeded fields)."""
     info = analyzed.field_infos.get(name)
-    if info is None or (info.access & AccessKind.READ):
+    if info is None:
         return False
     if info.axes != ("I", "J", "K") or info.data_dims:
         return False
+    # Low-side halo (nonzero origin) shifts the written block region;
+    # halo-correct write-back for that case is the seeded path's job.
+    if tuple(origins.get(name, (0, 0, 0))) != (0, 0, 0):
+        return False
+    for s2 in stages:
+        if any(n == name for n, _ in s2.orig_reads):
+            return False
+        if name in s2.needs_seed:
+            return False
     # The walk must span the WHOLE buffer: grid steps only visit
     # [k_start, k_end) — planes outside an incomplete walk keep their
     # content through the input-output alias, which skipping removes.
@@ -488,6 +508,7 @@ def _build_stage_call(
     scalar_names: list[str],
     *,
     interpret: bool,
+    all_stages: "list[_Stage]",
 ):
     """Build stage_call(state, scalars) -> dict of updated buffers."""
     import jax
@@ -532,7 +553,9 @@ def _build_stage_call(
     seeded = [
         n
         for n in written_bufs
-        if not _seed_skippable(geo.analyzed, stage, n, geo.domain[2])
+        if not _seed_skippable(
+            geo.analyzed, all_stages, stage, n, geo.domain[2], geo.origins
+        )
     ]
 
     # Input spec list: (stream_key, dk) pairs — only streams actually
@@ -1123,7 +1146,9 @@ def _build_fused_call(
         seeded = [
             n
             for n in written_bufs_s
-            if not _seed_skippable(geo.analyzed, stage, n, geo.domain[2])
+            if not _seed_skippable(
+            geo.analyzed, all_stages, stage, n, geo.domain[2], geo.origins
+        )
         ]
         for name in seeded:
             if (name, 0) not in specs:

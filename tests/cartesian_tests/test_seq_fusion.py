@@ -252,3 +252,32 @@ def test_write_only_out_halo_preserved_staged():
     for k in range(1, 5):
         expect[..., k] = expect[..., k - 1] * 0.5 + an[2:10, 1:17, k]
     np.testing.assert_allclose(o[1:9, 1:17], expect, rtol=1e-13)
+
+
+def test_write_only_out_high_halo_preserved_staged():
+    """Seed-skip with a zero origin but a public array LARGER than the
+    domain: the high-side halo must survive the native write-back (the
+    backend pastes the domain region onto the previous native)."""
+
+    def diff2(a: F, out: F):
+        with computation(FORWARD):
+            with interval(0, 1):
+                out = a
+            with interval(1, None):
+                out = out[0, 0, -1] * 0.5 + a
+
+    st = gtscript.stencil(backend="tpu:pallas", definition=diff2)
+    rng = np.random.default_rng(8)
+    shape = (10, 18, 6)
+    a = storage.from_array(rng.random(shape), backend="tpu:pallas")
+    out = storage.from_array(np.full(shape, 7.0), backend="tpu:pallas")
+    st(a=a, out=out, origin=(0, 0, 0), domain=(8, 16, 6))
+    o = np.asarray(out)
+    assert np.all(o[8:, :, :] == 7.0)
+    assert np.all(o[:, 16:, :] == 7.0)
+    an = np.asarray(a)
+    expect = np.empty((8, 16, 6))
+    expect[..., 0] = an[:8, :16, 0]
+    for k in range(1, 6):
+        expect[..., k] = expect[..., k - 1] * 0.5 + an[:8, :16, k]
+    np.testing.assert_allclose(o[:8, :16], expect, rtol=1e-13)
