@@ -1006,6 +1006,64 @@ def main() -> None:
     except Exception as e:
         results["triad_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # --- pallas plane-walk calibration: a bare 5-stream pallas kernel
+    # walking K planes (the staged/sequential kernels' execution shape).
+    # Measured MUCH faster than nominal HBM on the live device (1.6+ TB/s
+    # — plane blocks pipeline through VMEM), which is why sequential
+    # workloads can post roofline fractions ABOVE 1.0 against nominal:
+    # the honest ceiling for that kernel class is THIS number. ------------
+    try:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def _pw_kernel(a, b, c, d, o):
+            o[...] = a[...] + b[...] * c[...] - d[...]
+
+        _pw_spec = pl.BlockSpec((1, ni, nj), lambda s: (s, 0, 0))
+        _pw_call = pl.pallas_call(
+            _pw_kernel,
+            grid=(nk,),
+            in_specs=[_pw_spec] * 4,
+            out_specs=_pw_spec,
+            out_shape=jax.ShapeDtypeStruct((nk, ni, nj), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+            ),
+        )
+        _pw_jit: list = []
+
+        def make_pw(n):
+            if not _pw_jit:
+                @jax.jit
+                def f(n, a, b, c, d):
+                    def body(i, dd):
+                        return _pw_call(a, b, c, dd)
+                    return lax.fori_loop(0, n, body, d)
+                _pw_jit.append(f)
+            f = _pw_jit[0]
+            return lambda *args: f(n, *args)
+
+        t_pw = timer.measure(
+            make_pw,
+            lambda: tuple(device_random((nk, ni, nj)) for _ in range(4)),
+            label="planewalk",
+        )
+        pw_bytes = 5 * nk * ni * nj * 4
+        pw_bw = pw_bytes / t_pw
+        results["planewalk5_us_per_step"] = round(t_pw * 1e6, 1)
+        results["planewalk5_GBps"] = round(pw_bw / 1e9)
+        # Sequential workloads against the plane-walk ceiling (their
+        # kernel class): timings below this bound would be unphysical.
+        for wname, streams in (("tridiag", 5), ("vadv", 6)):
+            t_w = results.get(f"{wname}_us_per_step")
+            if t_w:
+                floor_us = (streams * ni * nj * nk * 4 / pw_bw) * 1e6
+                results[f"{wname}_vs_planewalk_ceiling"] = round(
+                    floor_us / t_w, 3
+                )
+    except Exception as e:
+        results["planewalk_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # --- copy + Laplacian at 48^3 (reference lap_cartesian_vs_next example
     # config, BASELINE.md configs row). Tiny workload: tracks dispatch +
     # small-domain kernel efficiency rather than HBM bandwidth. -----------

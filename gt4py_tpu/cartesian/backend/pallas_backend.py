@@ -220,11 +220,16 @@ class PallasBackend(JaxBackend):
             out = pfn.call_padded({**read_nat, **written_nat}, sc)
             for n in unseeded:
                 if n in written_nat and _needs_halo_paste[n]:
-                    out[n] = (
-                        written_nat[n]
-                        .at[:ndom_k, :ndom_i, :ndom_j]
-                        .set(out[n][:ndom_k, :ndom_i, :ndom_j])
+                    # Domain region in native (K, I, J) coordinates: K rows
+                    # start at the K origin (encode slices them off); I/J
+                    # rows keep the public layout, so the origin offsets.
+                    oi, oj, _ = origins.get(n, (0, 0, 0))
+                    sl = (
+                        slice(0, ndom_k),
+                        slice(oi, oi + ndom_i),
+                        slice(oj, oj + ndom_j),
                     )
+                    out[n] = written_nat[n].at[sl].set(out[n][sl])
             return out
 
         _needs_halo_paste: dict = {}

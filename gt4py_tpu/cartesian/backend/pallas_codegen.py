@@ -337,6 +337,66 @@ class _Plan:
         return total
 
 
+def _race_parallel_vs_staged(analyzed, domain, origins, parallel_variant, tk):
+    """Time the chosen split/plane kernel against the staged full-plane
+    K-walk for an all-PARALLEL stencil and persist the winner.
+
+    Motivation (measured on the live device): the staged walk holds the
+    WHOLE (1, I, J) plane in VMEM per grid step and streams planes at the
+    pipeline's full rate — hdiff 256x256x80 f32 runs 60us/step vs 90-97us
+    for the lane-split/tiled kernels. Which wins is device- and
+    shape-dependent, so it is raced once and cached like the tk probes."""
+    import json
+
+    from gt4py_tpu.cartesian.caching import GT_CACHE_ROOT
+    from gt4py_tpu.cartesian.gtir_pretty import pretty
+    from gt4py_tpu.eve.utils import content_hash
+
+    time_probes = os.environ.get("GT4PY_PALLAS_PROBE_TIMING", "1") not in (
+        "0", "", "false"
+    )
+    if not time_probes:
+        return parallel_variant
+    key = content_hash(
+        "strategy-race-v2",
+        _KERNEL_REV,
+        pretty(analyzed.stencil),
+        domain,
+        sorted(origins.items()),
+        parallel_variant,
+        tk,
+    )
+    if key in _plane_tk_cache:
+        return _plane_tk_cache[key]
+    cache_dir = os.path.join(GT_CACHE_ROOT, "pallas_tk")
+    cache_path = os.path.join(cache_dir, f"{key}.json")
+    try:
+        with open(cache_path) as f:
+            choice = str(json.load(f)["strategy"])
+        _plane_tk_cache[key] = choice
+        return choice
+    except (OSError, ValueError, KeyError):
+        pass
+    choice = parallel_variant
+    try:
+        t_par = _probe_plane_time(analyzed, domain, origins, tk, parallel_variant)
+        t_staged = _probe_plane_time(analyzed, domain, origins, None, "staged")
+        if t_staged < t_par:
+            choice = "staged"
+    except Exception:
+        pass
+    _plane_tk_cache[key] = choice
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"strategy": choice}, f)
+        os.replace(tmp, cache_path)
+    except OSError:
+        pass
+    return choice
+
+
 def build_pallas_fn(
     analyzed: AnalyzedStencil,
     domain: tuple[int, int, int],
@@ -374,8 +434,10 @@ def build_pallas_fn(
             f"below the {_REGION_HW_FLOOR}-point floor"
         )
     if _plane_eligible(analyzed, domain):
-        from gt4py_tpu.cartesian.backend import pallas_split
+        from gt4py_tpu.cartesian.backend import pallas_seq, pallas_split
 
+        par_variant = None
+        par_tk = None
         if (
             os.environ.get("GT4PY_PALLAS_SPLIT", "1") not in ("0", "", "false")
             and pallas_split.split_eligible(analyzed, domain)
@@ -383,19 +445,47 @@ def build_pallas_fn(
             # Lane-aligned main blocks + packed J-halo strips: measured
             # 119us -> ~90us on hdiff 256x256x80 (VPU-bound at this shape).
             try:
-                tk = select_plane_tk(
+                par_tk = select_plane_tk(
                     analyzed, domain, origins, interpret=interpret, variant="split"
                 )
+                par_variant = "split"
+            except PallasUnsupported:
+                pass
+        if par_variant is None:
+            par_tk = select_plane_tk(analyzed, domain, origins, interpret=interpret)
+            par_variant = "plane"
+
+        # Race the chosen split/plane kernel against the staged full-plane
+        # K-walk (holds the whole (1, I, J) plane in VMEM per grid step;
+        # measured hdiff 96.5us -> 60us on the live device). Winner cached.
+        if (
+            not interpret
+            and pallas_seq.staged_eligible(analyzed, interpret=False)
+            and _staged_probe_ok(analyzed, domain, origins)
+            and _race_parallel_vs_staged(
+                analyzed, domain, origins, par_variant, par_tk
+            )
+            == "staged"
+        ):
+            return pallas_seq.build_staged_fn(
+                analyzed, domain, origins, interpret=False
+            )
+
+        if par_variant == "split":
+            try:
                 fn = pallas_split.build_plane_split_fn(
-                    analyzed, domain, origins, tk=tk, interpret=interpret
+                    analyzed, domain, origins, tk=par_tk, interpret=interpret
                 )
                 if interpret:
                     _abstract_trace(fn, analyzed, domain, origins)
                 return fn
             except PallasUnsupported:
-                pass
-        tk = select_plane_tk(analyzed, domain, origins, interpret=interpret)
-        return build_plane_fn(analyzed, domain, origins, tk=tk, interpret=interpret)
+                par_tk = select_plane_tk(
+                    analyzed, domain, origins, interpret=interpret
+                )
+        return build_plane_fn(
+            analyzed, domain, origins, tk=par_tk, interpret=interpret
+        )
     from gt4py_tpu.cartesian.backend import pallas_seq
 
     if pallas_seq.staged_eligible(analyzed, interpret=interpret):
@@ -1514,6 +1604,10 @@ def _probe_plane_time(analyzed, domain, origins, tk, variant) -> float:
         fn = pallas_split.build_plane_split_fn(
             analyzed, domain, origins, tk=tk, interpret=False
         )
+    elif variant == "staged":
+        from gt4py_tpu.cartesian.backend import pallas_seq
+
+        fn = pallas_seq.build_staged_fn(analyzed, domain, origins, interpret=False)
     else:
         fn = build_plane_fn(analyzed, domain, origins, tk=tk, interpret=False)
 
@@ -1522,12 +1616,34 @@ def _probe_plane_time(analyzed, domain, origins, tk, variant) -> float:
     scalars = {n: jnp.zeros((), s.dtype) for n, s in scalar_shapes.items()}
     padded = {n: fn.encode(n, arrays[n]) for n in fn.reads}
 
+    # Serial-dependence fidelity: feed a written field back into a
+    # shape-compatible read-only input each iteration (the way real
+    # timestepping chains kernels). Without it, iterations only depend on
+    # each other through the out stream and the pipeline overlaps them —
+    # the probe then reports the OVERLAPPED rate (hdiff: 66.7us) while
+    # genuinely chained use runs serially (96.8us), which made strategy
+    # races pick the wrong kernel.
+    def _struct(x):
+        return jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), x)
+
+    feedback = None
+    for w in fn.writes:
+        for r in fn.reads:
+            if r not in fn.writes and _struct(padded[r]) == _struct(padded[w]):
+                feedback = (w, r)
+                break
+        if feedback:
+            break
+
     def chain(n):
         @jax.jit
         def f(p):
             def body(i, st):
                 out = fn.call_padded(st, scalars)
-                return {**st, **out}
+                st = {**st, **out}
+                if feedback is not None:
+                    st = {**st, feedback[1]: out[feedback[0]]}
+                return st
 
             return lax.fori_loop(0, n, body, p)
 

@@ -466,9 +466,10 @@ def _seed_skippable(analyzed, stages, stage, name: str, nk: int, origins) -> boo
         return False
     if info.axes != ("I", "J", "K") or info.data_dims:
         return False
-    # Low-side halo (nonzero origin) shifts the written block region;
-    # halo-correct write-back for that case is the seeded path's job.
-    if tuple(origins.get(name, (0, 0, 0))) != (0, 0, 0):
+    # I/J halo is fine — the decode paste and the backend's native-chain
+    # paste restore it from halo-correct content. K origins interact with
+    # encode's K-row slicing; keep those seeded.
+    if origins.get(name, (0, 0, 0))[2] != 0:
         return False
     for s2 in stages:
         if any(n == name for n, _ in s2.orig_reads):
