@@ -1037,7 +1037,11 @@ def main() -> None:
                 @jax.jit
                 def f(n, a, b, c, d):
                     def body(i, dd):
-                        return _pw_call(a, b, c, dd)
+                        # The remote Mosaic compiler crashes when traced
+                        # under an x64-enabled context (known failure
+                        # family) — pin it off like pallas_seq does.
+                        with jax.enable_x64(False):
+                            return _pw_call(a, b, c, dd)
                     return lax.fori_loop(0, n, body, d)
                 _pw_jit.append(f)
             f = _pw_jit[0]

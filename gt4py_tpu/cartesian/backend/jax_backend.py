@@ -51,16 +51,44 @@ class JaxBackend(Backend):
 
         return jax.jit(fn, donate_argnums=(0,))
 
+    def _build_nodonate(self, domain, origins_key):
+        import jax
+
+        origins = dict(origins_key)
+        analyzed = self.analyzed
+        written = self.written
+
+        def fn(written_arrays, read_arrays, scalars):
+            arrays = {**read_arrays, **written_arrays}
+            ev = Evaluator(analyzed, domain, origins, arrays, scalars, ns="jax")
+            out = ev.run()
+            return {n: out[n] for n in written}
+
+        return jax.jit(fn)
+
     def run(self, arrays, scalars, domain, origins) -> dict[str, Any]:
         origins_key = tuple(sorted(origins.items()))
         shapes_key = tuple(
             (name, tuple(a.shape), str(a.dtype)) for name, a in sorted(arrays.items())
         )
-        key = (domain, origins_key, shapes_key)
-        fn = self._cache.get(key)
-        if fn is None:
-            fn = self._build(domain, origins_key)
-            self._cache[key] = fn
         written_arrays = {n: arrays[n] for n in self.written if n in arrays}
         read_arrays = {n: a for n, a in arrays.items() if n not in written_arrays}
+        # Aliased in/out storages (the reference's in-place RK idiom:
+        # rk_stage(in_u_tmp=u, out_u=u)): donating the written buffer would
+        # invalidate the aliased read argument — use a non-donating
+        # executable for those calls. Reads still observe the ORIGINAL
+        # values (functional arrays), matching reference numpy semantics.
+        aliased = any(
+            any(r is w for w in written_arrays.values())
+            for r in read_arrays.values()
+        )
+        key = (domain, origins_key, shapes_key, aliased)
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = (
+                self._build_nodonate(domain, origins_key)
+                if aliased
+                else self._build(domain, origins_key)
+            )
+            self._cache[key] = fn
         return fn(written_arrays, read_arrays, scalars)
