@@ -113,6 +113,12 @@ def analyze_gtir(stencil: "gtir.Stencil", options: dict) -> AnalyzedStencil:
     from gt4py_tpu.cartesian.passes.race_detection import detect_races
 
     detect_races(stencil)
+    # Small integral powers become multiplications BEFORE dtype inference
+    # (the unrolled tree infers like any product; reference
+    # iterator/transforms/power_unrolling.py).
+    from gt4py_tpu.cartesian.passes.power_unroll import unroll_powers
+
+    stencil = unroll_powers(stencil)
     infer_dtypes(stencil)
     # PARALLEL coefficient temporaries consumed by one sequential loop
     # compute per level inside it (reference vertical-loop-merging role):

@@ -497,6 +497,11 @@ class TransformOptions:
     common_subexpression_elimination: bool = True
     unroll_reduce: bool = False
     extract_temporaries: bool = False
+    #: x ** <small int literal> -> square-and-multiply (reference
+    #: power_unrolling pass); multiplications instead of transcendental pow.
+    unroll_powers: bool = True
+    #: (a, b)[0] -> a (reference collapse_tuple role)
+    collapse_tuple: bool = True
 
     def replace(self, **kw: Any) -> "TransformOptions":
         return dataclasses.replace(self, **kw)

@@ -651,6 +651,128 @@ def extract_temporaries(
 # --- pipeline -------------------------------------------------------------------------
 
 
+class _PowerUnroll(NodeTranslator):
+    """``x ** n`` with a literal integral exponent 0 <= n <= 5 becomes a
+    square-and-multiply chain (reference
+    iterator/transforms/power_unrolling.py) — multiplications instead of
+    the transcendental pow path; CSE shares the duplicated base."""
+
+    _MAX = 5
+
+    def visit_BinOp(self, node: BinOp, **kw: Any) -> Expr:
+        node = self.generic_visit(node, **kw)
+        if node.op != "**" or not isinstance(node.right, Literal):
+            return node
+        v = node.right.value
+        if (
+            isinstance(v, bool)
+            or not isinstance(v, (int, float))
+            or float(v) != int(v)
+            or not (0 <= v <= self._MAX)
+        ):
+            return node
+        n = int(v)
+        if n == 0:
+            return Literal(value=1.0)
+        result: Optional[Expr] = None
+        square = node.left
+        while n:
+            if n & 1:
+                result = (
+                    square
+                    if result is None
+                    else BinOp(op="*", left=result, right=square)
+                )
+            n >>= 1
+            if n:
+                square = BinOp(op="*", left=square, right=square)
+        assert result is not None
+        return result
+
+
+def unroll_powers(ir: FieldOperatorDefinition) -> FieldOperatorDefinition:
+    return _PowerUnroll().visit(ir)
+
+
+class _SubstTupleGet(NodeTranslator):
+    """Replace ``t[i]`` (literal index) where ``t`` is a TupleExpr or a
+    name currently bound to one."""
+
+    def __init__(self, env: dict) -> None:
+        self.env = env
+
+    def visit_Subscript(self, node: Subscript, **kw: Any) -> Expr:
+        node = self.generic_visit(node, **kw)
+        tup = node.value
+        if isinstance(tup, Name):
+            tup = self.env.get(tup.id)
+        if (
+            isinstance(tup, TupleExpr)
+            and isinstance(node.index, Literal)
+            and isinstance(node.index.value, int)
+            and not isinstance(node.index.value, bool)
+            and -len(tup.elts) <= node.index.value < len(tup.elts)
+        ):
+            return tup.elts[node.index.value]
+        return node
+
+
+def _collapse_block(body: list, env: dict) -> list:
+    def invalidate(name: str) -> None:
+        env.pop(name, None)
+        for k in [k for k, v in env.items() if name in _reads(v)]:
+            env.pop(k, None)
+
+    out = []
+    for st in body:
+        if isinstance(st, Assign):
+            value = _SubstTupleGet(env).visit(st.value)
+            names = [n for t in st.targets for n in _target_names(t)]
+            for n in names:
+                invalidate(n)
+            if (
+                len(st.targets) == 1
+                and isinstance(st.targets[0], Name)
+                and isinstance(value, TupleExpr)
+            ):
+                env[st.targets[0].id] = value
+            out.append(Assign(targets=st.targets, value=value))
+        elif isinstance(st, Return):
+            out.append(Return(value=_SubstTupleGet(env).visit(st.value)))
+        elif isinstance(st, IfStmt):
+            assigned: set = set()
+            for branch in (st.body, st.orelse):
+                for sub in branch:
+                    if isinstance(sub, Assign):
+                        for t in sub.targets:
+                            assigned.update(_target_names(t))
+            out.append(
+                IfStmt(
+                    cond=_SubstTupleGet(env).visit(st.cond),
+                    body=_collapse_block(st.body, dict(env)),
+                    orelse=_collapse_block(st.orelse, dict(env)),
+                )
+            )
+            for n in assigned:
+                invalidate(n)
+        else:
+            out.append(st)
+    return out
+
+
+def collapse_tuple_gets(ir: FieldOperatorDefinition) -> FieldOperatorDefinition:
+    """``(a, b)[i]`` — directly or through a single-assignment name —
+    collapses to the element (reference collapse_tuple.py role). Name
+    bindings invalidate when the name or anything its elements read is
+    reassigned; the now-unused tuple assignments fall to DCE."""
+    return FieldOperatorDefinition(
+        name=ir.name,
+        params=ir.params,
+        body=_collapse_block(ir.body, {}),
+        kwonly_params=ir.kwonly_params,
+    )
+
+
 def apply_common_transforms(
     ir: FieldOperatorDefinition,
     options: TransformOptions,
@@ -663,6 +785,10 @@ def apply_common_transforms(
     """Run the enabled passes; returns (ir, names-to-inject-or-None)
     (reference pass_manager.apply_common_transforms)."""
     inject: dict = {}
+    if options.collapse_tuple:
+        ir = collapse_tuple_gets(ir)
+    if options.unroll_powers:
+        ir = unroll_powers(ir)
     if options.constant_folding:
         ir = fold_constants(ir)
     if options.unroll_reduce:
