@@ -198,6 +198,16 @@ def _writeback_traced(result: Any, meta: Any, dom: Optional[Domain], out_arrays:
     return jnp.asarray(value)
 
 
+def _first_domain(out: Any) -> Optional[Domain]:
+    if isinstance(out, tuple):
+        for o in out:
+            d = _first_domain(o)
+            if d is not None:
+                return d
+        return None
+    return out.domain if isinstance(out, Field) else None
+
+
 def _xp_of(f: Field):
     from gt4py_tpu.next.embedded import _xp
 
@@ -691,8 +701,10 @@ class ScanOperator:
             if fn is None:
                 out_meta = _out_meta(out)
 
-                def fn(out_arrays, a, kw, _meta=out_meta, _dom=dom):
-                    result = self._apply(a, kw)
+                _odom = _first_domain(out)
+
+                def fn(out_arrays, a, kw, _meta=out_meta, _dom=dom, _od=_odom):
+                    result = self._apply(a, kw, out_domain=_od)
                     return _writeback_traced(result, _meta, _dom, out_arrays)
 
                 fn = jax.jit(fn)
@@ -701,13 +713,16 @@ class ScanOperator:
                 _rebind_out(out, fn(_out_arrays(out), args, kwargs))
             return None
         with offset_provider_context(offset_provider):
-            result = self._apply(args, kwargs)
+            result = self._apply(
+                args, kwargs,
+                out_domain=_first_domain(out) if out is not None else None,
+            )
         if out is None:
             return result
         _write_out(result, out, dom)
         return None
 
-    def _apply(self, args, kwargs):
+    def _apply(self, args, kwargs, out_domain: Optional[Domain] = None):
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -717,17 +732,35 @@ class ScanOperator:
 
         definition = exec_definition(self)
 
-        if backend_kind(self.backend) == "numpy" and not _under_trace(args):
-            args = tuple(_as_numpy(a) for a in args)
-        field_args = [a for a in args if isinstance(a, Field)]
-        if not field_args:
-            raise ValueError("scan operator requires at least one Field argument")
-        # Common domain: promote all field args.
+        is_field = lambda x: isinstance(x, Field)  # noqa: E731
+        np_mode = backend_kind(self.backend) == "numpy" and not _under_trace(args)
+        if np_mode:
+            args = jax.tree_util.tree_map(_as_numpy, args, is_leaf=is_field)
+        # Arguments are pytrees: nested tuples of Fields and scalars ride
+        # as single scan arguments (reference test_tuple_scalar_scan,
+        # test_scan_nested_tuple_input).
+        field_args = [
+            leaf
+            for a in args
+            for leaf in jax.tree_util.tree_leaves(a, is_leaf=is_field)
+            if isinstance(leaf, Field)
+        ]
         from gt4py_tpu.next.embedded import _promote_dims
 
-        dims = field_args[0].dims
-        for f in field_args[1:]:
-            dims = _promote_dims(dims, f.dims)
+        if field_args:
+            dims = field_args[0].dims
+            for f in field_args[1:]:
+                dims = _promote_dims(dims, f.dims)
+        elif out_domain is not None:
+            # No field inputs (pure carry iteration, reference
+            # test_scan_nested_tuple_output): the out field supplies the
+            # iteration domain.
+            dims = out_domain.dims
+        else:
+            raise ValueError(
+                "scan operator without Field arguments needs an out= field "
+                "to define its domain"
+            )
         if self.axis not in dims:
             raise ValueError(f"scan axis {self.axis} not present in arguments")
         # Common domain: per promoted dim, intersect the ranges of every
@@ -741,32 +774,52 @@ class ScanOperator:
                 if d in f.domain:
                     rr = f.domain[d].unit_range
                     r = rr if r is None else r.intersection(rr)
+            if r is None:
+                r = out_domain[d].unit_range
             common_ranges.append(NamedRange(d, r))
         ref = Field.__new__(Field)
         ref.domain = Domain(tuple(common_ranges))
         aligned = []
-        dom = None
-        for a in args:
-            if isinstance(a, Field):
-                d, arr = a._aligned(dims, ref)
+        dom = None if field_args else ref.domain
+
+        def align_leaf(leaf):
+            nonlocal dom
+            if isinstance(leaf, Field):
+                d, arr = leaf._aligned(dims, ref)
                 dom = d if dom is None else dom.intersection(d)
-                aligned.append(arr)
-            else:
-                aligned.append(a)
+                return arr
+            return leaf
+
+        for a in args:
+            aligned.append(
+                jax.tree_util.tree_map(align_leaf, a, is_leaf=is_field)
+            )
         k_axis = dims.index(self.axis)
         nk = dom.shape[k_axis]
         non_k_shape = tuple(s for i, s in enumerate(dom.shape) if i != k_axis)
 
         def body(carry, per_level):
-            new = definition(carry, *per_level, **kwargs)
+            # xs=None (no-argument scans) delivers None per level.
+            new = definition(carry, *(per_level or ()), **kwargs)
             return new, new
 
         def broadcast_init(value):
             return jnp.broadcast_to(jnp.asarray(value), non_k_shape)
 
+        def leaf_to_xs(xp):
+            def conv(a):
+                if hasattr(a, "ndim") and a.ndim == len(dims):
+                    return xp.moveaxis(a, k_axis, 0)
+                return xp.broadcast_to(xp.asarray(a), (nk,) + non_k_shape)
+
+            return conv
+
         from gt4py_tpu.next.embedded import _xp
 
-        if _xp(field_args[0].ndarray) is np:
+        use_np = bool(field_args) and _xp(field_args[0].ndarray) is np
+        if not field_args:
+            use_np = np_mode
+        if use_np:
             # NumPy oracle mode: plain Python level loop (reference
             # embedded scan semantics, no lax.scan — foreign arithmetic).
             def np_bcast(value):
@@ -774,17 +827,17 @@ class ScanOperator:
 
             carry = jax.tree_util.tree_map(np_bcast, self.init)
             xs = tuple(
-                np.moveaxis(a, k_axis, 0)
-                if hasattr(a, "ndim") and a.ndim == len(dims)
-                else np.broadcast_to(a, (nk,) + non_k_shape)
-                for a in aligned
+                jax.tree_util.tree_map(leaf_to_xs(np), a) for a in aligned
             )
             levels = []
             order = range(nk) if self.forward else range(nk - 1, -1, -1)
             for k in order:
+                per_level = tuple(
+                    jax.tree_util.tree_map(lambda l: l[k], x) for x in xs
+                )
                 # Oracle independence: the NumPy level loop always runs the
                 # RAW definition (FOAST-equivalence is what oracle tests check).
-                carry = self.definition(carry, *(x[k] for x in xs), **kwargs)
+                carry = self.definition(carry, *per_level, **kwargs)
                 levels.append(carry)
             if not self.forward:
                 levels.reverse()
@@ -793,11 +846,13 @@ class ScanOperator:
             init = jax.tree_util.tree_map(broadcast_init, self.init)
 
             scan_xs = tuple(
-                jnp.moveaxis(a, k_axis, 0) if hasattr(a, "ndim") and a.ndim == len(dims) else
-                jnp.broadcast_to(a, (nk,) + non_k_shape)
-                for a in aligned
+                jax.tree_util.tree_map(leaf_to_xs(jnp), a) for a in aligned
             )
-            _, stacked = lax.scan(body, init, scan_xs, reverse=not self.forward)
+            _, stacked = lax.scan(
+                body, init, scan_xs if scan_xs else None,
+                length=None if scan_xs else nk,
+                reverse=not self.forward,
+            )
         # stacked: pytree of (nk, *non_k_shape)
 
         def to_field(arr):
