@@ -264,20 +264,50 @@ MATH_BUILTIN_NAMES = [
 # ffront/fbuiltins.py exports these at package level: gtx.float64 etc.).
 import numpy as _np  # noqa: E402
 
-bool_ = _np.bool_
-int8 = _np.int8
-int16 = _np.int16
-int32 = _np.int32
-int64 = _np.int64
-uint8 = _np.uint8
-uint16 = _np.uint16
-uint32 = _np.uint32
-uint64 = _np.uint64
-float32 = _np.float32
-float64 = _np.float64
-float16 = _np.float16
 
-from gt4py_tpu.core.definitions import bfloat16  # noqa: E402  (ml_dtypes)
+class _TypeConstructor:
+    """Dtype alias that is ALSO a constructor cast (reference type
+    builtins: ``int64(inp)`` inside an operator casts the field,
+    test_type_conversion.py). ``np.dtype()`` accepts it through the
+    ``dtype`` attribute protocol, so it keeps working everywhere a dtype
+    is expected (``zeros(..., dtype=gtx.float32)``, ``Field[Dims, ...]``
+    annotations)."""
+
+    __slots__ = ("np_type", "dtype")
+
+    def __init__(self, np_type):
+        self.np_type = np_type
+        self.dtype = _np.dtype(np_type)
+
+    def __call__(self, x: Any) -> Any:
+        if isinstance(x, (bool, int, float, str, _np.generic)):
+            return self.np_type(x)
+        return astype(x, self.np_type)
+
+    @property
+    def __name__(self) -> str:  # builtin-callable protocol (type deduction)
+        return self.dtype.name
+
+    def __repr__(self) -> str:  # pragma: no cover — cosmetic
+        return f"gt4py_tpu.next.{self.dtype.name}"
+
+
+bool_ = _TypeConstructor(_np.bool_)
+int8 = _TypeConstructor(_np.int8)
+int16 = _TypeConstructor(_np.int16)
+int32 = _TypeConstructor(_np.int32)
+int64 = _TypeConstructor(_np.int64)
+uint8 = _TypeConstructor(_np.uint8)
+uint16 = _TypeConstructor(_np.uint16)
+uint32 = _TypeConstructor(_np.uint32)
+uint64 = _TypeConstructor(_np.uint64)
+float32 = _TypeConstructor(_np.float32)
+float64 = _TypeConstructor(_np.float64)
+float16 = _TypeConstructor(_np.float16)
+
+from gt4py_tpu.core.definitions import bfloat16 as _bf16_np  # noqa: E402  (ml_dtypes)
+
+bfloat16 = _TypeConstructor(_bf16_np)
 
 DTYPE_ALIAS_NAMES = [
     "bool_", "int8", "int16", "int32", "int64",

@@ -502,6 +502,10 @@ class TransformOptions:
     unroll_powers: bool = True
     #: (a, b)[0] -> a (reference collapse_tuple role)
     collapse_tuple: bool = True
+    #: scalar if-statements dispatch at runtime: plain bools keep Python
+    #: short-circuit, traced scalars lower to per-name selects (reference
+    #: uses_if_stmts semantics)
+    lower_ifs: bool = True
 
     def replace(self, **kw: Any) -> "TransformOptions":
         return dataclasses.replace(self, **kw)
@@ -514,6 +518,11 @@ def default_options() -> TransformOptions:
     if os.environ.get("GT4PY_NEXT_TRANSFORMS", "1") in ("0", "false", "off"):
         return TransformOptions(enabled=False)
     return TransformOptions()
+
+
+def _gtx_is_plain_bool(x: Any) -> bool:
+    """Runtime dispatch predicate for lowered if-statements."""
+    return isinstance(x, (bool, np.bool_))
 
 
 def _gtx_ternary(cond: Any, true_thunk: Callable, false_thunk: Callable) -> Any:
@@ -552,6 +561,11 @@ def _function_from_source(
     is extracted from the compiled module and wrapped directly)."""
     if "__gtx_ternary__(" in src:
         inject = {**(inject or {}), "__gtx_ternary__": _gtx_ternary}
+    if "__gtx_is_plain_bool__(" in src:
+        inject = {
+            **(inject or {}),
+            "__gtx_is_plain_bool__": _gtx_is_plain_bool,
+        }
     module = compile(src, f"<foast:{name}>", "exec")
     code = next(
         c

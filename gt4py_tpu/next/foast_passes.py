@@ -651,6 +651,137 @@ def extract_temporaries(
 # --- pipeline -------------------------------------------------------------------------
 
 
+class _RenameAssigned(NodeTranslator):
+    def __init__(self, mapping: dict) -> None:
+        self.mapping = mapping
+
+    def visit_Name(self, node: Name, **kw: Any) -> Name:
+        new = self.mapping.get(node.id)
+        return Name(id=new) if new is not None else node
+
+
+def _block_reads_writes(body: list) -> tuple[set, set, set]:
+    """(reads_before_write, writes, all_reads) over a statement block."""
+    written: set = set()
+    rbw: set = set()
+    all_reads: set = set()
+
+    def note_reads(expr) -> None:
+        for n in _reads(expr):
+            all_reads.add(n)
+            if n not in written:
+                rbw.add(n)
+
+    def walk(stmts: list) -> None:
+        for st in stmts:
+            if isinstance(st, Assign):
+                note_reads(st.value)
+                for t in st.targets:
+                    written.update(_target_names(t))
+            elif isinstance(st, Return):
+                note_reads(st.value)
+            elif isinstance(st, IfStmt):
+                note_reads(st.cond)
+                walk(st.body)
+                walk(st.orelse)
+            else:  # pragma: no cover
+                raise FoastUnsupported(
+                    f"statement {type(st).__name__} inside a conditional"
+                )
+
+    walk(body)
+    return rbw, written, all_reads
+
+
+class _HasReturn(NodeVisitor):
+    def __init__(self) -> None:
+        self.found = False
+
+    def visit_Return(self, node: Return, **kw: Any) -> None:
+        self.found = True
+
+
+def _lower_if_block(body: list, counter: list) -> list:
+    """Rewrite scalar if-statements for traced conditions (reference
+    uses_if_stmts semantics: ``if flag:`` with a runtime bool argument).
+    Each IfStmt becomes a runtime dispatch:
+
+        __ifN_c = <cond>
+        if __gtx_is_plain_bool__(__ifN_c):
+            <original if  — Python short-circuit for plain bools>
+        else:
+            <both branches with renamed targets; per-name selects>
+
+    so compile-time Python bools keep one-branch execution while traced
+    scalars select functionally."""
+    out: list = []
+    for st in body:
+        if not isinstance(st, IfStmt):
+            out.append(st)
+            continue
+        inner_body = _lower_if_block(st.body, counter)
+        inner_orelse = _lower_if_block(st.orelse, counter)
+        h = _HasReturn()
+        h.visit(inner_body)
+        h.visit(inner_orelse)
+        if h.found:
+            raise FoastUnsupported("return inside a conditional")
+        n = counter[0]
+        counter[0] += 1
+        cvar = f"__if{n}_c"
+        out.append(Assign(targets=[Name(id=cvar)], value=st.cond))
+
+        functional: list = []
+        finals: dict[str, list] = {}
+        for tag, branch in (("t", inner_body), ("e", inner_orelse)):
+            rbw, written, _ = _block_reads_writes(branch)
+            mapping = {name: f"__if{n}_{tag}_{name}" for name in written}
+            for name in sorted(rbw & written):
+                functional.append(
+                    Assign(targets=[Name(id=mapping[name])], value=Name(id=name))
+                )
+            renamer = _RenameAssigned(mapping)
+            functional.extend(renamer.visit(s) for s in branch)
+            for name, renamed in mapping.items():
+                finals.setdefault(name, [None, None])[0 if tag == "t" else 1] = renamed
+        for name in sorted(finals):
+            t_name, e_name = finals[name]
+            functional.append(
+                Assign(
+                    targets=[Name(id=name)],
+                    value=IfExpr(
+                        cond=Name(id=cvar),
+                        true_expr=Name(id=t_name or name),
+                        false_expr=Name(id=e_name or name),
+                    ),
+                )
+            )
+        out.append(
+            IfStmt(
+                cond=Call(
+                    func=Name(id="__gtx_is_plain_bool__"),
+                    args=[Name(id=cvar)],
+                    kwargs={},
+                ),
+                body=[
+                    IfStmt(cond=Name(id=cvar), body=inner_body, orelse=inner_orelse)
+                ],
+                orelse=functional,
+            )
+        )
+    return out
+
+
+def lower_if_statements(ir: FieldOperatorDefinition) -> FieldOperatorDefinition:
+    counter = [0]
+    return FieldOperatorDefinition(
+        name=ir.name,
+        params=ir.params,
+        body=_lower_if_block(ir.body, counter),
+        kwonly_params=ir.kwonly_params,
+    )
+
+
 class _PowerUnroll(NodeTranslator):
     """``x ** n`` with a literal integral exponent 0 <= n <= 5 becomes a
     square-and-multiply chain (reference
@@ -785,6 +916,8 @@ def apply_common_transforms(
     """Run the enabled passes; returns (ir, names-to-inject-or-None)
     (reference pass_manager.apply_common_transforms)."""
     inject: dict = {}
+    if options.lower_ifs:
+        ir = lower_if_statements(ir)
     if options.collapse_tuple:
         ir = collapse_tuple_gets(ir)
     if options.unroll_powers:

@@ -297,8 +297,15 @@ def test_cse_does_not_hoist_across_branches():
             r = a * 7.0 + 1.0
         return r
 
-    # one occurrence per branch region: no temp introduced
-    assert "__cse_" not in _src(op_def)
+    # With if-lowering off, the branches stay Python regions and CSE must
+    # not hoist across them (hoisting would evaluate under the wrong
+    # branch). With lowering ON, the functional region evaluates both
+    # branches anyway, so sharing there is correct — only the preserved
+    # plain-bool dispatch region must stay hoist-free.
+    assert "__cse_" not in _src(op_def.with_transforms(lower_ifs=False))
+    lowered = _src(op_def)
+    plain_region = lowered.split("__gtx_is_plain_bool__")[1].split("else:")[0]
+    assert "__cse_" not in plain_region
     op = op_def.with_compilation_options(static_params=("flag",))
     run_both(op, ij_field(), out_domain={I: 6, J: 5}, flag=True)
 

@@ -135,8 +135,11 @@ def test_premap_missing_codomain_rejected():
 
 
 def test_package_level_math_and_dtype_aliases():
-    assert gtx.float64 is np.float64
-    assert gtx.int32 is np.int32
+    # gtx.float64 is a constructor-cast alias (reference type builtins:
+    # float64(field) casts); it stays dtype-compatible with np.float64.
+    assert np.dtype(gtx.float64) == np.dtype(np.float64)
+    assert gtx.float64(1) == np.float64(1.0)
+    assert np.dtype(gtx.int32) == np.dtype(np.int32)
     data = np.linspace(0.1, 1.0, 5)
 
     @gtx.field_operator
