@@ -753,6 +753,69 @@ def main() -> None:
         results["fvm_nabla_irregular_gather_ceiling_frac"] = (
             round(gfrac, 3) if gfrac == gfrac else None
         )
+
+        # PERTURBED mesh (structured + ~2% arbitrary rewires per column —
+        # the mostly-structured case of real limited-area meshes): the
+        # hybrid shift plan keeps the rolls for the majority rows and
+        # fixes the rewired rows up with a sparse row-gather + scatter,
+        # instead of paying the full per-row gather rate for everything.
+        prng = np.random.default_rng(7)
+        e2v_pt = e2v_np.copy()
+        v2e_pt = v2e_np.copy()
+        for tbl, codom in ((e2v_pt, nv), (v2e_pt, 2 * nv)):
+            n_rows = tbl.shape[0]
+            n_bad = max(1, int(0.02 * n_rows))
+            for col in range(tbl.shape[1]):
+                rows = prng.choice(n_rows, size=n_bad, replace=False)
+                tbl[rows, col] = prng.integers(0, codom, size=n_bad)
+        e2v_p = gtx.as_connectivity([E, E2VDim], V, e2v_pt)
+        v2e_p = gtx.as_connectivity([V, V2EDim], E, v2e_pt)
+        pprov = {"E2V": e2v_p, "V2E": v2e_p}
+        hybrid = all(
+            (pl := _shift_plan(c, col, 0, n_codom)) is not None
+            and pl.res_rows is not None
+            for c, n_codom in ((e2v_p, nv), (v2e_p, 2 * nv))
+            for col in range(c.table.shape[1])
+        )
+
+        _nbp_jit: list = []
+
+        def make_nabla_pert(n):
+            if not _nbp_jit:
+                @jax.jit
+                def f(n, pp, sx, vol):
+                    with offset_provider_context(pprov):
+                        fsx = gtx.as_field([E], sx)
+                        fvol = gtx.as_field([V], vol)
+
+                        def body(i, p):
+                            fp = gtx.as_field([V], p)
+                            res = nabla_x.definition(fp, fsx, sign_f, fvol)
+                            return jnp.asarray(res.ndarray)
+
+                        return lax.fori_loop(0, n, body, pp)
+
+                _nbp_jit.append(f)
+            f = _nbp_jit[0]
+            return lambda *args: f(n, *args)
+
+        t_nbp = timer.measure(
+            make_nabla_pert,
+            lambda: (
+                device_random((nv,)),
+                device_random((2 * nv,)),
+                device_random((nv,), offset=0.5),
+            ),
+            n_lo=2, n_hi=102,
+        )
+        results["fvm_nabla_perturbed_us_per_step"] = round(t_nbp * 1e6, 1)
+        results["fvm_nabla_perturbed_hybrid"] = hybrid
+        results["fvm_nabla_perturbed_vs_structured"] = (
+            round(t_nbp / t_nb, 2) if t_nb > 0 else None
+        )
+        results["fvm_nabla_perturbed_vs_irregular"] = (
+            round(t_nbp / t_nbi, 2) if t_nbi > 0 else None
+        )
     except Exception as e:
         results["next_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import contextvars
 import dataclasses
-from typing import Any, Callable, Optional, Sequence, Union
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Union
 
 import numpy as np
 
@@ -98,18 +98,34 @@ def _iota(xp, shape, axis, dtype=np.int32):
 
 
 _MAX_SHIFT_CLASSES = 8
+# Mostly-structured columns: rows outside the top shift classes (mesh
+# boundaries, local refinements, hand-patched entries) are fixed up by a
+# sparse row-gather + scatter after the rolls. The fix-up costs ~2x the
+# per-row gather rate for the RESIDUAL rows only, so it wins as long as
+# the residual is a small fraction of the column.
+_MAX_RESIDUAL_FRAC = 0.15
+
+
+class _ShiftPlan(NamedTuple):
+    diffs: np.ndarray  # int32 cyclic-shift classes (at most _MAX_SHIFT_CLASSES)
+    sel: np.ndarray  # int8 per-row class label; residual rows hold 0
+    res_rows: Optional[np.ndarray]  # int32 rows served by the fix-up gather
+    res_idx: Optional[np.ndarray]  # int32 pre-clamped targets for those rows
 
 
 def _shift_plan(conn, column: int, own_start: int, n: int):
     """Detect roll-structure in one connectivity column: when
     ``(table[:, j] - start - arange) mod n`` takes at most
-    ``_MAX_SHIFT_CLASSES`` distinct values, the gather
+    ``_MAX_SHIFT_CLASSES`` distinct values over MOST rows, the gather
     ``x[table[r, j]]`` equals a masked select over K cyclic shifts of
     ``x`` — pure slice/concat traffic instead of per-row gathers
     (structured and block-structured meshes, e.g. the periodic quad
-    mesh, have K ≤ 3 per column). Returns (diffs, sel) with ``sel`` the
-    per-row class label, or None for irregular columns. Cached on the
-    connectivity (tables are immutable)."""
+    mesh, have K ≤ 3 per column). Rows outside the top classes (up to
+    ``_MAX_RESIDUAL_FRAC`` of the column — mesh boundaries, refinement
+    patches, out-of-range neighbors) are recorded for a sparse
+    row-gather fix-up. Returns a ``_ShiftPlan`` or None for genuinely
+    irregular columns. Cached on the connectivity (tables are
+    immutable)."""
     cache = getattr(conn, "_shift_plans", None)
     if cache is None:
         cache = conn._shift_plans = {}
@@ -127,30 +143,48 @@ def _shift_plan(conn, column: int, own_start: int, n: int):
     if conn.skip_value is not None:
         valid = np.asarray(conn.table[:, column]) != conn.skip_value
     plan = None
-    # Out-of-range neighbors clamp in the fallback; a cyclic shift would
-    # wrap them instead — only rolls over the full codomain are faithful.
-    if n > 0 and not np.any(((t < 0) | (t >= n)) & valid):
-        d = (t - (np.arange(t.shape[0]) % n)) % n
-        vals = np.unique(d[valid]) if valid.any() else np.zeros(1, np.int64)
-        if len(vals) <= _MAX_SHIFT_CLASSES:
+    if n > 0:
+        # Out-of-range neighbors clamp in the fallback; a cyclic shift
+        # would wrap them instead — such rows can only be served by the
+        # clamped fix-up gather, never by a roll.
+        in_range = (t >= 0) & (t < n)
+        core = valid & in_range
+        d = (np.clip(t, 0, n - 1) - (np.arange(t.shape[0]) % n)) % n
+        if core.any():
+            vals, counts = np.unique(d[core], return_counts=True)
+        else:
+            vals, counts = np.zeros(1, np.int64), np.ones(1, np.int64)
+        if len(vals) > _MAX_SHIFT_CLASSES:
+            keep = np.argsort(counts)[::-1][:_MAX_SHIFT_CLASSES]
+            vals = vals[np.sort(keep)]
+        covered = core & np.isin(d, vals)
+        residual = valid & ~covered
+        n_valid = int(valid.sum())
+        if n_valid == 0 or residual.sum() <= _MAX_RESIDUAL_FRAC * n_valid:
             sel = np.zeros(t.shape[0], dtype=np.int8)
             for k, v in enumerate(vals):
-                sel[(d == v) & valid] = k
-            plan = (vals.astype(np.int32), sel)
+                sel[(d == v) & covered] = k
+            res_rows = res_idx = None
+            if residual.any():
+                res_rows = np.nonzero(residual)[0].astype(np.int32)
+                res_idx = np.clip(t[residual], 0, n - 1).astype(np.int32)
+            plan = _ShiftPlan(vals.astype(np.int32), sel, res_rows, res_idx)
     cache[key] = plan
     return plan
 
 
 def _shift_gather_1d(x, conn, column: int, own_start: int):
     """Gather ``x[table[:, column] - own_start]`` via the shift plan:
-    K rolls (tiled to the source length) + masked selects."""
+    K rolls (tiled to the source length) + masked selects, then a sparse
+    row-gather + scatter fix-up for the plan's residual rows (clamped,
+    matching the general-gather fallback semantics)."""
     import jax.numpy as jnp
 
     n = x.shape[0]
     plan = _shift_plan(conn, column, own_start, n)
     if plan is None:
         return None
-    diffs, sel = plan
+    diffs, sel = plan.diffs, plan.sel
     n_src = sel.shape[0]
     m = -(-n_src // n)
     sel_dev = jnp.asarray(sel)
@@ -164,6 +198,9 @@ def _shift_gather_1d(x, conn, column: int, own_start: int):
     out = shifted(diffs[0])
     for k in range(1, len(diffs)):
         out = jnp.where(sel_dev == k, shifted(diffs[k]), out)
+    if plan.res_rows is not None:
+        fix = _rowgather_1d(x, jnp.asarray(plan.res_idx))
+        out = out.at[jnp.asarray(plan.res_rows)].set(fix)
     return out
 
 
