@@ -73,6 +73,11 @@ del _fb, _name
 from gt4py_tpu.next.field_utils import asnumpy  # noqa: F401
 from gt4py_tpu.next.named_collections import named_collection  # noqa: F401
 from gt4py_tpu.next.experimental import as_offset  # noqa: F401
+from gt4py_tpu.next.mesh_utils import (  # noqa: F401
+    Renumbering,
+    shift_structure_report,
+    spatial_renumbering,
+)
 def wait_for_compilation() -> None:
     """Join every pending async operator compilation (reference
     otf/compiled_program.wait_for_compilation — the module-level variant
