@@ -174,10 +174,14 @@ def _shift_plan(conn, column: int, own_start: int, n: int):
 
 
 def _shift_gather_1d(x, conn, column: int, own_start: int):
-    """Gather ``x[table[:, column] - own_start]`` via the shift plan:
-    K rolls (tiled to the source length) + masked selects, then a sparse
-    row-gather + scatter fix-up for the plan's residual rows (clamped,
-    matching the general-gather fallback semantics)."""
+    """Gather ``x[table[:, column] - own_start]`` along axis 0 via the
+    shift plan: K rolls (tiled to the source length) + masked selects,
+    then a sparse row-gather + scatter fix-up for the plan's residual
+    rows (clamped, matching the general-gather fallback semantics).
+
+    ``x`` may carry trailing data axes (ICON-style ``(Cell, K)`` fields):
+    rolls/selects/fix-ups all act on whole rows, so the decomposition
+    stays streaming-bound for them too."""
     import jax.numpy as jnp
 
     n = x.shape[0]
@@ -187,19 +191,24 @@ def _shift_gather_1d(x, conn, column: int, own_start: int):
     diffs, sel = plan.diffs, plan.sel
     n_src = sel.shape[0]
     m = -(-n_src // n)
-    sel_dev = jnp.asarray(sel)
+    sel_dev = jnp.asarray(sel).reshape((n_src,) + (1,) * (x.ndim - 1))
 
     def shifted(d):
-        r = jnp.roll(x, -int(d))
+        r = jnp.roll(x, -int(d), axis=0)
         if m > 1 or n_src != n:
-            r = jnp.tile(r, m)[:n_src] if m > 1 else r[:n_src]
+            reps = (m,) + (1,) * (x.ndim - 1)
+            r = jnp.tile(r, reps)[:n_src] if m > 1 else r[:n_src]
         return r
 
     out = shifted(diffs[0])
     for k in range(1, len(diffs)):
         out = jnp.where(sel_dev == k, shifted(diffs[k]), out)
     if plan.res_rows is not None:
-        fix = _rowgather_1d(x, jnp.asarray(plan.res_idx))
+        if x.ndim == 1:
+            fix = _rowgather_1d(x, jnp.asarray(plan.res_idx))
+        else:
+            # whole-row gather runs at the per-row ceiling already
+            fix = jnp.take(x, jnp.asarray(plan.res_idx), axis=0)
         out = out.at[jnp.asarray(plan.res_rows)].set(fix)
     return out
 
@@ -541,11 +550,12 @@ class Field:
             gathered = np.take(self.ndarray, safe_idx, axis=axis)
         else:
             gathered = None
-            if self.ndarray.ndim == 1 and self.ndarray.dtype != np.bool_:
+            if axis == 0 and self.ndarray.dtype != np.bool_:
                 # Structured-connectivity fast path: columns with few
                 # distinct (target - source) shift classes lower to rolls +
                 # masked selects (bandwidth-bound; the per-row gather rate
-                # of ~2.3 ns/row is ~2 orders below streaming).
+                # of ~2.3 ns/row is ~2 orders below streaming). Fields with
+                # trailing data axes (e.g. (Cell, K)) roll whole rows.
                 cols = [column] if column is not None else list(
                     range(conn.table.shape[1])
                 )
@@ -557,9 +567,11 @@ class Field:
                         break
                     parts.append(part)
                 if parts is not None:
+                    # neighbor axis sits right after source (see the axes
+                    # note below); equals axis=-1 only for 1-D fields
                     gathered = (
                         parts[0] if column is not None
-                        else xp.stack(parts, axis=-1)
+                        else xp.stack(parts, axis=1)
                     )
             if gathered is None:
                 safe_idx = xp.clip(

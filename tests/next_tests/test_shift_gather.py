@@ -202,6 +202,28 @@ def test_hybrid_nabla_end_to_end(rng):
     )
 
 
+def test_multidim_field_rolls_whole_rows(rng):
+    """ICON-style (V, K) fields ride the roll path too: rolls/selects/
+    fix-ups act on whole rows, keeping trailing data axes streaming."""
+    K = Dimension("K")
+    n, nk = 64, 5
+    table = periodic_ring(n)
+    bad = rng.choice(n, size=3, replace=False)
+    table[bad, 1] = rng.integers(0, n, size=3)
+    conn = gtx.as_connectivity([V, V2EDim], V, table)
+    assert _shift_plan(conn, 1, 0, n).res_rows is not None
+    x_np = rng.random((n, nk)).astype(np.float32)
+    f = gtx.as_field([V, K], x_np)
+
+    # single column
+    got1 = f._remap_connectivity(conn, column=1)
+    np.testing.assert_allclose(np.asarray(got1.ndarray), x_np[table[:, 1]])
+    # full table: neighbor axis right after source -> (V, V2E, K)
+    got = f._remap_connectivity(conn)
+    assert got.ndarray.shape == (n, table.shape[1], nk)
+    np.testing.assert_allclose(np.asarray(got.ndarray), x_np[table])
+
+
 def test_remap_full_table_uses_plan(rng):
     """Full-table remap (neighbor_sum source) goes through the per-column
     plans and matches the numpy oracle."""
