@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
+
 from gt4py_tpu.cartesian.backend.base import Backend, register
 from gt4py_tpu.cartesian.backend.evaluator import Evaluator
 from gt4py_tpu.cartesian.definitions import AccessKind
@@ -69,7 +71,8 @@ class JaxBackend(Backend):
     def run(self, arrays, scalars, domain, origins) -> dict[str, Any]:
         origins_key = tuple(sorted(origins.items()))
         shapes_key = tuple(
-            (name, tuple(a.shape), str(a.dtype)) for name, a in sorted(arrays.items())
+            (name, tuple(a.shape), np.dtype(a.dtype))
+            for name, a in sorted(arrays.items())
         )
         written_arrays = {n: arrays[n] for n in self.written if n in arrays}
         read_arrays = {n: a for n, a in arrays.items() if n not in written_arrays}

@@ -502,6 +502,99 @@ def _seed_skippable(analyzed, stages, stage, name: str, nk: int, origins) -> boo
     return pos >= stage.k_end
 
 
+def _temp_seed_skippable(
+    stages: "list[_Stage]", stage: "_Stage", name: str, nk: int
+) -> bool:
+    """Whether a cross-stage temporary can skip its dk=0 seed stream in
+    its writer ``stage``: the buffer starts undefined (no zeros
+    materialization, no input alias), so every plane ANY consumer can
+    observe must be unconditionally written first.
+
+    Checks:
+    - written in exactly one stage (multi-writer temps must preserve the
+      other stage's content through seeding),
+    - within the writer stage, no section reads the temp at dk=0 before
+      its first unconditional write (such reads consume the seed), and
+      no original-value K-offset reads (non-carry) exist,
+    - every other stage's read planes ``clamp([ks+dk, ke-1+dk])`` fall
+      inside the union of intervals with unconditional unmasked plain
+      writes, and no stage ordered BEFORE the writer reads it.
+    """
+    for s2 in stages:
+        if s2 is not stage and name in s2.written:
+            return False
+    covered: list[tuple[int, int]] = []
+    for ks, ke, sec in stage.sections:
+        if any(
+            isinstance(st, gtir.Assign)
+            and st.target.name == name
+            and st.mask is None
+            and not st.horizontal_masks
+            and st.target.koffset is None
+            and st.target.abs_k is None
+            for st in sec.body
+        ):
+            covered.append((ks, ke))
+    if not covered:
+        return False
+    covered.sort()
+    merged = [covered[0]]
+    for ks, ke in covered[1:]:
+        if ks <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], ke))
+        else:
+            merged.append((ks, ke))
+
+    def is_covered(lo: int, hi: int) -> bool:
+        return any(lo >= ks and hi <= ke - 1 for ks, ke in merged)
+
+    writer_idx = stages.index(stage)
+    for si, s2 in enumerate(stages):
+        for ks, ke, sec in s2.sections:
+            if s2 is stage:
+                # Statement-order check: a dk=0 read before the section's
+                # first unconditional write would consume the seed.
+                written_yet = False
+                for st in sec.body:
+                    for node in eve.walk_values(st):
+                        if (
+                            isinstance(node, gtir.FieldAccess)
+                            and node.name == name
+                            and node is not getattr(st, "target", None)
+                        ):
+                            dk = node.offset[2]
+                            updated_dir = (
+                                dk < 0 if not s2.backward else dk > 0
+                            )
+                            if dk == 0 and not written_yet:
+                                return False
+                            if dk != 0 and not updated_dir:
+                                # original K-offset read: undefined source
+                                return False
+                    if isinstance(st, gtir.Assign) and st.target.name == name:
+                        if st.mask is None and not st.horizontal_masks:
+                            written_yet = True
+                        elif not written_yet:
+                            # masked write blends with the previous value,
+                            # which here would be the (skipped) seed
+                            return False
+                continue
+            for stmt in sec.body:
+                for node in eve.walk_values(stmt):
+                    if not (
+                        isinstance(node, gtir.FieldAccess) and node.name == name
+                    ):
+                        continue
+                    if si < writer_idx:
+                        return False
+                    dk = node.offset[2]
+                    lo = int(np.clip(ks + dk, 0, nk - 1))
+                    hi = int(np.clip(ke - 1 + dk, 0, nk - 1))
+                    if not is_covered(lo, hi):
+                        return False
+    return True
+
+
 def _build_stage_call(
     geo: _StagedGeometry,
     stage: _Stage,
@@ -551,11 +644,26 @@ def _build_stage_call(
     # read-modify-write on the out stream (vadv: 195us pruned vs 182us
     # seeded), so the "saved" input stream comes back with interest.
     # Exception: _seed_skippable (write-only fully-covered fields).
+    import os as _os0
+
+    # Cross-stage temporaries skip their seed when coverage analysis
+    # proves every plane any consumer can read is unconditionally
+    # written (vadv's ccol/dcol: saves two zeros materializations + two
+    # seed streams, 155 -> 130 us/step at 256x256x80/v5e). Set
+    # GT4PY_PALLAS_TEMP_SEED=1 to force the old always-seed behavior.
+    _force_temp_seed = _os0.environ.get("GT4PY_PALLAS_TEMP_SEED", "0") not in (
+        "0", "", "false",
+    )
     seeded = [
         n
         for n in written_bufs
         if not _seed_skippable(
             geo.analyzed, all_stages, stage, n, geo.domain[2], geo.origins
+        )
+        and not (
+            not _force_temp_seed
+            and n in geo.temps
+            and _temp_seed_skippable(all_stages, stage, n, geo.domain[2])
         )
     ]
 
@@ -586,6 +694,91 @@ def _build_stage_call(
     # Carries for buffers AND local temps.
     carry_names = sorted(stage.carry_depth)
 
+    # Shift-ring sharing: a buffer read as ORIGINAL at several K offsets
+    # (vadv's u_stage[0,0,-1/0/+1], wcon[...,0/+1]; 3-D Laplacians) does
+    # NOT need one HBM stream per offset — the walk visits consecutive
+    # planes, so only the LEADING offset (max dk forward / min dk
+    # backward) is fetched each step and the trailing offsets are served
+    # from VMEM rings holding the previous steps' fetches. The fetch
+    # index map clamps, so ring slot j naturally holds clamp(k + lead -
+    # j - 1) == the clamped plane for dk = lead - j - 1 (forward; the
+    # backward case mirrors). Slots are seeded at grid step 0 from
+    # constant-index specs (one DMA each). Cuts vadv's forward stage
+    # from 10 input streams to 7. Seeded names keep their (name, 0)
+    # alias spec untouched; K-less and data-dim streams are excluded.
+    import os as _os
+
+    _rings_on = _os.environ.get("GT4PY_PALLAS_SHIFT_RINGS", "1") not in (
+        "0", "", "false",
+    )
+    # Resident whole-buffer VMEM specs: a read-only buffer consumed at
+    # SEVERAL K offsets maps into the kernel as ONE un-blocked VMEM ref
+    # (``BlockSpec(memory_space=VMEM)``) and every offset reads it with a
+    # dynamic plane slice — ZERO per-step pipeline copies, where blocked
+    # specs cost one block copy per (name, dk) per grid step even when
+    # XLA already holds the buffer in VMEM (the dominant cost of the
+    # vadv forward stage: 5 of its 12 per-step block copies). XLA keeps
+    # loop-invariant operands of such specs resident across chained
+    # calls. Budgeted: buffers past the budget fall back to shift rings
+    # / blocked specs.
+    # Default OFF: measured SLOWER on vadv (273 vs 155 us/step at
+    # 256x256x80/v5e) — XLA re-copies the whole operand HBM->VMEM per
+    # call instead of keeping it resident, and the in-kernel dynamic
+    # plane slices forgo the pipeline's async overlap. Kept as an
+    # experiment knob for future toolchains.
+    _res_budget = int(
+        _os.environ.get("GT4PY_PALLAS_RESIDENT_VMEM_MB", "0")
+    ) * 1024 * 1024
+    resident_names: list[str] = []
+    oring_lead: dict[str, int] = {}
+    oring_depth: dict[str, int] = {}
+    _by_name: dict[str, set[int]] = {}
+    for name, dk in stage.orig_reads:
+        if (
+            is_buffer(name)
+            and name not in seeded
+            and name not in stage.written
+            and not geo.data_n.get(name, 0)
+            and geo.axes_mask.get(name, (True, True, True))[2]
+        ):
+            _by_name.setdefault(name, set()).add(dk)
+    _res_bytes = 0
+    for name, dks in sorted(
+        _by_name.items(), key=lambda kv: -len(kv[1])
+    ):
+        if len(dks) < 2:
+            continue
+        itemsize = np.dtype(geo.dtypes[name]).itemsize
+        # Full padded buffer footprint (rows are padded at call time; use
+        # the domain-derived upper bound).
+        ext = geo.field_ext[name]
+        si_b = _round_up(ni + max(0, ext.i[1]) - min(0, ext.i[0]), _SUBLANE)
+        sj_b = _round_up(nj + max(0, ext.j[1]) - min(0, ext.j[0]), _LANE)
+        nbytes = nk * si_b * sj_b * itemsize
+        if _res_bytes + nbytes <= _res_budget:
+            resident_names.append(name)
+            _res_bytes += nbytes
+            spec_keys[:] = [(k, dk) for (k, dk) in spec_keys if k != name]
+            continue
+        if not _rings_on:
+            continue
+        lead = min(dks) if backward else max(dks)
+        depth = (max(dks) - lead) if backward else (lead - min(dks))
+        if depth <= 0:
+            continue
+        oring_lead[name] = lead
+        oring_depth[name] = depth
+        # Drop the non-lead specs; keep/add the lead spec.
+        spec_keys[:] = [
+            (k, dk)
+            for (k, dk) in spec_keys
+            if not (k == name and dk != lead)
+        ]
+        if (name, lead) not in spec_keys:
+            spec_keys.append((name, lead))
+    resident_names.sort()
+    oring_names = sorted(oring_lead)
+
     # Ring seeding: carries read before |dk| rotations happened resolve to
     # planes PRECEDING the walk (k_start-1-d forward / k_end+d backward) —
     # never written by this stage, so their current buffer content is the
@@ -613,6 +806,26 @@ def _build_stage_call(
             keys.append(key)
         seed_plan[name] = keys
 
+    # Ring-seed const specs for the shift rings: slot j must start as
+    # plane clamp(k0 + lead -+ (j+1)) — exactly the const-spec anchor for
+    # dk = lead -+ (j+1).
+    oring_seed: dict[str, list[tuple[str, int]]] = {}
+    for name in oring_names:
+        lead = oring_lead[name]
+        keys = []
+        for j in range(oring_depth[name]):
+            sdk = lead + (j + 1) if backward else lead - (j + 1)
+            key = (name, sdk)
+            if key not in spec_keys:
+                spec_keys.append(key)
+            const_specs.add(key)
+            keys.append(key)
+        oring_seed[name] = keys
+
+    # Resident buffers ride as whole-array VMEM refs (dk sentinel None).
+    for name in resident_names:
+        spec_keys.append((name, None))
+
     def kernel_factory(buf_shapes: dict[str, tuple[int, int]]):
         def kernel(*refs):
             pos = 0
@@ -629,6 +842,11 @@ def _build_stage_call(
                 depth = stage.carry_depth[name]
                 carry_refs[name] = [refs[pos + d] for d in range(depth)]
                 pos += depth
+            oring_refs: dict[str, list] = {}
+            for name in oring_names:
+                depth = oring_depth[name]
+                oring_refs[name] = [refs[pos + d] for d in range(depth)]
+                pos += depth
 
             s = pl.program_id(0)
             k = (k_end - 1 - s) if backward else (k_start + s)
@@ -639,18 +857,36 @@ def _build_stage_call(
             for n in seeded:
                 out_refs[n][...] = in_refs[(n, 0)][...]
 
-            if seed_plan:
+            if seed_plan or oring_seed:
                 def seed_rings():
                     for name, keys in seed_plan.items():
                         ring = carry_refs[name]
                         for d, key in enumerate(keys):
                             ring[d][...] = in_refs[key][...]
+                    for name, keys in oring_seed.items():
+                        ring = oring_refs[name]
+                        for d, key in enumerate(keys):
+                            ring[d][...] = in_refs[key][...]
 
                 pl.when(s == 0)(seed_rings)
+
+            # Route trailing-offset reads of ringed names to their ring
+            # slots (slot j serves dk = lead -+ (j+1)); the evaluator's
+            # (name, dk) lookup then needs no changes. Installed AFTER
+            # the seed closure traced, so seeding still sees the const
+            # input specs under these keys.
+            for name in oring_names:
+                lead = oring_lead[name]
+                for j in range(oring_depth[name]):
+                    dk = lead + (j + 1) if backward else lead - (j + 1)
+                    in_refs[(name, dk)] = oring_refs[name][j]
 
             ev = _SeqPlaneEvaluator(
                 geo, stage, in_refs, out_refs, carry_refs, sref, k
             )
+            ev.resident_refs = {
+                name: in_refs[(name, None)] for name in resident_names
+            }
             for ks, ke, sec in stage.sections:
                 def run_section(sec=sec):
                     # Fresh in-step values per section: pl.when only
@@ -678,6 +914,14 @@ def _build_stage_call(
                     ring[0][...] = out_refs[name][...]
                 # local temps were flushed by flush_section inside pl.when
 
+            # Shift-ring rotation: slot 0 takes this step's fetched lead
+            # plane, so next step's dk = lead - 1 read finds it there.
+            for name in oring_names:
+                ring = oring_refs[name]
+                for d in range(len(ring) - 1, 0, -1):
+                    ring[d][...] = ring[d - 1][...]
+                ring[0][...] = in_refs[(name, oring_lead[name])][...]
+
         return kernel
 
     def stage_call(state: dict[str, Any], scalars: dict[str, Any]) -> dict[str, Any]:
@@ -692,6 +936,8 @@ def _build_stage_call(
             return jnp.clip(idx, 0, nk - 1)
 
         def spec_for(key, dk):
+            if dk is None:  # resident whole-buffer VMEM ref
+                return pl.BlockSpec(memory_space=pltpu.VMEM)
             shape = stream_of(key).shape
             name = key[0] if isinstance(key, tuple) else key
 
@@ -732,8 +978,20 @@ def _build_stage_call(
                 si, sj = state[name].shape[1:]
             for _ in range(stage.carry_depth[name]):
                 scratch.append(pltpu.VMEM((1, si, sj), geo.dtypes[name]))
+        for name in oring_names:
+            si, sj = state[name].shape[1:]
+            for _ in range(oring_depth[name]):
+                scratch.append(pltpu.VMEM((1, si, sj), geo.dtypes[name]))
 
         kernel = kernel_factory(buf_shapes)
+        cp_kwargs: dict[str, Any] = {"dimension_semantics": ("arbitrary",)}
+        if resident_names:
+            # Whole resident buffers + pipeline blocks exceed the default
+            # 16 MB scoped-VMEM limit; raise it toward the real v5e/v5p
+            # 128 MB capacity with headroom for the Mosaic stack.
+            cp_kwargs["vmem_limit_bytes"] = min(
+                120 * 1024 * 1024, _res_bytes + 48 * 1024 * 1024
+            )
         with jax.enable_x64(jax.config.jax_enable_x64 if interpret else False):
             results = pl.pallas_call(
                 kernel,
@@ -744,9 +1002,7 @@ def _build_stage_call(
                 out_shape=out_shapes,
                 input_output_aliases=aliases,
                 scratch_shapes=scratch,
-                compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("arbitrary",),
-                ),
+                compiler_params=pltpu.CompilerParams(**cp_kwargs),
                 interpret=interpret,
             )(*scalar_args, *in_args)
         if len(written_bufs) == 1 and not isinstance(results, (tuple, list)):
@@ -783,6 +1039,10 @@ class _SeqPlaneEvaluator(_BlockEvaluator):
         self.cross_scratch: dict[str, Any] = {}
         self.cross_from_earlier: set[str] = set()
         self.cross_store: set[str] = set()
+        # Resident whole-buffer VMEM refs (set by _build_stage_call):
+        # reads dynamic-slice the plane instead of consuming a blocked
+        # per-step stream.
+        self.resident_refs: dict[str, Any] = {}
         # plan-compat shims used by inherited helpers
         self.plan = self  # _shape/_region_mask access plan.domain/ti/tj/temps
         self.domain = geo.domain
@@ -907,6 +1167,13 @@ class _SeqPlaneEvaluator(_BlockEvaluator):
 
             kidx = jnp.clip(self.k + dk, 0, self.nk - 1)
             return self.cross_scratch[name][
+                pl.ds(kidx, 1), xi : xi + NI, xj : xj + NJ
+            ]
+        if name in self.resident_refs:
+            from jax.experimental import pallas as pl
+
+            kidx = jnp.clip(self.k + dk, 0, self.nk - 1)
+            return self.resident_refs[name][
                 pl.ds(kidx, 1), xi : xi + NI, xj : xj + NJ
             ]
         return self._orig_stream_read(name, name, access, ctx)
@@ -1148,8 +1415,8 @@ def _build_fused_call(
             n
             for n in written_bufs_s
             if not _seed_skippable(
-            geo.analyzed, all_stages, stage, n, geo.domain[2], geo.origins
-        )
+                geo.analyzed, stages, stage, n, geo.domain[2], geo.origins
+            )
         ]
         for name in seeded:
             if (name, 0) not in specs:

@@ -64,6 +64,18 @@ def _arg_info(value: Any) -> ArgsInfo:
     )
 
 
+def _spec_key(origin) -> Any:
+    """Hashable canonical form of a user 'origin' argument (dict / iterable
+    / int / None) for the validation cache."""
+    if origin is None or isinstance(origin, int):
+        return origin
+    if isinstance(origin, dict):
+        return tuple(sorted((str(k), tuple(v)) for k, v in origin.items()))
+    if isinstance(origin, collections.abc.Iterable):
+        return tuple(int(i) for i in origin)
+    raise TypeError(f"unhashable origin spec {origin!r}")
+
+
 class StencilObject:
     """Callable stencil implementation (one per definition+backend+options)."""
 
@@ -83,6 +95,9 @@ class StencilObject:
         self._compile_lock = threading.Lock()
         self._compile_threads: list = []
         self._compile_errors: list = []
+        #: (origin-spec, domain, field shapes/dtypes/origins, param types)
+        #: -> (normalized origins, resolved domain); see _call_run
+        self._validation_cache: dict = {}
 
     @property
     def name(self) -> str:
@@ -299,15 +314,48 @@ class StencilObject:
             for n, i in arg_infos.items()
             if self.field_info[n].access != AccessKind.NONE and i is not None
         }
-        origins = self._normalize_origins(used_infos, origin)
-        if domain is None:
-            domain = self._get_max_domain(used_infos, origins)
-        domain = tuple(int(d) for d in domain)
 
-        if validate_args:
-            self._validate_args(used_infos, param_args, domain, origins)
+        # Validation caching (reference stencil_object.py:568-582): repeat
+        # calls with the same shapes/dtypes/origins/domain skip origin
+        # normalization, max-domain scanning, and the full argument
+        # validation — the warm validated path then costs about the same
+        # as an explicit freeze(). The key is identity-free (pure shape/
+        # dtype/origin tuples), so any same-shaped arrays hit.
+        try:
+            key = (
+                _spec_key(origin),
+                None if domain is None else tuple(int(d) for d in domain),
+                tuple(
+                    (n, i.shape, i.dtype, i.origin)
+                    for n, i in sorted(used_infos.items())
+                ),
+                tuple(
+                    (n, type(v).__name__)
+                    for n, v in sorted(param_args.items())
+                    if v is not None
+                ),
+            )
+        except TypeError:
+            key = None
+        cached = self._validation_cache.get(key) if key is not None else None
+        if cached is not None:
+            origins, domain_t = cached
+        else:
+            origins = self._normalize_origins(used_infos, origin)
+            domain_t = (
+                self._get_max_domain(used_infos, origins)
+                if domain is None
+                else domain
+            )
+            domain_t = tuple(int(d) for d in domain_t)
+            if validate_args:
+                self._validate_args(used_infos, param_args, domain_t, origins)
+                if key is not None:
+                    if len(self._validation_cache) >= 64:
+                        self._validation_cache.clear()
+                    self._validation_cache[key] = (origins, domain_t)
 
-        self._run_backend(used_infos, param_args, domain, origins, exec_info)
+        self._run_backend(used_infos, param_args, domain_t, origins, exec_info)
 
         if exec_info is not None:
             exec_info["call_run_end_time"] = time.perf_counter()

@@ -43,7 +43,9 @@ __all__ = [
 ]
 
 
-def shift_structure_report(conn: Connectivity, codomain_size: int) -> list[dict]:
+def shift_structure_report(
+    conn: Connectivity, codomain_size: int, *, own_start: int = 0
+) -> list[dict]:
     """Per-column diagnostics of the roll-decomposition eligibility.
 
     Returns one dict per neighbor column with:
@@ -54,7 +56,11 @@ def shift_structure_report(conn: Connectivity, codomain_size: int) -> list[dict]
     - ``engaged``: whether ``embedded._shift_plan`` accepts the column
 
     ``codomain_size`` is the length of the gathered field (the size of
-    ``conn.codomain``'s range).
+    ``conn.codomain``'s range) and must be >= 1.  ``own_start`` is the
+    start of the gathered field's unit range — at remap time the plan
+    key uses the field's ACTUAL start, so pass the same value here or
+    ``engaged`` can misreport for fields whose range does not start
+    at 0.
     """
     from gt4py_tpu.next.embedded import (
         _MAX_SHIFT_CLASSES,
@@ -63,17 +69,19 @@ def shift_structure_report(conn: Connectivity, codomain_size: int) -> list[dict]
 
     table = np.asarray(conn.table)
     n = int(codomain_size)
+    if n < 1:
+        raise ValueError(f"codomain_size must be >= 1, got {n}")
     report = []
     for c in range(table.shape[1]):
-        t = table[:, c].astype(np.int64)
+        t = table[:, c].astype(np.int64) - int(own_start)
         valid = np.ones(t.shape, dtype=bool)
         if conn.skip_value is not None:
-            valid = t != conn.skip_value
+            valid = table[:, c] != conn.skip_value
         in_range = (t >= 0) & (t < n)
         core = valid & in_range
-        d = (np.clip(t, 0, n - 1) - (np.arange(t.shape[0]) % max(n, 1))) % max(n, 1)
+        d = (np.clip(t, 0, n - 1) - (np.arange(t.shape[0]) % n)) % n
         n_classes = int(len(np.unique(d[core]))) if core.any() else 0
-        plan = _shift_plan(conn, c, 0, n)
+        plan = _shift_plan(conn, c, int(own_start), n)
         residual = 0.0
         if plan is not None and plan.res_rows is not None and valid.any():
             residual = len(plan.res_rows) / int(valid.sum())
@@ -159,7 +167,15 @@ class Renumbering:
     def apply(self, conn: Connectivity) -> Connectivity:
         """Relabel a connectivity: rows reorder if ``conn.source_dim`` is
         ``dim``; stored indices relabel if ``conn.codomain`` is ``dim``.
-        Both can apply (self-referencing tables).  Skip values survive."""
+        Both can apply (self-referencing tables).  Skip values survive.
+
+        Out-of-range stored indices (other than the skip value) are
+        CLAMPED to ``[0, n-1]`` before relabelling — this bakes in the
+        framework's clamp-gather semantics, so such rows become ordinary
+        in-range indices and are no longer identifiable as out-of-range
+        in diagnostics after renumbering.  Run
+        ``shift_structure_report`` BEFORE renumbering if you need to see
+        them."""
         table = np.asarray(conn.table)
         if conn.codomain == self.dim:
             relabeled = self.perm[np.clip(table, 0, len(self.perm) - 1)]
