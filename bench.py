@@ -101,6 +101,8 @@ class StepTimer:
         self.fetch = jax.jit(lambda a: a.ravel()[0])
         #: label -> compile+warm seconds of the last measure() call
         self.compile_times: dict = {}
+        #: label -> (median-fit - min-fit)/min-fit in percent (noise bar)
+        self.spread_pct: dict = {}
 
     def sync(self, x) -> None:
         np.asarray(self.fetch(x))
@@ -110,7 +112,10 @@ class StepTimer:
     ) -> float:
         """make_chained(n) -> jitted fn(*inputs) running n chained steps.
         fresh_inputs() -> tuple of device arrays (new values each call).
-        Wall-time per phase goes to stderr (budget diagnostics)."""
+        Wall-time per phase goes to stderr (budget diagnostics).
+        Records per-label run-to-run spread (min-fit vs median-fit, %) in
+        ``self.spread_pct`` so a 1% wobble in a headline metric is
+        attributable to noise rather than a regression."""
         wall0 = time.perf_counter()
         if not label:
             label = getattr(make_chained, "__name__", "workload").removeprefix("make_")
@@ -130,9 +135,13 @@ class StepTimer:
         warm_done = time.perf_counter()
         self.compile_times[label] = round(warm_done - wall0, 1)
         timed(f_hi)
-        lo = min(timed(f_lo) for _ in range(trials))
-        hi = min(timed(f_hi) for _ in range(trials))
+        los = sorted(timed(f_lo) for _ in range(trials))
+        his = sorted(timed(f_hi) for _ in range(trials))
+        lo, hi = los[0], his[0]
         est = (hi - lo) / (n_hi - n_lo)
+        est_med = (his[len(his) // 2] - los[len(los) // 2]) / (n_hi - n_lo)
+        if est > 0:
+            self.spread_pct[label] = round((est_med - est) / est * 100, 1)
         print(
             f"[bench] {label or 'workload'}: compile+warm "
             f"{warm_done - wall0:.1f}s, measure "
@@ -206,18 +215,26 @@ def main() -> None:
     def make_hdiff(n):
         if not _hdiff_jit:
             if pallas_fn is not None:
+                # Unrolled x2 so each ping-pong buffer returns to its own
+                # while-loop tuple slot: XLA cannot swap buffers between
+                # slots, and the 1-step body paid a 21.6 MB VMEM copy +
+                # three strip copies per iteration (11 us of the 97.5;
+                # 86.8 us/step unrolled, measured v5e).
                 @jax.jit
                 def f(n, inp, coeff):
                     pin = pallas_fn.encode("in_field", inp)
                     pco = pallas_fn.encode("coeff", coeff)
-                    def body(i, carry):
+                    def body2(i, carry):
                         a, b = carry
-                        r = pallas_fn.call_padded(
+                        r1 = pallas_fn.call_padded(
                             {"in_field": a, "coeff": pco, "out_field": b}, {}
-                        )
-                        return (r["out_field"], a)
+                        )["out_field"]
+                        r2 = pallas_fn.call_padded(
+                            {"in_field": r1, "coeff": pco, "out_field": a}, {}
+                        )["out_field"]
+                        return (r2, r1)
                     zero = jax.tree_util.tree_map(jnp.zeros_like, pin)
-                    a, _ = lax.fori_loop(0, n, body, (pin, zero))
+                    a, _ = lax.fori_loop(0, n // 2, body2, (pin, zero))
                     return a
             else:
                 @jax.jit
@@ -282,20 +299,24 @@ def main() -> None:
         def make_hdiff_bf16(n):
             if not _bf_jit:
                 if pallas_bf is not None:
+                    # unrolled x2: see make_hdiff (slot-stable ping-pong)
                     @jax.jit
                     def f(n, inp, coeff):
                         pin = pallas_bf.encode("in_field", inp)
                         pco = pallas_bf.encode("coeff", coeff)
 
-                        def body(i, carry):
+                        def body2(i, carry):
                             a, b = carry
-                            r = pallas_bf.call_padded(
+                            r1 = pallas_bf.call_padded(
                                 {"in_field": a, "coeff": pco, "out_field": b}, {}
-                            )
-                            return (r["out_field"], a)
+                            )["out_field"]
+                            r2 = pallas_bf.call_padded(
+                                {"in_field": r1, "coeff": pco, "out_field": a}, {}
+                            )["out_field"]
+                            return (r2, r1)
 
                         zero = jax.tree_util.tree_map(jnp.zeros_like, pin)
-                        a, _ = lax.fori_loop(0, n, body, (pin, zero))
+                        a, _ = lax.fori_loop(0, n // 2, body2, (pin, zero))
                         return a
                 else:
                     @jax.jit
@@ -373,37 +394,58 @@ def main() -> None:
 
         _vadv_jit: list = []
 
-        def make_vadv(n):
-            if not _vadv_jit:
-                if vadv_pallas is not None and hasattr(vadv_pallas, "call_padded"):
-                    # Staged plane kernels chained in native (K, I, J) layout.
+        if vadv_pallas is not None and hasattr(vadv_pallas, "call_padded"):
+            # Staged plane kernels chained in native (K, I, J) layout.
+            # The chain takes PRE-ENCODED padded buffers as jit
+            # parameters (steady-state stepping — the layout real dycore
+            # drivers hold between steps via the storage native cache):
+            # with the encodes inside the jit the transposed invariants
+            # become loop intermediates and XLA parks a different subset
+            # of the 8x21 MB working set in VMEM, measuring 202 us/step
+            # vs 130 for identical per-step math (v5e, profiled).
+            _vadv_enc = jax.jit(
+                lambda *arrs: tuple(
+                    vadv_pallas.encode(m, a) for m, a in zip(vadv_names, arrs)
+                )
+            )
+
+            def _vadv_fresh():
+                return tuple(
+                    jax.device_put(x)
+                    for x in _vadv_enc(*(device_random(vshape) for _ in range(5)))
+                )
+
+            def make_vadv(n):
+                if not _vadv_jit:
                     @jax.jit
-                    def f(n, utens_stage, u_stage, wcon, u_pos, utens):
-                        p = {
-                            m: vadv_pallas.encode(m, a)
-                            for m, a in zip(vadv_names, (utens_stage, u_stage, wcon, u_pos, utens))
-                        }
-                        def body(i, pus):
-                            state = dict(p)
-                            state["utens_stage"] = pus
-                            return vadv_pallas.call_padded(
-                                state, {"dtr_stage": np.float32(0.15)}
-                            )["utens_stage"]
-                        return lax.fori_loop(0, n, body, p["utens_stage"])
-                else:
+                    def f(n, p_uts, p_ust, p_wcon, p_upos, p_utens):
+                        state = dict(
+                            zip(vadv_names, (p_uts, p_ust, p_wcon, p_upos, p_utens))
+                        )
+                        # chain-major J-split stepping: per-part working
+                        # sets stay VMEM-resident (pallas_seq.chain_padded)
+                        return vadv_pallas.chain_padded(
+                            state, {"dtr_stage": np.float32(0.15)}, n
+                        )["utens_stage"]
+                    _vadv_jit.append(f)
+                f = _vadv_jit[0]
+                return lambda *args: f(n, *args)
+        else:
+            def _vadv_fresh():
+                return tuple(device_random(vshape) for _ in range(5))
+
+            def make_vadv(n):
+                if not _vadv_jit:
                     @jax.jit
                     def f(n, utens_stage, u_stage, wcon, u_pos, utens):
                         def body(i, us):
                             return vadv_step(us, u_stage, wcon, u_pos, utens)
                         return lax.fori_loop(0, n, body, utens_stage)
-                _vadv_jit.append(f)
-            f = _vadv_jit[0]
-            return lambda *args: f(n, *args)
+                    _vadv_jit.append(f)
+                f = _vadv_jit[0]
+                return lambda *args: f(n, *args)
 
-        t_vadv = timer.measure(
-            make_vadv,
-            lambda: tuple(device_random(vshape) for _ in range(5)),
-        )
+        t_vadv = timer.measure(make_vadv, _vadv_fresh, label="vadv")
         vpoints = (ni - 1) * nj * nk
         results["vadv_Ggps"] = round(vpoints / t_vadv / 1e9, 3)
         results["vadv_us_per_step"] = round(t_vadv * 1e6, 1)
@@ -461,7 +503,7 @@ def main() -> None:
 
             @jax.jit
             def f(n, inf, diag, sup, rhs):
-                if tri_pallas is not None and hasattr(tri_pallas, "call_padded"):
+                if tri_pallas is not None and hasattr(tri_pallas, "chain_padded"):
                     p = {
                         "inf": tri_pallas.encode("inf", inf),
                         "diag": tri_pallas.encode("diag", diag),
@@ -469,10 +511,12 @@ def main() -> None:
                         "rhs": tri_pallas.encode("rhs", rhs),
                         "out": tri_pallas.encode("out", jnp.zeros_like(rhs)),
                     }
-                    def body(i, prhs):
-                        state = dict(p); state["rhs"] = prhs
-                        return tri_pallas.call_padded(state, {})["out"]
-                    return lax.fori_loop(0, n, body, p["rhs"])
+                    # chained solves: each step's solution becomes the next
+                    # right-hand side (chain-major J-split keeps per-part
+                    # working sets VMEM-resident)
+                    return tri_pallas.chain_padded(
+                        p, {}, n, carry_map={"rhs": "out"}
+                    )["out"]
                 def body(i, r):
                     ev = Evaluator(
                         st3._analyzed, tdomain, torigins,
@@ -569,20 +613,24 @@ def main() -> None:
 
             def make_next_hdiff(n):
                 if not _nh_jit:
+                    # unrolled x2: see make_hdiff (slot-stable ping-pong)
                     @jax.jit
                     def f(n, inp, coeff):
                         pin = bridged_fn.encode("inp", inp)
                         pco = bridged_fn.encode("coeff", coeff)
                         zero = jax.tree_util.tree_map(jnp.zeros_like, pin)
 
-                        def body(i, carry):
+                        def body2(i, carry):
                             a, o = carry
-                            r = bridged_fn.call_padded(
+                            r1 = bridged_fn.call_padded(
                                 {"inp": a, "coeff": pco, out_name: o}, {}
-                            )
-                            return (r[out_name], a)
+                            )[out_name]
+                            r2 = bridged_fn.call_padded(
+                                {"inp": r1, "coeff": pco, out_name: a}, {}
+                            )[out_name]
+                            return (r2, r1)
 
-                        o, _ = lax.fori_loop(0, n, body, (pin, zero))
+                        o, _ = lax.fori_loop(0, n // 2, body2, (pin, zero))
                         return o
 
                     _nh_jit.append(f)
@@ -888,13 +936,11 @@ def main() -> None:
                         p[tri_var.out_name] = ntri_fn.encode(
                             tri_var.out_name, jnp.zeros_like(d)
                         )
-
-                        def body(i, pd):
-                            state = dict(p)
-                            state["d"] = pd
-                            return ntri_fn.call_padded(state, {})[tri_var.out_name]
-
-                        return lax.fori_loop(0, n, body, p["d"])
+                        # chained solves (solution -> next rhs) with
+                        # chain-major J-split
+                        return ntri_fn.chain_padded(
+                            p, {}, n, carry_map={"d": tri_var.out_name}
+                        )[tri_var.out_name]
 
                     _ntri_jit.append(f)
                 f = _ntri_jit[0]
@@ -989,37 +1035,47 @@ def main() -> None:
         if nvadv_fn is not None:
             _nvadv_jit: list = []
             vscalars = {"dtr": np.float32(0.15)}
+            _nv_enc = jax.jit(
+                lambda *arrs: tuple(
+                    nvadv_fn.encode(m, a) for m, a in zip(vnames, arrs)
+                )
+                + (
+                    nvadv_fn.encode(
+                        vadv_var.out_name,
+                        jnp.zeros((ni - 1, nj, nk), jnp.float32),
+                    ),
+                )
+            )
+
+            def _nv_fresh():
+                return tuple(
+                    jax.device_put(x)
+                    for x in _nv_enc(*(device_random(vshape2) for _ in range(5)))
+                )
 
             def make_nvadv(n):
                 if not _nvadv_jit:
                     @jax.jit
-                    def f(n, utens_stage, u_stage, wcon, u_pos, utens):
-                        p = {m: nvadv_fn.encode(m, v) for m, v in zip(
-                            vnames, (utens_stage, u_stage, wcon, u_pos, utens)
-                        )}
-                        p[vadv_var.out_name] = nvadv_fn.encode(
-                            vadv_var.out_name, jnp.zeros((ni - 1, nj, nk), jnp.float32)
+                    def f(n, p_uts, p_ust, p_wcon, p_upos, p_utens, p_out):
+                        state = dict(
+                            zip(
+                                vnames + (vadv_var.out_name,),
+                                (p_uts, p_ust, p_wcon, p_upos, p_utens, p_out),
+                            )
                         )
-
-                        def body(i, pus):
-                            state = dict(p)
-                            state["utens_stage"] = pus
-                            r = nvadv_fn.call_padded(state, vscalars)
-                            return r[vadv_var.out_name]
-
-                        # chain out -> utens_stage (shapes match: (ni-1, nj, nk)
-                        # out padded vs ni-row input padded — both padded to
-                        # the same sublane multiple)
-                        return lax.fori_loop(0, n, body, p["utens_stage"])
+                        # chain out -> utens_stage (shapes match: both
+                        # padded to the same sublane multiple); chain-major
+                        # J-split keeps per-part working sets VMEM-resident
+                        return nvadv_fn.chain_padded(
+                            state, vscalars, n,
+                            carry_map={"utens_stage": vadv_var.out_name},
+                        )[vadv_var.out_name]
 
                     _nvadv_jit.append(f)
                 f = _nvadv_jit[0]
                 return lambda *args: f(n, *args)
 
-            t_nvadv = timer.measure(
-                make_nvadv,
-                lambda: tuple(device_random(vshape2) for _ in range(5)),
-            )
+            t_nvadv = timer.measure(make_nvadv, _nv_fresh, label="nvadv")
             results["next_vadv_us_per_step"] = round(t_nvadv * 1e6, 1)
             if "vadv_us_per_step" in results:
                 results["next_vadv_vs_cartesian"] = round(
@@ -1166,17 +1222,19 @@ def main() -> None:
             def make_l(n, _lfn=lfn, _st=stl, _origins=lorigins, _jit=_l_jit):
                 if not _jit:
                     if _lfn is not None:
+                        # unrolled x2: slot-stable ping-pong (see make_hdiff)
                         @jax.jit
                         def f(n, src):
                             p = _lfn.encode("src", src)
                             zero = jax.tree_util.tree_map(jnp.zeros_like, p)
 
-                            def body(i, carry):
+                            def body2(i, carry):
                                 a, b = carry
-                                r = _lfn.call_padded({"src": a, "dst": b}, {})
-                                return (r["dst"], a)
+                                r1 = _lfn.call_padded({"src": a, "dst": b}, {})["dst"]
+                                r2 = _lfn.call_padded({"src": r1, "dst": a}, {})["dst"]
+                                return (r2, r1)
 
-                            a, _ = lax.fori_loop(0, n, body, (p, zero))
+                            a, _ = lax.fori_loop(0, n // 2, body2, (p, zero))
                             return a
                     else:
                         @jax.jit
@@ -1231,6 +1289,10 @@ def main() -> None:
     # Per-workload compile+warm seconds (persistent tk-probe + XLA caches
     # make repeat runs warm; cold numbers reflect the remote Mosaic probes)
     results["compile_warm_s"] = dict(timer.compile_times)
+    # Run-to-run noise bars: (median-fit - min-fit)/min-fit per workload,
+    # in percent — a metric wobble within its spread is noise, not a
+    # regression.
+    results["measurement_spread_pct"] = dict(timer.spread_pct)
 
     target = 0.80
     vs_baseline = round(hdiff_frac / target, 3) if hdiff_frac == hdiff_frac else None

@@ -436,9 +436,124 @@ def build_staged_fn(
         results = call_padded(padded, scalars)
         return {n: decode(n, results[n], arrays[n]) for n in written_fields}
 
+    # -- chain-major J-split stepping --------------------------------------
+    # Working sets beyond VMEM (vadv at 256x256x80: 7 x 21 MB buffers vs
+    # 128 MB v5e VMEM) force XLA to leave ~2 operands in HBM, and the
+    # per-step HBM streams dominate (profiled: forward stage 113 us of a
+    # 129 us step). When NO stage reads at a J offset (and no horizontal
+    # region masks exist), the J axis decouples completely — so an
+    # n-step chain can run the FULL chain on each J part sequentially
+    # ("chain-major"): per-part working sets halve and fit VMEM, and the
+    # result is bit-identical to chaining unsplit steps. Parts must keep
+    # lane alignment (J multiple of 128 per part).
+    _j_split_legal = (
+        all(ext.j == (0, 0) for ext in geo.field_ext.values())
+        and all(origins.get(nm, (0, 0, 0))[1] == 0 for nm in geo.fields)
+        and not any(
+            getattr(stmt, "horizontal_masks", None)
+            for _, _, stmt in analyzed.stencil.walk_stmts()
+        )
+    )
+    _part_fns: dict[int, Any] = {}
+
+    def chain_padded(
+        padded: dict[str, Any],
+        scalars: dict[str, Any],
+        n,
+        *,
+        j_split: Optional[int] = None,
+        carry_map: Optional[dict[str, str]] = None,
+    ) -> dict[str, Any]:
+        """Run ``n`` chained steps on padded buffers entirely on device:
+        every written field feeds back into the next step, plus any
+        renaming feedbacks in ``carry_map`` ({input_slot: written_field},
+        e.g. a tridiagonal solve stepping ``{"rhs": "out"}``). With
+        ``j_split=P`` (auto-chosen when None), buffers split into P
+        lane-aligned J parts and each part runs its full n-step chain
+        before the next starts, keeping per-part working sets
+        VMEM-resident. Returns the written buffers after n steps."""
+        from jax import lax
+
+        import os as _os1
+
+        if j_split is None:
+            budget = int(
+                _os1.environ.get("GT4PY_PALLAS_CHAIN_SPLIT_MB", "110")
+            ) * 1024 * 1024
+            nbytes = sum(
+                int(np.prod(padded[nm].shape))
+                * np.dtype(geo.dtypes[nm]).itemsize
+                for nm in geo.fields
+                if padded[nm].ndim >= 3 and padded[nm].shape[-1] > 1
+            )
+            nbytes += sum(
+                nk * si * sj * np.dtype(geo.dtypes[t]).itemsize
+                for t, (si, sj) in geo.temp_shape.items()
+                if t in cross_temps
+            )
+            j_split = 1
+            while (
+                nbytes / j_split > budget
+                and _j_split_legal
+                and (nj // (2 * j_split)) % _LANE == 0
+                and j_split < 8
+            ):
+                j_split *= 2
+        if j_split > 1 and not _j_split_legal:
+            raise PallasUnsupported("chain j_split: stencil has J coupling")
+
+        def one_chain(call, state0):
+            carry0 = {f: state0[f] for f in written_fields}
+            if carry_map:
+                # First step must consume the caller's dst value; later
+                # steps consume the previous step's src output.
+                for dst, src in carry_map.items():
+                    carry0[src] = state0[dst]
+
+            def body(i, carry):
+                st = dict(state0)
+                st.update(carry)
+                if carry_map:
+                    for dst, src in carry_map.items():
+                        st[dst] = carry[src]
+                return call(st, scalars)
+
+            return lax.fori_loop(0, n, body, carry0)
+
+        if j_split <= 1:
+            return one_chain(call_padded, dict(padded))
+
+        part = _part_fns.get(j_split)
+        if part is None:
+            part = build_staged_fn(
+                analyzed, (ni, nj // j_split, nk), origins, interpret=interpret
+            )
+            _part_fns[j_split] = part
+        w_dom = nj // j_split
+        outs: list[dict[str, Any]] = []
+        for p in range(j_split):
+            state_p = {}
+            for nm in geo.fields:
+                buf = padded[nm]
+                if buf.ndim >= 3 and buf.shape[-1] > 1:
+                    state_p[nm] = buf[..., p * w_dom : (p + 1) * w_dom]
+                else:
+                    state_p[nm] = buf
+            outs.append(one_chain(part.call_padded, state_p))
+        result = {}
+        for f in written_fields:
+            out_f = jnp.concatenate([o[f] for o in outs], axis=-1)
+            orig = padded[f]
+            if orig.shape[-1] > nj:
+                # preserve trailing pad/halo rows of the original buffer
+                out_f = jnp.concatenate([out_f, orig[..., nj:]], axis=-1)
+            result[f] = out_f
+        return result
+
     fn.encode = encode
     fn.decode = decode
     fn.call_padded = call_padded
+    fn.chain_padded = chain_padded
     fn.reads = tuple(geo.fields)
     fn.writes = tuple(written_fields)
     fn.strategy = "staged"

@@ -6,3 +6,9 @@ from gt4py_tpu.parallel.next_fields import (  # noqa: F401
     field_sharding,
     shard_field,
 )
+from gt4py_tpu.parallel.unstructured import (  # noqa: F401
+    ShardedGather,
+    halo_gather,
+    partition_gather,
+    ring_partition,
+)
