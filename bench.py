@@ -1219,10 +1219,12 @@ def main() -> None:
 
             _l_jit: list = []
 
-            def make_l(n, _lfn=lfn, _st=stl, _origins=lorigins, _jit=_l_jit):
+            def make_l(n, _lfn=lfn, _st=stl, _origins=lorigins, _jit=_l_jit, label=label):
                 if not _jit:
-                    if _lfn is not None:
-                        # unrolled x2: slot-stable ping-pong (see make_hdiff)
+                    if _lfn is not None and label == "lap48":
+                        # unrolled x2: slot-stable ping-pong (see make_hdiff;
+                        # 4.15 -> 2.02 us/step; the pure copy48 kernel
+                        # measured SLOWER unrolled, keep it 1-step)
                         @jax.jit
                         def f(n, src):
                             p = _lfn.encode("src", src)
@@ -1235,6 +1237,19 @@ def main() -> None:
                                 return (r2, r1)
 
                             a, _ = lax.fori_loop(0, n // 2, body2, (p, zero))
+                            return a
+                    elif _lfn is not None:
+                        @jax.jit
+                        def f(n, src):
+                            p = _lfn.encode("src", src)
+                            zero = jax.tree_util.tree_map(jnp.zeros_like, p)
+
+                            def body(i, carry):
+                                a, b = carry
+                                r = _lfn.call_padded({"src": a, "dst": b}, {})
+                                return (r["dst"], a)
+
+                            a, _ = lax.fori_loop(0, n, body, (p, zero))
                             return a
                     else:
                         @jax.jit

@@ -126,6 +126,34 @@ class _SplitGeometry:
             )
             for n in self.field_ext
         }
+        # Half-precision COMPUTE dtype: the v5e/v5p VPU executes bf16/f16
+        # elementwise ops at the f32 rate, and Mosaic lacks half vector
+        # compares — so half fields compute in f32 (one upcast per loaded
+        # block, one downcast at the store) while STORAGE stays half, the
+        # same in-half/accumulate-f32 convention the MXU uses natively.
+        # Intermediates carry f32 precision (within every backend's half
+        # tolerance). GT4PY_PALLAS_HALF_COMPUTE_F32=0 restores literal
+        # half-dtype compute.
+        import os as _os
+
+        from gt4py_tpu.core.definitions import HALF_FLOAT_DTYPES
+
+        _hc = _os.environ.get("GT4PY_PALLAS_HALF_COMPUTE_F32", "1") not in (
+            "0", "", "false",
+        )
+        self.compute_dtypes = {
+            n: (
+                np.dtype(np.float32)
+                if _hc and np.dtype(dt) in HALF_FLOAT_DTYPES
+                else np.dtype(dt)
+            )
+            for n, dt in self.dtypes.items()
+        }
+        #: whether any half dtype was widened to an f32 compute dtype
+        self.half_compute = any(
+            np.dtype(self.dtypes[n]) != self.compute_dtypes[n]
+            for n in self.compute_dtypes
+        )
 
         # Fields whose strip is WRITTEN (a write statement with J extent).
         self.strip_written: set[str] = set()
@@ -309,6 +337,13 @@ def build_plane_split_fn(
 
             blocks_main: dict[str, Any] = {}
             blocks_strip: dict[str, Any] = {}
+
+            def _load(val, n):
+                # half-precision blocks upcast ONCE at load; all compute
+                # runs in f32 (geo.compute_dtypes), stores downcast
+                cdt = geo.compute_dtypes[n]
+                return val if val.dtype == cdt else val.astype(cdt)
+
             for n in reads:
                 if n in main_out:
                     oref = main_out[n]
@@ -327,12 +362,12 @@ def build_plane_split_fn(
                         oref[...] = main_in[n][...]
                     blocks_main[n] = oref
                 else:
-                    blocks_main[n] = main_in[n][...]
+                    blocks_main[n] = _load(main_in[n][...], n)
                 if n in strip_out_refs:
                     strip_out_refs[n][...] = strip_refs[n][...]
                     blocks_strip[n] = strip_out_refs[n]
                 elif n in strip_refs:
-                    blocks_strip[n] = strip_refs[n][...]
+                    blocks_strip[n] = _load(strip_refs[n][...], n)
             # Temporaries materialize lazily at their first write (a masked
             # first write reads zeros via the evaluator's lazy init).
 
@@ -424,6 +459,7 @@ def build_plane_split_fn(
     fn.writes = tuple(writes)
     fn.layout = "split"
     fn.strategy = "split"
+    fn.geo = geo
     return fn
 
 
@@ -592,7 +628,7 @@ class _SplitEvaluator:
 
             ext = self.geo.field_ext[name]
             rows = self.ni + ext.i[1] - ext.i[0]
-            return jnp.zeros((self.tk, rows, self.nj), self.geo.dtypes[name])
+            return jnp.zeros((self.tk, rows, self.nj), self.geo.compute_dtypes[name])
         return block[...] if self._is_ref(name) else block
 
     def _strip_full(self, name: str):
@@ -604,7 +640,7 @@ class _SplitEvaluator:
                 ext = self.geo.field_ext[name]
                 rows = self.ni + ext.i[1] - ext.i[0]
                 w = self.geo.temp_strip_width(name)
-                return jnp.zeros((self.tk, rows, w), self.geo.dtypes[name])
+                return jnp.zeros((self.tk, rows, w), self.geo.compute_dtypes[name])
             return None
         return strip[...] if self._is_ref(name) else strip
 
@@ -680,9 +716,13 @@ class _SplitEvaluator:
         ext, part = ctx
         nrows = self.ni + ext.i[1] - ext.i[0]
         xi = self._i_base(name) + ext.i[0]
-        dtype = np.dtype(self.geo.dtypes[name])
-        value = value.astype(dtype)
         is_field = name in self.geo.analyzed.field_infos
+        # Fields store in their declared (possibly half) dtype; temps stay
+        # in the COMPUTE dtype (f32 for half-precision stencils).
+        dtype = np.dtype(
+            self.geo.dtypes[name] if is_field else self.geo.compute_dtypes[name]
+        )
+        value = value.astype(dtype)
 
         if part == "main":
             if mask is not None:
@@ -759,7 +799,15 @@ class _SplitEvaluator:
             impls = _native_impls(_NamespaceOps("jax"))
             return impls[expr.func](*[self.eval_expr(a, ctx) for a in expr.args])
         if isinstance(expr, gtir.Cast):
-            return jnp.asarray(self.eval_expr(expr.expr, ctx)).astype(expr.dtype)
+            # half-dtype casts land on the f32 compute dtype (storage-only
+            # halves; see _SplitGeometry.compute_dtypes)
+            _dt = np.dtype(expr.dtype)
+            if self.geo.half_compute:
+                from gt4py_tpu.core.definitions import HALF_FLOAT_DTYPES as _H
+
+                if _dt in _H:
+                    _dt = np.dtype(np.float32)
+            return jnp.asarray(self.eval_expr(expr.expr, ctx)).astype(_dt)
         if isinstance(expr, gtir.IteratorAccess):
             from jax import lax
 

@@ -178,6 +178,64 @@ def test_split_wide_strip_falls_back(rng):
     np.testing.assert_array_equal(out[:, 128:], 0.0)
 
 
+def test_split_half_precision_computes_in_f32(rng, monkeypatch):
+    """Half-precision (bfloat16) fields route through the split strategy
+    with an f32 COMPUTE dtype: storage stays bf16, every loaded block
+    upcasts once, stores downcast once. Output must match the numpy
+    backend at half tolerance; the geometry must report half_compute."""
+    from gt4py_tpu.cartesian.backend.pallas_codegen import build_pallas_fn
+    from gt4py_tpu.core.definitions import bfloat16
+
+    BF = gtscript.Field[bfloat16]
+
+    def hdiff(in_field: BF, out_field: BF, coeff: BF):
+        with computation(PARALLEL), interval(...):
+            lap = 4.0 * in_field[0, 0, 0] - (
+                in_field[1, 0, 0] + in_field[-1, 0, 0]
+                + in_field[0, 1, 0] + in_field[0, -1, 0]
+            )
+            res = lap[1, 0, 0] - lap[0, 0, 0]
+            flx = 0.0 if (res * (in_field[1, 0, 0] - in_field[0, 0, 0])) > 0 else res
+            res = lap[0, 1, 0] - lap[0, 0, 0]
+            fly = 0.0 if (res * (in_field[0, 1, 0] - in_field[0, 0, 0])) > 0 else res
+            out_field = in_field[0, 0, 0] - coeff[0, 0, 0] * (
+                flx[0, 0, 0] - flx[-1, 0, 0] + fly[0, 0, 0] - fly[0, -1, 0]
+            )
+
+    shape, domain, origin = (20, 134, 4), (16, 128, 4), (2, 3, 0)
+    arrays = {
+        "in_field": rng.random(shape).astype(bfloat16),
+        "coeff": (rng.random(shape) * 0.1).astype(bfloat16),
+        "out_field": np.zeros(shape, bfloat16),
+    }
+
+    # the lane-aligned bf16 stencil routes to split, with f32 compute
+    st = gtscript.stencil(backend="jax", definition=hdiff, rebuild=True)
+    origins = {n: origin for n in arrays}
+    fn = build_pallas_fn(st._analyzed, domain, origins, interpret=True)
+    assert getattr(fn, "layout", None) == "split"
+    assert fn.geo.half_compute
+    assert fn.geo.compute_dtypes["in_field"] == np.dtype(np.float32)
+    assert fn.geo.dtypes["in_field"] == np.dtype(bfloat16)
+
+    def run(backend):
+        s = gtscript.stencil(backend=backend, definition=hdiff, rebuild=True)
+        copies = {n: a.copy() for n, a in arrays.items()}
+        s(**copies, origin=origin, domain=domain)
+        return copies["out_field"].astype(np.float32)
+
+    got, ref = run("tpu:pallas"), run("numpy")
+    assert got.dtype == np.float32 and arrays["out_field"].dtype == np.dtype(bfloat16)
+    np.testing.assert_allclose(got, ref, rtol=0.03, atol=0.03)
+
+    # flag-off path: literal half compute is bit-compatible with numpy's
+    monkeypatch.setenv("GT4PY_PALLAS_HALF_COMPUTE_F32", "0")
+    fn_off = build_pallas_fn(st._analyzed, domain, origins, interpret=True)
+    assert not fn_off.geo.half_compute
+    got_off = run("tpu:pallas")
+    np.testing.assert_allclose(got_off, ref, rtol=0.03, atol=0.03)
+
+
 def test_split_native_layout_chain(rng):
     """Chained calls through Storage keep the (main, strip) pair in the
     native cache; lazy decode reassembles the public array exactly."""
