@@ -38,6 +38,9 @@ def stencil_fingerprint(definition: Callable, build_options: dict) -> str:
         str(build_options.get("literal_int_precision")),
         str(build_options.get("literal_float_precision")),
         str(build_options.get("name")),
+        # backend options change the pass pipeline (skip/add steps), so a
+        # custom PassPipeline must not reuse another pipeline's artifacts
+        repr(sorted((k, repr(v)) for k, v in build_options.get("backend_opts", {}).items())),
     ]
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 

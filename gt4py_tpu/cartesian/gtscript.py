@@ -452,7 +452,9 @@ PYTHON_BUILTIN_FUNCS = {"abs": "abs", "min": "min", "max": "max"}
 
 #: extra per-backend options accepted by ``stencil(**kwargs)``; anything
 #: else is a loud error (typos must not silently change semantics).
-SUPPORTED_BACKEND_OPTS = frozenset({"inline_temporaries"})
+SUPPORTED_BACKEND_OPTS = frozenset(
+    {"inline_temporaries", "fuse_sequential", "pass_pipeline"}
+)
 
 
 def stencil(

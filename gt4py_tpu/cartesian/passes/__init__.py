@@ -1,1 +1,5 @@
-from gt4py_tpu.cartesian.passes.pipeline import AnalyzedStencil, analyze  # noqa: F401
+from gt4py_tpu.cartesian.passes.pipeline import (  # noqa: F401
+    AnalyzedStencil,
+    PassPipeline,
+    analyze,
+)

@@ -91,49 +91,161 @@ class AnalyzedStencil:
         return self._materialized
 
 
-def analyze(definition: Callable, options: dict) -> AnalyzedStencil:
-    stencil = frontend.parse_stencil(definition, options)
-    return analyze_gtir(stencil, options)
+def _step_lower_control_flow(stencil: gtir.Stencil) -> gtir.Stencil:
+    return lower_control_flow(stencil)
 
 
-def analyze_gtir(stencil: "gtir.Stencil", options: dict) -> AnalyzedStencil:
-    """Run the analysis pipeline on an already-built GTIR stencil (used by
-    the field-view cartesian bridge, next/cartesian_bridge.py)."""
-    check_definitive_assignment(stencil)
-    stencil = lower_control_flow(stencil)
+def _step_vector_unroll(stencil: gtir.Stencil) -> gtir.Stencil:
     # Whole-vector / matmul data-dimension assignments unroll into
     # per-component scalar assignments (reference defir_to_gtir.py:123,195)
     # — the native form for the Pallas per-stream kernels.
     from gt4py_tpu.cartesian.passes.vector_unroll import unroll_vector_assignments
 
-    stencil = unroll_vector_assignments(stencil)
+    return unroll_vector_assignments(stencil)
+
+
+def _step_race_detection(stencil: gtir.Stencil) -> gtir.Stencil:
     # Structural race detection AFTER mask lowering (Ifs are gone, the
     # statement stream is flat) and BEFORE temporary inlining (which would
     # hide the racy reads it substitutes away).
     from gt4py_tpu.cartesian.passes.race_detection import detect_races
 
     detect_races(stencil)
+    return stencil
+
+
+def _step_power_unroll(stencil: gtir.Stencil) -> gtir.Stencil:
     # Small integral powers become multiplications BEFORE dtype inference
     # (the unrolled tree infers like any product; reference
     # iterator/transforms/power_unrolling.py).
     from gt4py_tpu.cartesian.passes.power_unroll import unroll_powers
 
-    stencil = unroll_powers(stencil)
+    return unroll_powers(stencil)
+
+
+def _step_infer_dtypes(stencil: gtir.Stencil) -> gtir.Stencil:
     infer_dtypes(stencil)
+    return stencil
+
+
+def _step_seq_fusion(stencil: gtir.Stencil) -> gtir.Stencil:
     # PARALLEL coefficient temporaries consumed by one sequential loop
     # compute per level inside it (reference vertical-loop-merging role):
     # one grid sweep instead of one per producing loop, and concat_where
     # piece boundaries become specialized consumer sections.
-    if options.get("backend_opts", {}).get("fuse_sequential", True):
-        from gt4py_tpu.cartesian.passes.seq_fusion import fuse_parallel_temporaries
+    from gt4py_tpu.cartesian.passes.seq_fusion import fuse_parallel_temporaries
 
-        stencil = fuse_parallel_temporaries(stencil)
-    pre_inline: "gtir.Stencil | None" = None
-    if options.get("backend_opts", {}).get("inline_temporaries", True):
-        from gt4py_tpu.cartesian.passes.inline_temporaries import inline_temporaries
+    return fuse_parallel_temporaries(stencil)
 
-        pre_inline = stencil
-        stencil = inline_temporaries(stencil)
+
+def _step_inline_temporaries(stencil: gtir.Stencil) -> gtir.Stencil:
+    from gt4py_tpu.cartesian.passes.inline_temporaries import inline_temporaries
+
+    return inline_temporaries(stencil)
+
+
+#: transform steps that only REARRANGE (semantics-preserving); checks
+#: (definitive assignment, race detection) are separate — skipping a check
+#: loosens the language contract, skipping an optimization only costs perf.
+_OPTIMIZATION_STEPS = frozenset({"seq_fusion", "inline_temporaries"})
+
+
+@dataclasses.dataclass(frozen=True)
+class PassPipeline:
+    """User-controllable GTIR pass pipeline (the reference's
+    ``DefaultPipeline`` skip/add contract, gtc/passes/oir_pipeline.py:55-90:
+    "runs passes in order and allows skipping; may only call existing
+    passes"). ``skip`` names steps to omit; ``add_steps`` appends custom
+    ``Stencil -> Stencil`` callables after the built-in steps (before
+    extent analysis). Hashable/reprable so builds fingerprint by it.
+
+    Step names, in order: ``definitive_assignment``, ``lower_control_flow``,
+    ``vector_unroll``, ``race_detection``, ``power_unroll``,
+    ``infer_dtypes``, ``seq_fusion``, ``inline_temporaries``.
+    """
+
+    skip: tuple = ()
+    add_steps: tuple = ()
+
+    @staticmethod
+    def all_steps() -> "list[tuple[str, Callable]]":
+        return [
+            ("definitive_assignment", _step_check_definitive_assignment),
+            ("lower_control_flow", _step_lower_control_flow),
+            ("vector_unroll", _step_vector_unroll),
+            ("race_detection", _step_race_detection),
+            ("power_unroll", _step_power_unroll),
+            ("infer_dtypes", _step_infer_dtypes),
+            ("seq_fusion", _step_seq_fusion),
+            ("inline_temporaries", _step_inline_temporaries),
+        ]
+
+    def __post_init__(self):
+        known = {name for name, _ in self.all_steps()}
+        unknown = set(self.skip) - known
+        if unknown:
+            raise ValueError(
+                f"Unknown pipeline step(s) to skip: {sorted(unknown)}; "
+                f"known steps: {sorted(known)}"
+            )
+        for step in self.add_steps:
+            if not callable(step):
+                raise ValueError(f"add_steps entries must be callable, got {step!r}")
+
+    @property
+    def steps(self) -> "list[tuple[str, Callable]]":
+        kept = [(n, f) for n, f in self.all_steps() if n not in set(self.skip)]
+        return kept + [
+            (getattr(f, "__name__", repr(f)), f) for f in self.add_steps
+        ]
+
+    def __repr__(self) -> str:
+        return f"PassPipeline({[n for n, _ in self.steps]})"
+
+    def run(self, stencil: gtir.Stencil) -> "tuple[gtir.Stencil, gtir.Stencil | None]":
+        """Apply the steps in order; returns ``(stencil, pre_inline)`` where
+        ``pre_inline`` is the stencil just before temporary inlining (the
+        materialized-temporaries variant used by value-based backends), or
+        None when inlining is skipped."""
+        pre_inline: "gtir.Stencil | None" = None
+        for name, step in self.steps:
+            if name == "inline_temporaries":
+                pre_inline = stencil
+            stencil = step(stencil)
+        return stencil, pre_inline
+
+
+def _step_check_definitive_assignment(stencil: gtir.Stencil) -> gtir.Stencil:
+    check_definitive_assignment(stencil)
+    return stencil
+
+
+def analyze(definition: Callable, options: dict) -> AnalyzedStencil:
+    stencil = frontend.parse_stencil(definition, options)
+    return analyze_gtir(stencil, options)
+
+
+def _pipeline_from_options(options: dict) -> PassPipeline:
+    opts = options.get("backend_opts", {}) or {}
+    pipeline = opts.get("pass_pipeline")
+    if pipeline is not None:
+        if not isinstance(pipeline, PassPipeline):
+            raise TypeError(
+                f"pass_pipeline must be a PassPipeline, got {type(pipeline).__name__}"
+            )
+        return pipeline
+    skip = []
+    if not opts.get("fuse_sequential", True):
+        skip.append("seq_fusion")
+    if not opts.get("inline_temporaries", True):
+        skip.append("inline_temporaries")
+    return PassPipeline(skip=tuple(skip))
+
+
+def analyze_gtir(stencil: "gtir.Stencil", options: dict) -> AnalyzedStencil:
+    """Run the analysis pipeline on an already-built GTIR stencil (used by
+    the field-view cartesian bridge, next/cartesian_bridge.py)."""
+    stencil, pre_inline = _pipeline_from_options(options).run(stencil)
     extents = ExtentAnalysis(stencil)
 
     access: dict[str, AccessKind] = {p.name: AccessKind.NONE for p in stencil.params}
