@@ -226,7 +226,14 @@ def _shift_gather_1d(x, conn, column: int, own_start: int):
         else:
             # whole-row gather runs at the per-row ceiling already
             fix = jnp.take(x, jnp.asarray(plan.res_idx), axis=0)
-        out = out.at[jnp.asarray(plan.res_rows)].set(fix)
+        # res_rows comes from np.nonzero -> sorted and unique by
+        # construction; the hints let XLA skip the scatter's dedup
+        # sort (isolated scatter: 38 -> 29 us for 2.6k rows of a 131k
+        # array on v5e; inside the fused nabla step the difference is
+        # within measurement noise, so this is free, not a speedup).
+        out = out.at[jnp.asarray(plan.res_rows)].set(
+            fix, unique_indices=True, indices_are_sorted=True
+        )
     return out
 
 
