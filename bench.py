@@ -854,7 +854,9 @@ def main() -> None:
                 device_random((2 * nv,)),
                 device_random((nv,), offset=0.5),
             ),
-            n_lo=2, n_hi=102,
+            # ~107us/step: 102-step chains (~11ms) left the fit inside
+            # dispatch jitter (spread bars of tens of %); 402 spans ~43ms
+            n_lo=20, n_hi=402,
         )
         results["fvm_nabla_perturbed_us_per_step"] = round(t_nbp * 1e6, 1)
         results["fvm_nabla_perturbed_hybrid"] = hybrid
