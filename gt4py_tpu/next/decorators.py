@@ -906,6 +906,33 @@ class Program:
         merged = {**(self.bound_args or {}), **bound}
         return Program(self.definition, self.backend, merged)
 
+    def _param_order(self) -> list:
+        """Parameter names in signature order (positional then kwonly)."""
+        order = self.__dict__.get("_sig_params")
+        if order is None:
+            import inspect
+
+            order = list(inspect.signature(self.definition).parameters)
+            self.__dict__["_sig_params"] = order
+        return order
+
+    def _static_param_names(self) -> frozenset:
+        """Parameters that must be baked per compiled variant (feed
+        ``domain=`` bounds or ``if`` conditions); empty when the program
+        is outside the PAST subset."""
+        names = self.__dict__.get("_static_names")
+        if names is None:
+            from gt4py_tpu.next.past import exec_program, static_scalar_params
+
+            exec_program(self)  # populates _past_cache
+            cache = self.__dict__.get("_past_cache")
+            ir = getattr(cache, "ir", None)
+            names = (
+                static_scalar_params(ir) if ir is not None else frozenset()
+            )
+            self.__dict__["_static_names"] = names
+        return names
+
     def inspect(self, stage: str = "past") -> str:
         """The program's PAST-generated source after passes (reference
         past pretty printing; see FieldOperator.inspect for the
@@ -934,6 +961,34 @@ class Program:
             and all(_xp_of(f) is not np for f in fields)
             and not _under_trace(args, kwargs)
         )
+        # Scalars that feed ``domain=`` bounds or ``if`` conditions must
+        # stay concrete under the whole-program jit (domain bounds are
+        # XLA shapes): bake them per compiled variant, keyed by value
+        # (reference otf/arguments.py static-arg descriptors).
+        static_items: tuple = ()
+        if jit_ok:
+            static_names = self._static_param_names()
+            if static_names:
+                sigmap = self._param_order()
+                picked = {}
+                for name in static_names:
+                    i = sigmap.index(name) if name in sigmap else -1
+                    if 0 <= i < len(args):
+                        v = args[i]
+                    elif name in kwargs:
+                        v = kwargs[name]
+                    else:
+                        continue
+                    try:
+                        v = v.item() if hasattr(v, "item") else v
+                        hash(v)
+                    except Exception:
+                        # untraceable AND unbakeable (e.g. an abstract
+                        # value) -> the eager path below stays correct
+                        jit_ok = False
+                        break
+                    picked[name] = v
+                static_items = tuple(sorted(picked.items()))
         if jit_ok:
             # Whole-program jit (reference Backend.compile on PAST): ONE
             # XLA dispatch for the full operator pipeline. Operator calls
@@ -953,7 +1008,8 @@ class Program:
                     )
                 )
                 if offset_provider
-                else None
+                else None,
+                static_items,
             )
             fn = cache.get(pkey)
             if fn is None:
@@ -961,8 +1017,18 @@ class Program:
 
                 provider = offset_provider
                 definition = exec_program(self)
+                sigmap = self._param_order()
+                pos = {n: sigmap.index(n) for n, _ in static_items}
 
                 def fn(a, kw):
+                    a = list(a)
+                    kw = dict(kw)
+                    for name, v in static_items:
+                        i = pos[name]
+                        if i < len(a):
+                            a[i] = v
+                        elif name in kw:
+                            kw[name] = v
                     with offset_provider_context(provider):
                         definition(*a, **kw)
                     return tuple(
@@ -971,7 +1037,23 @@ class Program:
 
                 fn = jax.jit(fn)
                 cache[pkey] = fn
-            new_arrays = fn(args, kwargs)
+            call_args, call_kwargs = args, kwargs
+            if static_items:
+                # Baked statics need not cross the host->device boundary:
+                # blank their leaves (None is an empty pytree node, so
+                # nothing is transferred or traced); fn substitutes the
+                # baked values at the same positions.
+                sigmap = self._param_order()
+                call_args = list(args)
+                call_kwargs = dict(kwargs)
+                for name, _ in static_items:
+                    i = sigmap.index(name)
+                    if i < len(call_args):
+                        call_args[i] = None
+                    elif name in call_kwargs:
+                        call_kwargs[name] = None
+                call_args = tuple(call_args)
+            new_arrays = fn(call_args, call_kwargs)
             for f, arr in zip(fields, new_arrays):
                 f.ndarray = arr
             return

@@ -81,6 +81,16 @@ class ListExpr(Expr):
 
 
 @datamodel
+class DictExpr(Expr):
+    """``{k: v, ...}`` literal. Program subset only (``domain=`` call
+    arguments, reference past.py program domains); field-operator bodies
+    keep rejecting dicts — they have no elementwise meaning."""
+
+    keys: list
+    values: list
+
+
+@datamodel
 class UnaryOp(Expr):
     op: str  # '+' | '-' | 'not' | '~'
     operand: Expr
@@ -395,6 +405,11 @@ def _emit(e: Expr) -> str:
         return f"({inner},)" if len(e.elts) == 1 else f"({inner})"
     if isinstance(e, ListExpr):
         return "[" + ", ".join(_emit(x) for x in e.elts) + "]"
+    if isinstance(e, DictExpr):
+        items = ", ".join(
+            f"{_emit(k)}: {_emit(v)}" for k, v in zip(e.keys, e.values)
+        )
+        return "{" + items + "}"
     if isinstance(e, UnaryOp):
         sep = " " if e.op == "not" else ""
         return f"({e.op}{sep}{_emit(e.operand)})"

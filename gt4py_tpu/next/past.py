@@ -59,6 +59,7 @@ __all__ = [
     "codegen",
     "compile_to_python",
     "exec_program",
+    "static_scalar_params",
     "past_source",
 ]
 
@@ -87,6 +88,19 @@ class ProgramDefinition(Node):
 class _ProgramLowerer(foast._Lowerer):
     """FOAST lowerer extended with the program-only statement form:
     a bare expression statement that is an operator call."""
+
+    def lower_expr(self, node: ast.expr) -> Expr:
+        # Dict literals are program-only syntax: ``domain={I: (0, n)}``
+        # (reference past.py domain arguments). Field-operator bodies
+        # keep rejecting them in the base lowerer.
+        if isinstance(node, ast.Dict):
+            if any(k is None for k in node.keys):
+                raise foast._unsupported(node, "**-unpacking in a dict")
+            return foast.DictExpr(
+                keys=[self.lower_expr(k) for k in node.keys],
+                values=[self.lower_expr(v) for v in node.values],
+            )
+        return super().lower_expr(node)
 
     def lower_stmt(self, node: ast.stmt) -> Optional[Stmt]:
         if isinstance(node, ast.Expr) and isinstance(node.value, ast.Call):
@@ -120,6 +134,50 @@ def func_to_past(definition: Callable) -> ProgramDefinition:
         body=lowerer.lower_body(fdef.body),
         kwonly_params=[p.arg for p in a.kwonlyargs],
     )
+
+
+def static_scalar_params(ir: ProgramDefinition) -> frozenset:
+    """Program parameters whose VALUES shape the compiled program: names
+    reachable from any ``domain=`` call argument or scalar ``if``
+    condition, directly or through intermediate assignments.
+
+    Under the whole-program jit these must be concrete Python values —
+    domain bounds are XLA shapes and ``if`` picks the traced branch — so
+    ``Program.__call__`` bakes them into the executable's cache key
+    instead of tracing them. This is the reference's static-argument
+    descriptor role (reference otf/arguments.py:40-116 ``StaticArg`` /
+    ``FieldDomainDescriptor``) realized on ``jax.jit``'s terms.
+    """
+    from gt4py_tpu.eve.trees import walk_type
+
+    wanted: set = set()
+    assigns: list = []  # (target names, names read by the value)
+
+    def collect(body: list) -> None:
+        for s in body:
+            if isinstance(s, CallStmt):
+                dom = s.call.kwargs.get("domain")
+                if dom is not None:
+                    wanted.update(n.id for n in walk_type(dom, Name))
+            elif isinstance(s, IfStmt):
+                wanted.update(n.id for n in walk_type(s.cond, Name))
+                collect(s.body)
+                collect(s.orelse)
+            elif isinstance(s, Assign):
+                tnames = {t.id for t in walk_type(s.targets, Name)}
+                vnames = {n.id for n in walk_type(s.value, Name)}
+                assigns.append((tnames, vnames))
+
+    collect(ir.body)
+    # Fixpoint: a temporary feeding a domain makes its own inputs static.
+    changed = True
+    while changed:
+        changed = False
+        for tnames, vnames in assigns:
+            if tnames & wanted and not vnames <= wanted:
+                wanted |= vnames
+                changed = True
+    return frozenset(wanted & {*ir.params, *ir.kwonly_params})
 
 
 # --- codegen --------------------------------------------------------------------
