@@ -1127,6 +1127,55 @@ def main() -> None:
     except Exception as e:
         results["triad_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # --- bf16 streaming floor: the same triad at bfloat16. bf16 hdiff is
+    # COMPUTE-bound on v5e (the VPU runs bf16 at the f32 rate, so halving
+    # the bytes moves the memory time to ~half the f32 kernel's while the
+    # compute time stays put — see docs/performance.md). Its honest
+    # ceiling is therefore the f32 kernel's compute time, not the
+    # halved-byte roofline; this row measures the bf16 stream floor so
+    # both bounds of the max(mem, compute) model are on record. ----------
+    try:
+        _triad16_jit: list = []
+
+        def make_triad16(n):
+            if not _triad16_jit:
+                @jax.jit
+                def f(n, a, b):
+                    def body(i, carry):
+                        x, y = carry
+                        return (y * jnp.bfloat16(1.0009) + b, x)
+                    x, _ = lax.fori_loop(0, n, body, (a, jnp.zeros_like(a)))
+                    return x
+                _triad16_jit.append(f)
+            f = _triad16_jit[0]
+            return lambda *args: f(n, *args)
+
+        t_triad16 = timer.measure(
+            make_triad16,
+            lambda: (
+                device_random(shape, dtype=jnp.bfloat16),
+                device_random(shape, dtype=jnp.bfloat16),
+            ),
+        )
+        results["stream_triad_bf16_us"] = round(t_triad16 * 1e6, 1)
+        tb_us = results.get("hdiff_bf16_us_per_step")
+        tf_us = results.get("hdiff_us_per_step")
+        if tb_us and t_triad16 > 0:
+            # distance from the measured bf16 memory floor (same stream
+            # count); >1.3 means the kernel left the bandwidth regime
+            results["hdiff_bf16_vs_stream_floor"] = round(
+                tb_us / (t_triad16 * 1e6), 2
+            )
+        if tb_us and tf_us:
+            # f32 hdiff is bandwidth-bound, so its wall time upper-bounds
+            # its compute time: bf16 time at/below it but above the bf16
+            # stream floor pins the kernel to the compute bound
+            results["hdiff_bf16_compute_bound"] = bool(
+                t_triad16 * 1e6 * 1.3 < tb_us <= tf_us * 1.05
+            )
+    except Exception as e:
+        results["triad_bf16_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # --- pallas plane-walk calibration: a bare 5-stream pallas kernel
     # walking K planes (the staged/sequential kernels' execution shape).
     # Measured MUCH faster than nominal HBM on the live device (1.6+ TB/s
