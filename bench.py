@@ -1242,6 +1242,11 @@ def main() -> None:
     # config, BASELINE.md configs row). Tiny workload: tracks dispatch +
     # small-domain kernel efficiency rather than HBM bandwidth. -----------
     try:
+        # The bf16 hdiff section rebinds the module-global Field3F to the
+        # bfloat16 descriptor; these stencils take f32 arrays — re-pin it.
+        global Field3F
+        Field3F = gtscript.Field[np.float32]
+
         def copy48(src: "Field3F", dst: "Field3F"):
             with gtscript.computation("PARALLEL"), gtscript.interval(...):
                 dst = src[0, 0, 0]
