@@ -55,12 +55,19 @@ class Backend(abc.ABC):
     ) -> dict[str, Any]:
         """Execute; return {written_field_name: updated_array}."""
 
+    #: backends whose ``run`` keys a dispatch cache can skip rebuilding the
+    #: per-call shapes key when the runtime hands down its identity-free
+    #: validation-cache key (shapes/dtypes/origins/domain — see
+    #: stencil_object._call_run)
+    accepts_cache_key = False
+
     def run_from_infos(
         self,
         infos: dict[str, Any],
         scalars: dict[str, Any],
         domain: tuple[int, int, int],
         origins: dict[str, tuple[int, int, int]],
+        cache_key: Any = None,
     ) -> dict[str, Any]:
         """Execute from per-argument infos (lazy arrays). The default
         materializes public arrays; layout-aware backends override this to
@@ -80,6 +87,8 @@ class Backend(abc.ABC):
                 if not value.flags.writeable:
                     value = value.copy()  # JAX buffers are read-only views
             arrays[name] = value
+        if self.accepts_cache_key:
+            return self.run(arrays, scalars, domain, origins, cache_key=cache_key)
         return self.run(arrays, scalars, domain, origins)
 
 

@@ -32,6 +32,8 @@ class JaxBackend(Backend):
     def __init__(self, analyzed, options):
         super().__init__(analyzed, options)
         self._cache: dict[Any, Any] = {}
+        #: validation-cache-key -> executable (warm-path alias of _cache)
+        self._fast_cache: dict[Any, Any] = {}
         self.written = [
             name
             for name, info in analyzed.field_infos.items()
@@ -68,12 +70,9 @@ class JaxBackend(Backend):
 
         return jax.jit(fn)
 
-    def run(self, arrays, scalars, domain, origins) -> dict[str, Any]:
-        origins_key = tuple(sorted(origins.items()))
-        shapes_key = tuple(
-            (name, tuple(a.shape), np.dtype(a.dtype))
-            for name, a in sorted(arrays.items())
-        )
+    accepts_cache_key = True
+
+    def run(self, arrays, scalars, domain, origins, cache_key=None) -> dict[str, Any]:
         written_arrays = {n: arrays[n] for n in self.written if n in arrays}
         read_arrays = {n: a for n, a in arrays.items() if n not in written_arrays}
         # Aliased in/out storages (the reference's in-place RK idiom:
@@ -85,6 +84,20 @@ class JaxBackend(Backend):
             any(r is w for w in written_arrays.values())
             for r in read_arrays.values()
         )
+        # Warm path: the runtime's identity-free validation key already
+        # determines (domain, origins, shapes, dtypes) — skip rebuilding
+        # the shapes key. The resolved-key cache below stays authoritative
+        # so distinct user origin/domain spellings share one executable.
+        fast_key = (cache_key, aliased) if cache_key is not None else None
+        if fast_key is not None:
+            fn = self._fast_cache.get(fast_key)
+            if fn is not None:
+                return fn(written_arrays, read_arrays, scalars)
+        origins_key = tuple(sorted(origins.items()))
+        shapes_key = tuple(
+            (name, tuple(a.shape), np.dtype(a.dtype))
+            for name, a in sorted(arrays.items())
+        )
         key = (domain, origins_key, shapes_key, aliased)
         fn = self._cache.get(key)
         if fn is None:
@@ -94,4 +107,8 @@ class JaxBackend(Backend):
                 else self._build(domain, origins_key)
             )
             self._cache[key] = fn
+        if fast_key is not None:
+            if len(self._fast_cache) >= 128:
+                self._fast_cache.clear()
+            self._fast_cache[fast_key] = fn
         return fn(written_arrays, read_arrays, scalars)

@@ -111,24 +111,46 @@ class PallasBackend(JaxBackend):
 
     # -- native-layout path ---------------------------------------------------
 
-    def run_from_infos(self, infos, scalars, domain, origins):
-        key = (
-            domain,
-            tuple(sorted(origins.items())),
-            tuple((n, tuple(infos[n].shape), str(infos[n].dtype)) for n in sorted(infos)),
-        )
-        entry = self._native_cache.get(key)
+    def run_from_infos(self, infos, scalars, domain, origins, cache_key=None):
+        # Warm path: the runtime's identity-free validation key determines
+        # (domain, origins, shapes, dtypes) — skip rebuilding the native key.
+        if cache_key is not None:
+            entry = self._native_cache.get(cache_key)
+        else:
+            entry = None
+
+        def resolved_key():
+            return (
+                domain,
+                tuple(sorted(origins.items())),
+                tuple(
+                    (n, tuple(infos[n].shape), str(infos[n].dtype))
+                    for n in sorted(infos)
+                ),
+            )
+
         if entry is None:
-            entry = self._build_native(domain, origins, infos)
-            self._native_cache[key] = entry
+            key = resolved_key()
+            entry = self._native_cache.get(key)
+            if entry is None:
+                entry = self._build_native(domain, origins, infos)
+                self._native_cache[key] = entry
+            if cache_key is not None:
+                self._native_cache[cache_key] = entry
         if entry is _FALLBACK:
             # public-layout path (XLA or pallas via _build; _build records
             # the strategy)
-            return super().run_from_infos(infos, scalars, domain, origins)
+            return super().run_from_infos(
+                infos, scalars, domain, origins, cache_key=cache_key
+            )
         result = entry(infos, scalars)
         if result is None:  # call-time PallasUnsupported inside the runner
-            self._native_cache[key] = _FALLBACK
-            return super().run_from_infos(infos, scalars, domain, origins)
+            self._native_cache[resolved_key()] = _FALLBACK
+            if cache_key is not None:
+                self._native_cache[cache_key] = _FALLBACK
+            return super().run_from_infos(
+                infos, scalars, domain, origins, cache_key=cache_key
+            )
         return result
 
     def _build_native(self, domain, origins, infos):
