@@ -106,6 +106,25 @@ _MAX_SHIFT_CLASSES = 8
 _MAX_RESIDUAL_FRAC = 0.15
 
 
+def _host_table(conn):
+    """Host (numpy) snapshot of ``conn.table``, cached on the connectivity.
+
+    Plan analysis must read the table on the host. ``conn.table`` is
+    normally a concrete device array, but slicing it while a jit trace
+    is ACTIVE stages the slice and returns a tracer — ``np.asarray`` on
+    the whole concrete array, by contrast, is a plain host conversion
+    that works under trace too. Returns None only when the table itself
+    is a tracer (connectivity built inside a jit)."""
+    host = getattr(conn, "_host_table", None)
+    if host is None:
+        try:
+            host = np.asarray(conn.table)
+        except Exception:
+            return None
+        conn._host_table = host
+    return host
+
+
 class _ShiftPlan(NamedTuple):
     diffs: np.ndarray  # int32 cyclic-shift classes (at most _MAX_SHIFT_CLASSES)
     sel: np.ndarray  # int8 per-row class label; residual rows hold 0
@@ -132,16 +151,19 @@ def _shift_plan(conn, column: int, own_start: int, n: int):
     key = (column, own_start, n)
     if key in cache:
         return cache[key]
-    try:
-        # Traced tables (connectivity passed through jit) cannot be
-        # analyzed — the structure must be known at trace time.
-        t = np.asarray(conn.table[:, column]).astype(np.int64) - own_start
-    except Exception:
-        cache[key] = None
+    host = _host_table(conn)
+    if host is None:
+        # Genuinely traced table (connectivity BUILT inside a jit, so no
+        # concrete values exist) — unanalyzable right now, but do NOT
+        # cache the failure: the same connectivity may later be planned
+        # eagerly. Crucially, slicing a CONCRETE table under an active
+        # trace stages the op and yields a tracer, so all host analysis
+        # must go through _host_table, never conn.table[...].
         return None
+    t = host[:, column].astype(np.int64) - own_start
     valid = np.ones(t.shape, dtype=bool)
     if conn.skip_value is not None:
-        valid = np.asarray(conn.table[:, column]) != conn.skip_value
+        valid = host[:, column] != conn.skip_value
     plan = None
     if n > 0:
         # Out-of-range neighbors clamp in the fallback; a cyclic shift
@@ -190,7 +212,7 @@ def _shift_plan(conn, column: int, own_start: int, n: int):
     return plan
 
 
-def _shift_gather_1d(x, conn, column: int, own_start: int):
+def _shift_gather_1d(x, conn, column: int, own_start: int, apply_fixup: bool = True):
     """Gather ``x[table[:, column] - own_start]`` along axis 0 via the
     shift plan: K rolls (tiled to the source length) + masked selects,
     then a sparse row-gather + scatter fix-up for the plan's residual
@@ -198,7 +220,12 @@ def _shift_gather_1d(x, conn, column: int, own_start: int):
 
     ``x`` may carry trailing data axes (ICON-style ``(Cell, K)`` fields):
     rolls/selects/fix-ups all act on whole rows, so the decomposition
-    stays streaming-bound for them too."""
+    stays streaming-bound for them too.
+
+    ``apply_fixup=False`` skips the residual fix-up (the multi-column
+    remap path batches all columns' fix-ups into one gather + one
+    scatter instead — each isolated small gather/scatter pays a ~4-5 us
+    fixed op cost on v5e, so a 4-column table saves ~6 ops per step)."""
     import jax.numpy as jnp
 
     n = x.shape[0]
@@ -220,7 +247,7 @@ def _shift_gather_1d(x, conn, column: int, own_start: int):
     out = shifted(diffs[0])
     for k in range(1, len(diffs)):
         out = jnp.where(sel_dev == k, shifted(diffs[k]), out)
-    if plan.res_rows is not None:
+    if plan.res_rows is not None and apply_fixup:
         if x.ndim == 1:
             fix = _rowgather_1d(x, jnp.asarray(plan.res_idx))
         else:
@@ -235,6 +262,70 @@ def _shift_gather_1d(x, conn, column: int, own_start: int):
             fix, unique_indices=True, indices_are_sorted=True
         )
     return out
+
+
+def _batched_residual(conn, own_start: int, n: int):
+    """Combine the residual fix-up GATHERS of all columns of ``conn``
+    into one concatenated source-index array, so a multi-column remap
+    pays ONE fix gather from the source field instead of one per column
+    (an isolated small gather costs ~4-5 us fixed + ~11 ns/element on
+    v5e — far above the large-gather rate). The scatters stay
+    per-column on the 1-D pre-stack parts: their layout is lane-native,
+    while a combined scatter into the stacked ``(n_src, ncols)`` array
+    needs a row-major flatten = full relayout of a 128-lane-padded
+    array (measured 110 -> ~245 us/step on perturbed FVM nabla — do not
+    re-try). Returns ``(src_idx, segments)`` with ``segments`` a list of
+    ``(column, res_rows, start, stop)`` slices into the gather result,
+    or None when no column has residual rows. Cached on the
+    connectivity (tables are immutable)."""
+    cache = getattr(conn, "_batched_residuals", None)
+    if cache is None:
+        cache = conn._batched_residuals = {}
+    key = (own_start, n)
+    if key in cache:
+        return cache[key]
+    ncols = conn.table.shape[1]
+    idx_parts = []
+    segments = []
+    pos = 0
+    for c in range(ncols):
+        plan = _shift_plan(conn, c, own_start, n)
+        if plan is not None and plan.res_rows is not None:
+            m = plan.res_rows.shape[0]
+            idx_parts.append(plan.res_idx)
+            segments.append((c, plan.res_rows, pos, pos + m))
+            pos += m
+    if not idx_parts:
+        cache[key] = None
+        return None
+    combined = (np.concatenate(idx_parts), segments)
+    cache[key] = combined
+    return combined
+
+
+def _apply_batched_fixup(parts, x, conn, own_start: int):
+    """Apply the combined residual fix-up to the per-column gather
+    parts (each ``(n_src, *rest)``, BEFORE stacking): one concatenated
+    row gather from ``x``, then per-column 1-D scatters of the
+    corresponding slices. Returns the updated parts list."""
+    import jax.numpy as jnp
+
+    combined = _batched_residual(conn, own_start, x.shape[0])
+    if combined is None:
+        return parts
+    src_idx, segments = combined
+    if x.ndim == 1:
+        fix = _rowgather_1d(x, jnp.asarray(src_idx))
+    else:
+        fix = jnp.take(x, jnp.asarray(src_idx), axis=0)
+    parts = list(parts)
+    for c, res_rows, start, stop in segments:
+        # res_rows comes from np.nonzero -> sorted and unique; the hints
+        # let XLA skip the scatter's dedup sort.
+        parts[c] = parts[c].at[jnp.asarray(res_rows)].set(
+            fix[start:stop], unique_indices=True, indices_are_sorted=True
+        )
+    return parts
 
 
 def _rowgather_1d(x, idx):
@@ -583,9 +674,13 @@ class Field:
                 cols = [column] if column is not None else list(
                     range(conn.table.shape[1])
                 )
+                multi = column is None and len(cols) > 1
                 parts = []
                 for c in cols:
-                    part = _shift_gather_1d(self.ndarray, conn, c, int(own_start))
+                    part = _shift_gather_1d(
+                        self.ndarray, conn, c, int(own_start),
+                        apply_fixup=not multi,
+                    )
                     if part is None:
                         parts = None
                         break
@@ -593,10 +688,14 @@ class Field:
                 if parts is not None:
                     # neighbor axis sits right after source (see the axes
                     # note below); equals axis=-1 only for 1-D fields
-                    gathered = (
-                        parts[0] if column is not None
-                        else xp.stack(parts, axis=1)
-                    )
+                    if column is not None:
+                        gathered = parts[0]
+                    else:
+                        if multi:
+                            parts = _apply_batched_fixup(
+                                parts, self.ndarray, conn, int(own_start)
+                            )
+                        gathered = xp.stack(parts, axis=1)
             if gathered is None:
                 safe_idx = xp.clip(
                     idx.astype(np.int32), 0, self.ndarray.shape[axis] - 1
