@@ -42,6 +42,10 @@ class PallasBackend(JaxBackend):
     def __init__(self, analyzed, options):
         super().__init__(analyzed, options)
         self._native_cache: dict[Any, Any] = {}
+        #: validation-cache-key -> native entry (warm-path alias of
+        #: _native_cache); bounded like JaxBackend._fast_cache so varying
+        #: shapes/origins in long-running workloads cannot grow it forever.
+        self._native_fast: dict[Any, Any] = {}
         #: kernel strategy that served the most recent call: "split",
         #: "plane", "staged", "tiled", or "xla" (fallback). Surfaced on
         #: ``exec_info["pallas_strategy"]`` so tests/users can assert the
@@ -115,7 +119,7 @@ class PallasBackend(JaxBackend):
         # Warm path: the runtime's identity-free validation key determines
         # (domain, origins, shapes, dtypes) — skip rebuilding the native key.
         if cache_key is not None:
-            entry = self._native_cache.get(cache_key)
+            entry = self._native_fast.get(cache_key)
         else:
             entry = None
 
@@ -136,7 +140,9 @@ class PallasBackend(JaxBackend):
                 entry = self._build_native(domain, origins, infos)
                 self._native_cache[key] = entry
             if cache_key is not None:
-                self._native_cache[cache_key] = entry
+                if len(self._native_fast) >= 128:
+                    self._native_fast.clear()
+                self._native_fast[cache_key] = entry
         if entry is _FALLBACK:
             # public-layout path (XLA or pallas via _build; _build records
             # the strategy)
@@ -147,7 +153,7 @@ class PallasBackend(JaxBackend):
         if result is None:  # call-time PallasUnsupported inside the runner
             self._native_cache[resolved_key()] = _FALLBACK
             if cache_key is not None:
-                self._native_cache[cache_key] = _FALLBACK
+                self._native_fast[cache_key] = _FALLBACK
             return super().run_from_infos(
                 infos, scalars, domain, origins, cache_key=cache_key
             )

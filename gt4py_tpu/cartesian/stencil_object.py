@@ -108,6 +108,14 @@ class StencilObject:
             )
             for p in _params.values()
         )
+        # Keyword-only params must never be filled positionally — the fast
+        # binder only accepts up to this many positional args, matching
+        # Signature.bind's "too many positional arguments" behavior.
+        self._max_positional = sum(
+            1
+            for p in _params.values()
+            if p.kind is inspect.Parameter.POSITIONAL_OR_KEYWORD
+        )
         self.__doc__ = analyzed.stencil.docstring
         import threading
 
@@ -295,7 +303,7 @@ class StencilObject:
         if exec_info is not None:
             exec_info["call_start_time"] = time.perf_counter()
         arguments = None
-        if self._simple_signature and len(args) <= len(self._arg_names):
+        if self._simple_signature and len(args) <= self._max_positional:
             arguments = dict(zip(self._arg_names, args))
             for k, v in kwargs.items():
                 if k in arguments or k not in self._arg_name_set:

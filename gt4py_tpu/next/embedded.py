@@ -114,12 +114,22 @@ def _host_table(conn):
     is ACTIVE stages the slice and returns a tracer — ``np.asarray`` on
     the whole concrete array, by contrast, is a plain host conversion
     that works under trace too. Returns None only when the table itself
-    is a tracer (connectivity built inside a jit)."""
+    is a tracer (connectivity built inside a jit).
+
+    Note: the snapshot is retained on the connectivity for its lifetime —
+    one host copy per table, traded for never re-transferring during plan
+    analysis. Real conversion errors propagate; only JAX tracer-conversion
+    errors mean "no host view available"."""
     host = getattr(conn, "_host_table", None)
     if host is None:
+        import jax.errors
+
         try:
             host = np.asarray(conn.table)
-        except Exception:
+        except (
+            jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError,
+        ):
             return None
         conn._host_table = host
     return host

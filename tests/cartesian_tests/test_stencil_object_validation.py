@@ -186,3 +186,20 @@ def test_precompile_defers_errors():
         [a[:, :, :2], np.cumsum(a[:, :, 1:], axis=2)[:, :, 1:] + a[:, :, 1:2]], axis=2
     )
     assert out.shape == (4, 4, 5)
+
+
+def test_keyword_only_param_rejected_positionally():
+    """Python call semantics: a keyword-only scalar passed positionally
+    must raise TypeError (the fast binder may not silently accept it)."""
+
+    def kw_defn(src: Field3D, dst: Field3D, *, w: float):
+        with computation(PARALLEL), interval(...):
+            dst = w * src
+
+    st = gtscript.stencil(backend="numpy", definition=kw_defn)
+    src, dst = _args()
+    with pytest.raises(TypeError, match="positional"):
+        st(src, dst, 2.0, domain=(4, 6, 3))
+    # ... while the keyword spelling works.
+    st(src, dst, w=2.0, domain=(4, 6, 3))
+    np.testing.assert_allclose(np.asarray(dst)[1:5, :, :], 2.0)

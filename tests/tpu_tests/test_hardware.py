@@ -36,9 +36,20 @@ def test_tridiag_staged_matches_xla(tpu):
     run_on_tpu.check_tridiag_staged()
 
 
+#: Strategies that mean "a Pallas kernel served the call" (everything the
+#: backend can report except the "xla" fallback — pallas_backend.py:46-48).
+#: The strategy *race* picks whichever kernel wins at the given shape, so
+#: tests assert membership here, never a specific winner (round-4 lesson:
+#: perf work legitimately flips race winners).
+NATIVE_STRATEGIES = {"split", "plane", "staged", "tiled"}
+
+
 def test_flagships_serve_native_strategies_on_hardware(tpu):
     """On real TPU (Mosaic compiles, probes run) the flagship classes must
-    be served by their kernel strategies — not the XLA fallback."""
+    be served by a kernel strategy — not the XLA fallback. Which native
+    strategy wins the race is an empirical performance decision, so only
+    native-set membership is asserted (reference analog:
+    tests/cartesian_tests/definitions.py expects_native_kernel)."""
     from gt4py_tpu import storage
     from gt4py_tpu.cartesian import gtscript
     from gt4py_tpu.cartesian.gtscript import FORWARD, PARALLEL, computation, interval
@@ -58,7 +69,7 @@ def test_flagships_serve_native_strategies_on_hardware(tpu):
     b = storage.zeros(shape, dtype=np.float32, backend="tpu:pallas")
     exec_info = {}
     st(a, b, origin=(2, 2, 0), domain=(128, 128, 16), exec_info=exec_info)
-    assert exec_info["pallas_strategy"] == "split"
+    assert exec_info["pallas_strategy"] in NATIVE_STRATEGIES
 
     def cumsum(inp: F, out: F):
         with computation(FORWARD):
@@ -74,7 +85,7 @@ def test_flagships_serve_native_strategies_on_hardware(tpu):
     d = storage.zeros(shape, dtype=np.float32, backend="tpu:pallas")
     exec_info = {}
     st2(c, d, exec_info=exec_info)
-    assert exec_info["pallas_strategy"] == "staged"
+    assert exec_info["pallas_strategy"] in NATIVE_STRATEGIES
     np.testing.assert_allclose(
         np.asarray(d), np.cumsum(np.asarray(c), axis=2), rtol=2e-5
     )
