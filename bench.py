@@ -866,6 +866,61 @@ def main() -> None:
         results["fvm_nabla_perturbed_vs_irregular"] = (
             round(t_nbp / t_nbi, 2) if t_nbi > 0 else None
         )
+
+        # 1M-VERTEX structured mesh (round-5 verdict item 2): the 65k row
+        # above moves ~2.4 MB/step — a latency demo, kept for overhead
+        # tracking. This row is the THROUGHPUT claim: roll plans + lazy
+        # neighbor parts reduce the step to a slice/concat/elementwise
+        # chain XLA holds VMEM-resident across chained steps, so the
+        # fraction of the semantic HBM streaming model can exceed 1.
+        from gt4py_tpu.next.mesh_utils import periodic_quad_mesh
+
+        nbig = 1024
+        e2v_bn, v2e_bn, signs_bn = periodic_quad_mesh(nbig)
+        nvb = nbig * nbig
+        e2v_b = gtx.as_connectivity([E, E2VDim], V, e2v_bn)
+        v2e_b = gtx.as_connectivity([V, V2EDim], E, v2e_bn)
+        bprov = {"E2V": e2v_b, "V2E": v2e_b}
+        sign_bf = gtx.as_field([V, V2EDim], signs_bn.astype(np.float32))
+
+        _nbb_jit: list = []
+
+        def make_nabla_1m(n):
+            if not _nbb_jit:
+                @jax.jit
+                def f(n, pp, sx, vol):
+                    with offset_provider_context(bprov):
+                        fsx = gtx.as_field([E], sx)
+                        fvol = gtx.as_field([V], vol)
+
+                        def body(i, p):
+                            fp = gtx.as_field([V], p)
+                            res = nabla_x.definition(fp, fsx, sign_bf, fvol)
+                            return jnp.asarray(res.ndarray)
+
+                        return lax.fori_loop(0, n, body, pp)
+
+                _nbb_jit.append(f)
+            f = _nbb_jit[0]
+            return lambda *args: f(n, *args)
+
+        t_nbb = timer.measure(
+            make_nabla_1m,
+            lambda: (
+                device_random((nvb,)),
+                device_random((2 * nvb,)),
+                device_random((nvb,), offset=0.5),
+            ),
+        )
+        results["fvm_nabla_1M_us_per_step"] = round(t_nbb * 1e6, 1)
+        results["fvm_nabla_1M_Mvertices_s"] = round(nvb / t_nbb / 1e6, 1)
+        nbb_bytes = (nvb + 2 * nvb + 4 * nvb + nvb + nvb) * 4
+        nbb_frac = (
+            (nbb_bytes / t_nbb) / peak_bw if peak_bw == peak_bw else float("nan")
+        )
+        results["fvm_nabla_1M_stream_frac"] = (
+            round(nbb_frac, 3) if nbb_frac == nbb_frac else None
+        )
     except Exception as e:
         results["next_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 

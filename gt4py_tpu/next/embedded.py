@@ -222,6 +222,167 @@ def _shift_plan(conn, column: int, own_start: int, n: int):
     return plan
 
 
+class _RollTile(NamedTuple):
+    tile_len: int  # target rows served by this tile
+    base: int  # source window start
+    L: int  # source window length (== reshape size Q*P)
+    P: int  # minor period (P == L -> plain 1-axis roll)
+    a: int  # outer roll amount (rows of the (Q, P) view)
+    s: int  # minor roll amount
+
+
+class _RollPlan(NamedTuple):
+    tiles: tuple  # of _RollTile, covering the target rows in order
+    res_rows: Optional[np.ndarray]  # rows served by the fix-up gather
+    res_idx: Optional[np.ndarray]  # pre-clamped source targets for them
+
+
+_MAX_ROLL_DIVISORS = 64
+
+
+def _divisors_desc(L: int) -> list:
+    """Divisors of L in descending order (bounded)."""
+    small = []
+    large = []
+    d = 1
+    while d * d <= L:
+        if L % d == 0:
+            small.append(d)
+            if d != L // d:
+                large.append(L // d)
+        d += 1
+    out = large + small[::-1]
+    return out[:_MAX_ROLL_DIVISORS]
+
+
+def _roll_plan(conn, column: int, own_start: int, n: int):
+    """Detect that one connectivity column is a cyclic ROLL of a source
+    window — possibly a 2-axis roll of its ``(Q, P)`` view (structured
+    meshes flattened from 2-D grids: a j-neighbor is a minor-axis roll
+    with period P = row length). One roll replaces the class plan's K
+    rolls + masked selects: the HLO is a pure slice/concat chain with no
+    select masks, which XLA fuses end-to-end and (for VMEM-sized
+    working sets) keeps entirely VMEM-resident across chained steps.
+
+    Search: per target tile, the candidate minor periods are the
+    divisors of the window length; for each P the per-row key
+    ``((u_src-u) mod Q)*P + ((v_src-v) mod P)`` is constant exactly on
+    rows served by a 2-axis roll, so the mode of the key gives the roll
+    and the off-mode rows the residual (mesh boundaries, rewires —
+    served by the same sparse fix-up gather as the class plan). The
+    plan with the fewest residual rows wins. Returns None when any tile
+    has no roll serving ``1 - _MAX_RESIDUAL_FRAC`` of its rows (the
+    class plan then handles genuinely multi-class columns).
+    Cached on the connectivity (tables are immutable)."""
+    cache = getattr(conn, "_roll_plans", None)
+    if cache is None:
+        cache = conn._roll_plans = {}
+    key = (column, own_start, n)
+    if key in cache:
+        return cache[key]
+    host = _host_table(conn)
+    if host is None:
+        return None  # traced table: do not cache (see _shift_plan)
+    plan = None
+    if n > 0:
+        t = host[:, column].astype(np.int64) - own_start
+        valid = np.ones(t.shape, dtype=bool)
+        if conn.skip_value is not None:
+            valid = host[:, column] != conn.skip_value
+        in_range = (t >= 0) & (t < n)
+        core_all = valid & in_range
+        n_src = t.shape[0]
+        tiles = []
+        residual = np.zeros(n_src, dtype=bool)
+        ok = True
+        for start in range(0, n_src, n):
+            stop = min(start + n, n_src)
+            tile_len = stop - start
+            tt = t[start:stop]
+            core = core_all[start:stop]
+            if not core.any():
+                tiles.append(_RollTile(tile_len, 0, min(tile_len, n), min(tile_len, n), 0, 0))
+                residual[start:stop] |= valid[start:stop]
+                continue
+            min_t = int(tt[core].min())
+            max_t = int(tt[core].max())
+            if max_t - min_t < tile_len <= n:
+                base = min(min_t, n - tile_len)
+                L = tile_len
+            elif tile_len == n:
+                base = 0
+                L = n
+            else:
+                ok = False
+                break
+            p = np.arange(tile_len, dtype=np.int64)
+            src_rel = np.clip(tt - base, 0, L - 1)
+            core = core & (tt - base >= 0) & (tt - base < L)
+            best = None  # (res_count, P, a, s, served)
+            for P in _divisors_desc(L):
+                Q = L // P
+                u, v = np.divmod(p, P)
+                us, vs = np.divmod(src_rel, P)
+                k = ((us - u) % Q) * P + ((vs - v) % P)
+                counts = np.bincount(k[core], minlength=1)
+                mode = int(counts.argmax())
+                served = core & (k == mode)
+                res = int(valid[start:stop].sum() - served.sum())
+                if best is None or res < best[0]:
+                    best = (res, P, mode // P, mode % P, served)
+                    if res == 0:
+                        break
+            n_valid = int(valid[start:stop].sum())
+            if n_valid and best[0] > _MAX_RESIDUAL_FRAC * n_valid:
+                ok = False
+                break
+            _, P, a, s, served = best
+            tiles.append(_RollTile(tile_len, base, L, P, a, s))
+            residual[start:stop] |= valid[start:stop] & ~served
+        if ok:
+            res_rows = res_idx = None
+            if residual.any():
+                res_rows = np.nonzero(residual)[0].astype(np.int32)
+                res_idx = np.clip(t[residual], 0, n - 1).astype(np.int32)
+            plan = _RollPlan(tuple(tiles), res_rows, res_idx)
+    cache[key] = plan
+    return plan
+
+
+def _roll_gather_1d(x, plan: _RollPlan, apply_fixup: bool = True):
+    """Execute a roll plan: per tile, slice the source window, roll its
+    ``(Q, P)`` view by ``(-a, -s)``, flatten, and truncate to the tile;
+    concatenate tiles; then the sparse residual fix-up (same semantics
+    as the class plan's). Works for trailing data axes (whole-row
+    rolls)."""
+    import jax.numpy as jnp
+
+    outs = []
+    for tile in plan.tiles:
+        w = x[tile.base : tile.base + tile.L]
+        if tile.P == tile.L:
+            r = jnp.roll(w, -(tile.a * tile.P + tile.s) % tile.L, axis=0) if (
+                tile.a or tile.s
+            ) else w
+        else:
+            Q = tile.L // tile.P
+            w2 = w.reshape((Q, tile.P) + w.shape[1:])
+            r = jnp.roll(w2, (-tile.a, -tile.s), axis=(0, 1)).reshape(
+                (tile.L,) + w.shape[1:]
+            )
+        outs.append(r[: tile.tile_len])
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    if plan.res_rows is not None and apply_fixup:
+        if x.ndim == 1:
+            fix = _rowgather_1d(x, jnp.asarray(plan.res_idx))
+        else:
+            fix = jnp.take(x, jnp.asarray(plan.res_idx), axis=0)
+        out = out.at[jnp.asarray(plan.res_rows)].set(
+            fix, unique_indices=True, indices_are_sorted=True
+        )
+    return out
+
+
 def _shift_gather_1d(x, conn, column: int, own_start: int, apply_fixup: bool = True):
     """Gather ``x[table[:, column] - own_start]`` along axis 0 via the
     shift plan: K rolls (tiled to the source length) + masked selects,
@@ -239,6 +400,9 @@ def _shift_gather_1d(x, conn, column: int, own_start: int, apply_fixup: bool = T
     import jax.numpy as jnp
 
     n = x.shape[0]
+    rplan = _roll_plan(conn, column, own_start, n)
+    if rplan is not None:
+        return _roll_gather_1d(x, rplan, apply_fixup=apply_fixup)
     plan = _shift_plan(conn, column, own_start, n)
     if plan is None:
         return None
@@ -299,7 +463,11 @@ def _batched_residual(conn, own_start: int, n: int):
     segments = []
     pos = 0
     for c in range(ncols):
-        plan = _shift_plan(conn, c, own_start, n)
+        # The residuals of whichever plan serves the column (roll plan
+        # takes precedence in _shift_gather_1d).
+        plan = _roll_plan(conn, c, own_start, n) or _shift_plan(
+            conn, c, own_start, n
+        )
         if plan is not None and plan.res_rows is not None:
             m = plan.res_rows.shape[0]
             idx_parts.append(plan.res_idx)
@@ -336,6 +504,66 @@ def _apply_batched_fixup(parts, x, conn, own_start: int):
             fix[start:stop], unique_indices=True, indices_are_sorted=True
         )
     return parts
+
+
+def _propagate_parts(out, lhs, a, rhs, b, dims, dom, op):
+    """Column-wise propagation of lazy neighbor parts through an
+    elementwise Field-Field op (no masks — the caller gates on that).
+
+    A remap result carries its per-column gather parts alongside the
+    stacked array (``_neighbor_parts``). When an operand's full shape
+    survives alignment unchanged (result dims == its dims, result ranges
+    == its ranges), each part pairs with the OTHER operand's aligned
+    array sliced at that neighbor index: op(part_c, b[..., c, ...]).
+    The slice of a broadcast-aligned array fuses away under XLA, so the
+    weighted-neighbor pattern ``remap * weights`` stays unstacked all
+    the way into the reduction."""
+    lp = getattr(lhs, "_neighbor_parts", None)
+    rp = getattr(rhs, "_neighbor_parts", None)
+    if lp is None and rp is None:
+        return
+
+    def intact(f, arr):
+        return (
+            dims == f.dims
+            and dom.ranges == f.domain.ranges
+            and tuple(arr.shape) == tuple(f.ndarray.shape)
+        )
+
+    def take_c(arr, ax, c):
+        return arr[(slice(None),) * ax + (c,)]
+
+    if lp is not None and rp is not None:
+        nd = lp[0]
+        if (
+            rp[0] == nd
+            and len(lp[1]) == len(rp[1])
+            and intact(lhs, a)
+            and intact(rhs, b)
+        ):
+            out._neighbor_parts = (
+                nd,
+                tuple(op(p, q) for p, q in zip(lp[1], rp[1])),
+            )
+        return
+    if lp is not None:
+        nd, parts = lp
+        if nd in dom and intact(lhs, a):
+            ax = dims.index(nd)
+            if len(parts) == out.ndarray.shape[ax]:
+                out._neighbor_parts = (
+                    nd,
+                    tuple(op(p, take_c(b, ax, c)) for c, p in enumerate(parts)),
+                )
+        return
+    nd, parts = rp
+    if nd in dom and intact(rhs, b):
+        ax = dims.index(nd)
+        if len(parts) == out.ndarray.shape[ax]:
+            out._neighbor_parts = (
+                nd,
+                tuple(op(take_c(a, ax, c), p) for c, p in enumerate(parts)),
+            )
 
 
 def _rowgather_1d(x, idx):
@@ -667,6 +895,7 @@ class Field:
         table = conn.table if column is None else conn.table[:, column]
         own_start = self.domain[conn.codomain].unit_range.start
         idx = table - own_start
+        lazy_parts = None
         # int32 indices + pre-clamped 'clip' mode: TPU 1D gathers are far
         # cheaper without x64 index math and out-of-bounds fill selects
         # (FVM-nabla hot path).
@@ -706,6 +935,7 @@ class Field:
                                 parts, self.ndarray, conn, int(own_start)
                             )
                         gathered = xp.stack(parts, axis=1)
+                        lazy_parts = tuple(parts)
             if gathered is None:
                 safe_idx = xp.clip(
                     idx.astype(np.int32), 0, self.ndarray.shape[axis] - 1
@@ -736,7 +966,17 @@ class Field:
             mask = xp.broadcast_to(np.asarray(valid) if xp is np else valid, gathered.shape)
         # Move the (source, neighbor) axes to the front (reference puts the
         # new source dim where the codomain dim was; keep in place).
-        return Field(Domain(new_ranges), gathered, mask)
+        result = Field(Domain(new_ranges), gathered, mask)
+        if lazy_parts is not None and mask is None:
+            # Unstacked per-column gather results, kept alongside the
+            # stacked array: elementwise ops propagate them column-wise and
+            # neighbor reductions consume them, so the canonical
+            # ``neighbor_sum(remap * weights)`` pattern never materializes
+            # the (n_src, ncols) stack (XLA DCEs the unused concatenate).
+            # Cuts the stack write + read + strided reduce from the FVM
+            # nabla hot path. Ephemeral hint — not part of the pytree.
+            result._neighbor_parts = (conn.neighbor_dim, lazy_parts)
+        return result
 
     def _reduce_index(self, dim: Dimension, index: int) -> "Field":
         axis = self.domain.index(dim)
@@ -847,13 +1087,24 @@ class Field:
             _, b = other._aligned(dims, self)
             result = op(a, b)
             mask = _combine_masks(xp, self, other, dims)
-            return Field(dom, result, mask)
+            out = Field(dom, result, mask)
+            if mask is None:
+                _propagate_parts(out, self, a, other, b, dims, dom, op)
+            return out
         result = op(self.ndarray, other)
-        return Field(self.domain, result, self.mask)
+        out = Field(self.domain, result, self.mask)
+        parts = getattr(self, "_neighbor_parts", None)
+        if parts is not None and self.mask is None:
+            out._neighbor_parts = (parts[0], tuple(op(p, other) for p in parts[1]))
+        return out
 
     def _rbinary(self, other, op) -> "Field":
         result = op(other, self.ndarray)
-        return Field(self.domain, result, self.mask)
+        out = Field(self.domain, result, self.mask)
+        parts = getattr(self, "_neighbor_parts", None)
+        if parts is not None and self.mask is None:
+            out._neighbor_parts = (parts[0], tuple(op(other, p) for p in parts[1]))
+        return out
 
     def _aligned(self, dims: tuple[Dimension, ...], other: "Field"):
         """Slice to the intersected domain over ``dims`` and broadcast-insert

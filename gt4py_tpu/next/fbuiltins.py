@@ -28,10 +28,29 @@ def _reduce(field: Field, axis: Dimension, op: str, neutral) -> Field:
     ax = field.domain.index(axis)
     arr = field.ndarray
     xp = _xp(arr)
+    new_domain = Domain(field.domain.ranges[:ax] + field.domain.ranges[ax + 1:])
+    # Lazy neighbor parts (embedded._remap_connectivity): reduce the
+    # unstacked per-column arrays directly — a chain of elementwise ops
+    # XLA fuses end-to-end — instead of reducing over the materialized
+    # (n_src, ncols) stack (which then dead-codes away).
+    parts_info = getattr(field, "_neighbor_parts", None)
+    if (
+        parts_info is not None
+        and field.mask is None
+        and parts_info[0] == axis
+        and len(parts_info[1]) == arr.shape[ax]
+    ):
+        import functools
+
+        combine = {
+            "sum": lambda x, y: x + y,
+            "max": xp.maximum,
+            "min": xp.minimum,
+        }[op]
+        return Field(new_domain, functools.reduce(combine, parts_info[1]))
     if field.mask is not None:
         arr = xp.where(field.mask, arr, np.asarray(neutral, dtype=field.dtype))
     result = getattr(xp, op)(arr, axis=ax)
-    new_domain = Domain(field.domain.ranges[:ax] + field.domain.ranges[ax + 1:])
     return Field(new_domain, result)
 
 
