@@ -48,10 +48,24 @@ def bench_cartesian():
     frozen = st.freeze(origin={"a": (0, 0, 0), "b": (0, 0, 0)}, domain=(16, 16, 4))
     t_frozen = timeit(lambda: frozen(a=a, b=b))
     t_novalidate = timeit(lambda: st(a, b, validate_args=False))
+
+    # Chained per-step overhead: one chain dispatch amortized over its
+    # steps. The whole loop is one on-device executable, so the PER-STEP
+    # dispatch overhead is (t_chain(N) - t_chain(M)) / (N - M) minus the
+    # device work — on this trivial copy stencil the difference IS the
+    # overhead bound.
+    swap = {"a": "b", "b": "a"}
+    st.chain(2, a, b, swap=swap)  # compile
+    n_lo, n_hi = 64, 1088
+    t_lo = timeit(lambda: st.chain(n_lo, a, b, swap=swap), n=20, warmup=3)
+    t_hi = timeit(lambda: st.chain(n_hi, a, b, swap=swap), n=20, warmup=3)
+    t_chain_step = (t_hi - t_lo) / (n_hi - n_lo)
     return {
         "stencil_call_us": round(t_call * 1e6, 1),
         "stencil_call_novalidate_us": round(t_novalidate * 1e6, 1),
         "frozen_call_us": round(t_frozen * 1e6, 1),
+        "chained_per_step_us": round(max(t_chain_step, 0.0) * 1e6, 2),
+        "chain_dispatch_us": round(t_lo / 1 * 1e6, 1),
     }
 
 

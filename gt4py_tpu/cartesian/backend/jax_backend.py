@@ -18,7 +18,12 @@ from typing import Any
 
 import numpy as np
 
-from gt4py_tpu.cartesian.backend.base import Backend, register
+from gt4py_tpu.cartesian.backend.base import (
+    Backend,
+    chain_cycle_len,
+    chain_dirty_roles,
+    register,
+)
 from gt4py_tpu.cartesian.backend.evaluator import Evaluator
 from gt4py_tpu.cartesian.definitions import AccessKind
 
@@ -112,3 +117,81 @@ class JaxBackend(Backend):
                 self._fast_cache.clear()
             self._fast_cache[fast_key] = fn
         return fn(written_arrays, read_arrays, scalars)
+
+    def run_chained_from_infos(
+        self, infos, scalars, domain, origins, n_steps, swap
+    ):
+        """On-device chained execution: the whole time loop runs inside ONE
+        jitted ``fori_loop`` with buffer rotation between steps, so the
+        per-call dispatch/validation overhead (the cost ``freeze()`` only
+        reduces) amortizes to ~0 per step. The body is unrolled by the
+        swap permutation's cycle length so each buffer returns to its own
+        loop-carry slot (XLA keeps them in place instead of copying). The
+        chain length is a traced argument — one executable serves every
+        ``n_steps``."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        arrays = {}
+        for name, info in infos.items():
+            v = info.array
+            arrays[name] = jnp.asarray(v) if isinstance(v, np.ndarray) else v
+        roles = sorted(arrays)
+        dirty = chain_dirty_roles(self.analyzed, infos, swap)
+        consts = [r for r in roles if r not in dirty]
+        cycle = chain_cycle_len(roles, swap)
+        written = [n for n in self.written if n in arrays]
+
+        # Aliased buffers (same array passed for two roles): donation would
+        # invalidate the aliased read — fall back to a non-donating runner.
+        vals = list(arrays.values())
+        aliased = any(
+            vals[i] is vals[j]
+            for i in range(len(vals))
+            for j in range(i + 1, len(vals))
+        )
+        origins_key = tuple(sorted(origins.items()))
+        shapes_key = tuple(
+            (name, tuple(a.shape), np.dtype(a.dtype))
+            for name, a in sorted(arrays.items())
+        )
+        key = (
+            "chain",
+            domain,
+            origins_key,
+            shapes_key,
+            tuple(sorted(swap.items())),
+            aliased,
+        )
+        runner = self._cache.get(key)
+        if runner is None:
+            step = self._build_nodonate(domain, origins_key)
+
+            def one(state, const, sc):
+                full = {**const, **state}
+                w = {n: full[n] for n in written}
+                r = {n: v for n, v in full.items() if n not in w}
+                out = step(w, r, sc)
+                after = {**full, **out}
+                return {rr: after[swap.get(rr, rr)] for rr in state}
+
+            def run(n, state, const, sc):
+                def body_cycle(i, st):
+                    for _ in range(cycle):
+                        st = one(st, const, sc)
+                    return st
+
+                st = lax.fori_loop(0, n // cycle, body_cycle, state)
+                return lax.fori_loop(
+                    0, n % cycle, lambda i, st: one(st, const, sc), st
+                )
+
+            runner = jax.jit(run, donate_argnums=() if aliased else (1,))
+            self._cache[key] = runner
+
+        state = {r: arrays[r] for r in dirty}
+        const = {r: arrays[r] for r in consts}
+        out = runner(np.int32(n_steps), state, const, scalars)
+        self.last_strategy = "xla"
+        return dict(out)

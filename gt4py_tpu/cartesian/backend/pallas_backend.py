@@ -22,7 +22,14 @@ from __future__ import annotations
 import warnings
 from typing import Any
 
-from gt4py_tpu.cartesian.backend.base import NativeResult, register
+import numpy as np
+
+from gt4py_tpu.cartesian.backend.base import (
+    NativeResult,
+    chain_cycle_len,
+    chain_dirty_roles,
+    register,
+)
 from gt4py_tpu.cartesian.backend.jax_backend import JaxBackend
 from gt4py_tpu.cartesian.backend.pallas_codegen import (
     PallasUnsupported,
@@ -159,51 +166,18 @@ class PallasBackend(JaxBackend):
             )
         return result
 
-    def _build_native(self, domain, origins, infos):
+    def _decoder_factory(self, layout, origins, domain):
+        """Per-(name, shape) jitted native->public decoders, shared by the
+        single-step native runner and the native chain. ONE jitted decoder
+        per key: a fresh jax.jit per call would hit the (remote)
+        compile-cache round trip on every lazy decode (~500 ms/call
+        through the axon tunnel)."""
         import jax
-
-        from gt4py_tpu.storage.storage import Storage
-
-        interpret = jax.default_backend() != "tpu"
-        try:
-            pfn = build_pallas_fn(self.analyzed, domain, origins, interpret=interpret)
-        except PallasUnsupported:
-            return _FALLBACK
-        if not hasattr(pfn, "call_padded"):
-            return _FALLBACK  # tiled strategy: no native-layout API
-        nk = domain[2]
-        tables = set(getattr(pfn, "tables", ()))
-        # Native chaining needs the domain to cover each field's K extent
-        # (the padded buffer holds exactly the domain's K rows).
-        for n in pfn.reads:
-            if n in tables:
-                continue  # GlobalTables pass through untouched
-            finfo = self.analyzed.field_infos[n]
-            if finfo.data_dims or finfo.domain_mask != (True, True, True):
-                # Lower-dim / data-dim fields: the plane kernel serves them
-                # through the public-layout path (_build); the cross-call
-                # native cache only models plain (I, J, K) buffers.
-                return _FALLBACK
-            if origins[n][2] != 0 or infos[n].shape[2] != nk:
-                return _FALLBACK
-
-        import functools
-
         import jax.numpy as jnp
-
-        writes = set(pfn.writes)
-        layout = getattr(pfn, "layout", "kij")
-        encoders = {
-            n: jax.jit(functools.partial(lambda _n, a: pfn.encode(_n, a), n))
-            for n in pfn.reads
-        }
 
         _decoders: dict[Any, Any] = {}
 
         def make_decode(name: str, shape):
-            # ONE jitted decoder per (name, shape): a fresh jax.jit per call
-            # would hit the (remote) compile-cache round trip on every lazy
-            # decode (~500 ms/call through the axon tunnel).
             key = (name, tuple(shape))
             dec = _decoders.get(key)
             if dec is None:
@@ -234,6 +208,203 @@ class PallasBackend(JaxBackend):
 
                 dec = _decoders[key] = jax.jit(decode)
             return dec
+
+        return make_decode
+
+    def _native_usable(self, pfn, domain, origins, infos):
+        """Gates shared by the native single-step runner and the native
+        chain: the cross-call native cache models plain full-K (I, J, K)
+        buffers only."""
+        if not hasattr(pfn, "call_padded"):
+            return False
+        nk = domain[2]
+        tables = set(getattr(pfn, "tables", ()))
+        for n in pfn.reads:
+            if n in tables:
+                continue
+            finfo = self.analyzed.field_infos[n]
+            if finfo.data_dims or finfo.domain_mask != (True, True, True):
+                return False
+            if origins[n][2] != 0 or infos[n].shape[2] != nk:
+                return False
+        return True
+
+    def run_chained_from_infos(
+        self, infos, scalars, domain, origins, n_steps, swap
+    ):
+        """Native-layout chained execution: encode once, run the whole
+        time loop as one jitted ``fori_loop`` over padded (K, I, J)
+        buffers with rotation between steps (the hand-rolled bench.py
+        chaining, productized), decode lazily at the end. Falls back to
+        the XLA chained path (JaxBackend) when the kernel generators
+        decline the stencil."""
+        import jax
+
+        key = (
+            "chain",
+            domain,
+            tuple(sorted(origins.items())),
+            tuple(
+                (n, tuple(infos[n].shape), str(infos[n].dtype))
+                for n in sorted(infos)
+            ),
+            tuple(sorted(swap.items())),
+        )
+        entry = self._native_cache.get(key)
+        if entry is None:
+            entry = self._build_native_chain(domain, origins, infos, swap)
+            self._native_cache[key] = entry
+        if entry is _FALLBACK:
+            return super().run_chained_from_infos(
+                infos, scalars, domain, origins, n_steps, swap
+            )
+        result = entry(infos, scalars, n_steps)
+        if result is None:  # call-time PallasUnsupported inside the runner
+            self._native_cache[key] = _FALLBACK
+            return super().run_chained_from_infos(
+                infos, scalars, domain, origins, n_steps, swap
+            )
+        return result
+
+    def _build_native_chain(self, domain, origins, infos, swap):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from gt4py_tpu.storage.storage import Storage
+
+        interpret = jax.default_backend() != "tpu"
+        try:
+            pfn = build_pallas_fn(self.analyzed, domain, origins, interpret=interpret)
+        except PallasUnsupported:
+            return _FALLBACK
+        if not self._native_usable(pfn, domain, origins, infos):
+            return _FALLBACK
+
+        nk = domain[2]
+        layout = getattr(pfn, "layout", "kij")
+        writes = set(pfn.writes)
+        roles = sorted(pfn.reads)
+        dirty = chain_dirty_roles(self.analyzed, infos, swap)
+        dirty = [r for r in dirty if r in roles]
+        consts = [r for r in roles if r not in dirty]
+        cycle = chain_cycle_len(roles, swap)
+        unseeded = getattr(pfn, "unseeded", frozenset())
+        ndom_i, ndom_j, ndom_k = domain
+
+        encoders = {
+            n: jax.jit(functools.partial(lambda _n, a: pfn.encode(_n, a), n))
+            for n in pfn.reads
+        }
+        make_decode = self._decoder_factory(layout, origins, domain)
+
+        needs_paste = {
+            n: any(
+                s > d
+                for s, d in zip(infos[n].shape, (ndom_i, ndom_j, ndom_k))
+            )
+            for n in unseeded
+            if n in infos
+        }
+
+        def one(state, const, sc):
+            full = {**const, **state}
+            out = pfn.call_padded(full, sc)
+            for n in unseeded:
+                if n in full and needs_paste.get(n):
+                    oi, oj, _ = origins.get(n, (0, 0, 0))
+                    sl = (
+                        slice(0, ndom_k),
+                        slice(oi, oi + ndom_i),
+                        slice(oj, oj + ndom_j),
+                    )
+                    out[n] = full[n].at[sl].set(out[n][sl])
+            after = {**full, **out}
+            return {r: after[swap.get(r, r)] for r in state}
+
+        def run(n, state, const, sc):
+            def body_cycle(i, st):
+                for _ in range(cycle):
+                    st = one(st, const, sc)
+                return st
+
+            st = lax.fori_loop(0, n // cycle, body_cycle, state)
+            return lax.fori_loop(0, n % cycle, lambda i, st: one(st, const, sc), st)
+
+        import os as _os
+
+        _donate = _os.environ.get("GT4PY_PALLAS_DONATE", "0") == "1"
+        jit_run = jax.jit(run, donate_argnums=(1,) if _donate else ())
+
+        def runner(infos, scalars, n_steps):
+            natives = {}
+            for n in roles:
+                info = infos[n]
+                orig = info.original
+                nkey = (layout, nk, tuple(info.shape))
+                nat = orig.native_get(nkey) if isinstance(orig, Storage) else None
+                if nat is None:
+                    nat = encoders[n](jnp.asarray(info.array))
+                    if isinstance(orig, Storage) and n not in writes and n not in dirty:
+                        orig.native_set(
+                            nkey, nat, make_decode(n, info.shape), stale_public=False
+                        )
+                natives[n] = nat
+            state = {r: natives[r] for r in dirty}
+            const = {r: natives[r] for r in consts}
+            out = jit_run(np.int32(n_steps), state, const, scalars)
+            self.last_strategy = getattr(pfn, "strategy", "pallas")
+            results = {}
+            for n in dirty:
+                info = infos[n]
+                if isinstance(info.original, Storage):
+                    results[n] = NativeResult(
+                        (layout, nk, tuple(info.shape)),
+                        out[n],
+                        make_decode(n, info.shape),
+                    )
+                else:
+                    results[n] = pfn.decode(n, out[n], jnp.asarray(info.array))
+            return results
+
+        def guarded(infos, scalars, n_steps):
+            try:
+                return runner(infos, scalars, n_steps)
+            except PallasUnsupported:
+                return None
+
+        return guarded
+
+    def _build_native(self, domain, origins, infos):
+        import jax
+
+        from gt4py_tpu.storage.storage import Storage
+
+        interpret = jax.default_backend() != "tpu"
+        try:
+            pfn = build_pallas_fn(self.analyzed, domain, origins, interpret=interpret)
+        except PallasUnsupported:
+            return _FALLBACK
+        # Native chaining needs plain full-K (I, J, K) buffers (tiled
+        # strategy has no native-layout API; GlobalTables pass through).
+        if not self._native_usable(pfn, domain, origins, infos):
+            return _FALLBACK
+        nk = domain[2]
+
+        import functools
+
+        import jax.numpy as jnp
+
+        writes = set(pfn.writes)
+        layout = getattr(pfn, "layout", "kij")
+        encoders = {
+            n: jax.jit(functools.partial(lambda _n, a: pfn.encode(_n, a), n))
+            for n in pfn.reads
+        }
+
+        make_decode = self._decoder_factory(layout, origins, domain)
 
         # Seed-skipped outputs (write-only, full coverage) come back with
         # undefined content OUTSIDE the compute domain. When the public

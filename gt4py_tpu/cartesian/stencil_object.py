@@ -302,6 +302,19 @@ class StencilObject:
     ) -> None:
         if exec_info is not None:
             exec_info["call_start_time"] = time.perf_counter()
+        field_args, param_args = self._bind_arguments(args, kwargs)
+        self._call_run(
+            field_args,
+            param_args,
+            domain,
+            origin,
+            validate_args=validate_args,
+            exec_info=exec_info,
+        )
+
+    def _bind_arguments(self, args, kwargs):
+        """Bind call args to (field_args, param_args) with the fast binder
+        when the signature allows it (Signature.bind costs ~15 us)."""
         arguments = None
         if self._simple_signature and len(args) <= self._max_positional:
             arguments = dict(zip(self._arg_names, args))
@@ -323,14 +336,7 @@ class StencilObject:
         param_args = {
             name: arguments.get(name) for name in self.parameter_info
         }
-        self._call_run(
-            field_args,
-            param_args,
-            domain,
-            origin,
-            validate_args=validate_args,
-            exec_info=exec_info,
-        )
+        return field_args, param_args
 
     def _call_run(
         self,
@@ -498,6 +504,134 @@ class StencilObject:
 
     def freeze(self, *, origin, domain) -> "FrozenStencil":
         return FrozenStencil(self, origin, domain)
+
+    def chain(
+        self,
+        n_steps: int,
+        *args,
+        swap: Optional[dict] = None,
+        domain=None,
+        origin=None,
+        validate_args: bool = True,
+        exec_info: Optional[dict] = None,
+        **kwargs,
+    ) -> None:
+        """Run ``n_steps`` applications as ONE on-device executable with
+        buffer rotation between steps — the time-stepping loop a model
+        driver would otherwise write in Python, without the per-call
+        dispatch overhead (~50 us/call warm; the chained per-step overhead
+        is effectively zero since the loop is a compiled ``fori_loop``).
+
+        ``swap`` maps each field role to the role whose buffer serves it
+        in the NEXT step: ``swap={"in_field": "out_field", "out_field":
+        "in_field"}`` is the classic ping-pong. It must be a permutation
+        (every name appears exactly once as key and once as value);
+        swapped roles must agree in shape, dtype, and origin. Fields
+        outside ``swap`` keep their buffer (read-only coefficients).
+
+        Equivalent semantics (the correctness oracle)::
+
+            fields = {...}
+            for _ in range(n_steps):
+                stencil(**fields, domain=domain, origin=origin)
+                fields = {r: fields[swap.get(r, r)] for r in fields}
+
+        After the chain, every passed storage holds the final content of
+        its role (written back; kernel-native layouts decode lazily).
+        Scalar parameters are fixed across steps. Reference analog:
+        ``FrozenStencil`` (stencil_object.py:95) removes validation from
+        each call; ``chain`` removes the calls themselves."""
+        if exec_info is not None:
+            exec_info["call_start_time"] = time.perf_counter()
+        n_steps = int(n_steps)
+        if n_steps < 0:
+            raise ValueError(f"n_steps must be >= 0, got {n_steps}")
+        swap = dict(swap or {})
+        field_args, param_args = self._bind_arguments(args, kwargs)
+
+        arg_infos = {
+            name: (_arg_info(v) if v is not None else None)
+            for name, v in field_args.items()
+        }
+        used_infos = {
+            n: i
+            for n, i in arg_infos.items()
+            if self.field_info[n].access != AccessKind.NONE and i is not None
+        }
+        origins = self._normalize_origins(used_infos, origin)
+        domain_t = (
+            self._get_max_domain(used_infos, origins)
+            if domain is None
+            else domain
+        )
+        domain_t = tuple(int(d) for d in domain_t)
+        if validate_args:
+            self._validate_args(used_infos, param_args, domain_t, origins)
+
+        # swap must be a permutation over known, compatible roles.
+        names = set(used_infos)
+        unknown = (set(swap) | set(swap.values())) - names
+        if unknown:
+            raise ValueError(
+                f"swap names {sorted(unknown)} are not fields of stencil "
+                f"'{self.name}' (fields: {sorted(names)})"
+            )
+        if set(swap.keys()) != set(swap.values()) or len(
+            set(swap.values())
+        ) != len(swap):
+            raise ValueError(
+                f"swap must be a permutation (each role exactly once as "
+                f"key and as value), got {swap!r}"
+            )
+        for dst, src in swap.items():
+            a, b = used_infos[dst], used_infos[src]
+            fa, fb = self.field_info[dst], self.field_info[src]
+            if (
+                a.shape != b.shape
+                or a.dtype != b.dtype
+                or origins[dst] != origins[src]
+                or fa.axes != fb.axes
+                or fa.data_dims != fb.data_dims
+            ):
+                raise ValueError(
+                    f"swapped roles '{dst}' <- '{src}' must agree in shape/"
+                    f"dtype/origin/axes: {a.shape}/{a.dtype}/{origins[dst]} "
+                    f"vs {b.shape}/{b.dtype}/{origins[src]}"
+                )
+
+        scalars = {}
+        for name, pinfo in self.parameter_info.items():
+            if pinfo.access == AccessKind.NONE:
+                continue
+            scalars[name] = np.asarray(param_args.get(name), dtype=pinfo.dtype)[()]
+        origins3: dict[str, tuple[int, int, int]] = {}
+        for name, info in used_infos.items():
+            finfo = self.field_info[name]
+            mask = finfo.domain_mask
+            o = list(origins[name][: finfo.domain_ndim])
+            full = [0, 0, 0]
+            pos = 0
+            for ax in range(3):
+                if mask[ax]:
+                    full[ax] = o[pos]
+                    pos += 1
+            origins3[name] = tuple(full)
+
+        if n_steps == 0:
+            return
+        if exec_info is not None:
+            exec_info["run_start_time"] = time.perf_counter()
+        results = self._backend.run_chained_from_infos(
+            used_infos, scalars, domain_t, origins3, n_steps, swap
+        )
+        if exec_info is not None:
+            exec_info["run_end_time"] = time.perf_counter()
+            strategy = getattr(self._backend, "last_strategy", None)
+            if strategy is not None:
+                exec_info["pallas_strategy"] = strategy
+        self._write_back(results, used_infos)
+        if exec_info is not None:
+            exec_info["call_run_end_time"] = time.perf_counter()
 
     def precompile(self, *, domain, origin=None, wait: bool = False) -> None:
         """Warm the kernel path for a concrete (domain, origin) in a
