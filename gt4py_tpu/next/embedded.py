@@ -312,6 +312,14 @@ def _roll_plan(conn, column: int, own_start: int, n: int):
             elif tile_len == n:
                 base = 0
                 L = n
+            elif tile_len < n:
+                # Outlier targets (rewired rows) can blow the min/max span
+                # past the window length — center the window on the BULK
+                # (median) instead; rows outside it drop out of `core`
+                # below and are served by the residual fix-up.
+                med = int(np.median(tt[core]))
+                base = int(np.clip(med - tile_len // 2, 0, n - tile_len))
+                L = tile_len
             else:
                 ok = False
                 break
@@ -696,7 +704,9 @@ class Field:
         if isinstance(offset, OffsetIndex):
             provider = _OFFSET_PROVIDER.get()
             mapped = (provider or {}).get(offset.offset.value)
-            if isinstance(mapped, Connectivity):
+            if isinstance(mapped, Connectivity) or hasattr(
+                mapped, "sharded_gather"
+            ):
                 # Partial shift: gather only the index-th neighbor column
                 # (halves the gather volume vs remap-then-select).
                 return self._remap_connectivity(mapped, column=offset.index)
@@ -899,7 +909,16 @@ class Field:
         # int32 indices + pre-clamped 'clip' mode: TPU 1D gathers are far
         # cheaper without x64 index math and out-of-bounds fill selects
         # (FVM-nabla hot path).
-        if xp is np:
+        if hasattr(conn, "sharded_gather"):
+            # Distributed explicit-ghost connectivity (parallel/
+            # unstructured.DistributedUnstructured): the gather runs
+            # inside shard_map as ppermute halo slabs + a local gather.
+            if axis != 0:
+                raise ValueError(
+                    "sharded gathers require the codomain dimension first"
+                )
+            gathered = conn.sharded_gather(self.ndarray, column)
+        elif xp is np:
             safe_idx = np.clip(np.asarray(idx), 0, self.ndarray.shape[axis] - 1)
             gathered = np.take(self.ndarray, safe_idx, axis=axis)
         else:

@@ -279,6 +279,41 @@ class DistributedStencil:
 
         return jax.jit(padded_fn), scalar_names
 
+    def lowered_hlo(self, **kwargs) -> str:
+        """Compiled HLO of the SPMD step for the given fields — lets tests
+        and the multichip dryrun assert the halo exchange lowers to
+        collective-permutes and that no field buffer is all-gathered
+        (a GSPMD regression would silently replicate the domain)."""
+        import jax.numpy as jnp
+
+        field_args = {}
+        for name in self.field_infos:
+            if self.field_infos[name].access == AccessKind.NONE:
+                continue
+            if name not in kwargs:
+                raise ValueError(f"Missing value for '{name}' field.")
+            value = kwargs[name]
+            field_args[name] = (
+                value.array if isinstance(value, Storage) else jnp.asarray(value)
+            )
+        field_names = tuple(field_args)
+        shapes = tuple(tuple(field_args[n].shape) for n in field_names)
+        nk = None
+        for n in field_names:
+            if self.field_infos[n].domain_mask[2]:
+                nk = field_args[n].shape[self.field_infos[n].domain_ndim - 1]
+                break
+        key = (field_names, shapes)
+        if key not in self._cache:
+            self._cache[key] = self._build(field_names, shapes, nk)
+        fn, scalar_names = self._cache[key]
+        scalars = [
+            np.asarray(kwargs[name], dtype=self.parameter_infos[name].dtype)[()]
+            for name in scalar_names
+        ]
+        args = [field_args[n] for n in field_names] + scalars
+        return fn.lower(*args).compile().as_text()
+
     def apply(self, **kwargs) -> dict[str, Any]:
         """Run one distributed stencil step; returns {name: updated array}
         for written fields. Storage inputs are rebound in place as well."""

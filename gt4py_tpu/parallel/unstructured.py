@@ -35,6 +35,7 @@ from typing import Any, Optional
 import numpy as np
 
 __all__ = [
+    "DistributedUnstructured",
     "ring_partition",
     "partition_gather",
     "halo_gather",
@@ -154,7 +155,10 @@ def partition_gather(
         loc = np.where(above, halo_lo + Vw + dist_fwd, loc)
         local[rows] = loc
     if skip_value is not None:
-        local[~valid] = 0  # consumers mask via their own skip handling
+        # Preserve the marker so consumers' mask machinery (which tests
+        # ``table != skip_value``) keeps working on the LOCAL table; the
+        # gather itself clips indices into range (halo_gather).
+        local[~valid] = skip_value
 
     return ShardedGather(
         local.astype(np.int32), halo_lo, halo_hi, Vw, n_parts
@@ -166,6 +170,223 @@ def _in_ring_range(x, lo, hi, n):
     if lo <= hi:
         return (x >= lo) & (x < hi)
     return (x >= lo) | (x < hi)
+
+
+class _ShardedConn:
+    """Per-shard stand-in for a Connectivity inside ``shard_map``: the
+    embedded remap path detects ``sharded_gather`` and routes the gather
+    through the explicit-ghost halo exchange instead of host shift-plan
+    analysis (the table block is a traced array). Mirrors the attribute
+    surface ``Field._remap_connectivity`` consumes."""
+
+    def __init__(self, table_block, plan, axis_name, conn):
+        self.table = table_block  # (local_rows, deg), traced
+        self._plan = plan
+        self._axis_name = axis_name
+        self.codomain = conn.codomain
+        self.source_dim = conn.source_dim
+        self.neighbor_dim = conn.neighbor_dim
+        self.skip_value = conn.skip_value
+
+    def sharded_gather(self, values, column):
+        table = self.table if column is None else self.table[:, column]
+        return halo_gather(values, table, self._plan, self._axis_name)
+
+
+class DistributedUnstructured:
+    """Field-view operators on ring-partitioned unstructured meshes —
+    the distributed counterpart of the embedded execution path
+    (cartesian analog: ``parallel.distributed.DistributedStencil``).
+
+    Takes the plain field-view operator (``remap``/``neighbor_sum`` DSL,
+    reference common.py:991,1150 semantics) plus GLOBAL connectivities,
+    and runs it SPMD over a 1-D device ring with explicit ghost rows:
+
+    - every element kind is ring-partitioned into contiguous blocks
+      (uneven sizes pad to the next multiple and trim on the way out);
+    - each connectivity becomes a per-shard LOCAL table addressing a
+      shard-extended value buffer (:func:`partition_gather`);
+    - remote rows arrive as two fixed-width ``lax.ppermute`` slab
+      exchanges per table (ICI collective-permutes — never an
+      all-gather), validated by tests at the HLO level;
+    - ``skip_value`` masking flows through the embedded mask machinery
+      end-to-end.
+
+    Meshes must be numbered so ghosts are ring-neighbor-local — pass
+    ``renumberings`` (``next.mesh_utils.Renumbering``, e.g. from
+    ``spatial_renumbering``) to apply a numbering first; tables AND the
+    corresponding field data are permuted consistently.
+
+    Usage::
+
+        dist = DistributedUnstructured(
+            nabla, offset_provider={"E2V": e2v, "V2E": v2e},
+            sizes={V: n_vertices, E: n_edges},
+        )
+        out = dist(pp, s_x, sign, vol)   # global Fields in, global Field out
+    """
+
+    def __init__(
+        self,
+        field_op,
+        *,
+        offset_provider: dict,
+        sizes: dict,
+        n_parts: Optional[int] = None,
+        axis_name: str = "ring",
+        mesh=None,
+        renumberings: Optional[list] = None,
+    ):
+        import jax
+
+        self.field_op = field_op
+        self.axis_name = axis_name
+        if mesh is None:
+            from jax.sharding import Mesh
+
+            devices = np.asarray(jax.devices())
+            if n_parts is not None:
+                devices = devices[:n_parts]
+            mesh = Mesh(devices, axis_names=(axis_name,))
+        self.mesh = mesh
+        self.n_parts = int(np.prod(mesh.devices.shape))
+
+        # Consistent renumbering of tables (field data is permuted per
+        # call in __call__).
+        self._renumberings = {r.dim: r for r in (renumberings or [])}
+        self._sizes = dict(sizes)
+        self._pad = {
+            dim: (-(-int(n) // self.n_parts) * self.n_parts) - int(n)
+            for dim, n in self._sizes.items()
+        }
+
+        self._conns = {}
+        self._plans = {}
+        self._tables = {}
+        for name, conn in offset_provider.items():
+            for r in self._renumberings.values():
+                if r.dim in (conn.source_dim, conn.codomain):
+                    conn = r.apply(conn)
+            table = np.asarray(conn.table)
+            n_rows_pad = self._padded(conn.source_dim)
+            n_vals_pad = self._padded(conn.codomain)
+            if table.shape[0] < n_rows_pad:
+                # Padding rows gather value 0 and are trimmed on output.
+                fill = np.zeros(
+                    (n_rows_pad - table.shape[0], table.shape[1]),
+                    dtype=table.dtype,
+                )
+                table = np.concatenate([table, fill], axis=0)
+            plan = partition_gather(
+                table, n_vals_pad, self.n_parts, skip_value=conn.skip_value
+            )
+            self._conns[name] = conn
+            self._plans[name] = plan
+            self._tables[name] = plan.local_tables
+
+    def _padded(self, dim) -> int:
+        return int(self._sizes[dim]) + self._pad[dim]
+
+    def __call__(self, *fields):
+        """Apply to GLOBAL embedded Fields; returns a global Field over
+        the operator's output dimension (padding trimmed)."""
+        import gt4py_tpu.next as gtx
+
+        sharded, tables, blocks, out_dims = self._prepare(fields)
+        out_arr = sharded(tuple(tables), *blocks)
+
+        # Trim padding and un-renumber the output dimension.
+        out_dim = out_dims[0]
+        if out_dim not in self._sizes:
+            raise ValueError(
+                f"operator output dimension {out_dim} is not ring-"
+                f"partitioned (sizes={sorted(d.value for d in self._sizes)})"
+            )
+        n_out = int(self._sizes[out_dim])
+        arr = np.asarray(out_arr)[:n_out]
+        r = self._renumberings.get(out_dim)
+        if r is not None:
+            arr = arr[r.perm]  # back to the user's numbering
+        return gtx.as_field(list(out_dims), arr)
+
+    def compiled_hlo(self, *fields) -> str:
+        """Compiled HLO of the SPMD program for the given fields — used
+        by tests and the multichip dryrun to assert the exchange lowers
+        to collective-permutes and never all-gathers field values."""
+        sharded, tables, blocks, _ = self._prepare(fields)
+        return sharded.lower(tuple(tables), *blocks).compile().as_text()
+
+    def _prepare(self, fields):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        import gt4py_tpu.next as gtx
+        from gt4py_tpu.next.embedded import Field, offset_provider_context
+
+        defn = getattr(self.field_op, "definition", self.field_op)
+
+        blocks = []
+        dims_list = []
+        for f in fields:
+            if not isinstance(f, Field):
+                raise TypeError(
+                    "DistributedUnstructured takes embedded Fields "
+                    f"(got {type(f).__name__}); build them with gtx.as_field"
+                )
+            arr = np.asarray(f.ndarray)
+            dims = f.dims
+            lead = dims[0]
+            if lead not in self._sizes:
+                raise ValueError(
+                    f"leading dimension {lead} of a field is not in sizes="
+                    f"{sorted(d.value for d in self._sizes)}"
+                )
+            r = self._renumberings.get(lead)
+            if r is not None:
+                arr = r.permute_data(arr)
+            pad = self._padded(lead) - arr.shape[0]
+            if pad:
+                arr = np.concatenate(
+                    [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0
+                )
+            blocks.append(jnp.asarray(arr))
+            dims_list.append(dims)
+
+        names = sorted(self._tables)
+        tables = [jnp.asarray(self._tables[n]) for n in names]
+        ax = self.axis_name
+        out_dims_holder: list = []  # captured during tracing (static)
+
+        def spmd(table_blocks, *field_blocks):
+            provider = {
+                n: _ShardedConn(tb, self._plans[n], ax, self._conns[n])
+                for n, tb in zip(names, table_blocks)
+            }
+            local_fields = [
+                gtx.as_field(list(dims), blk)
+                for dims, blk in zip(dims_list, field_blocks)
+            ]
+            with offset_provider_context(provider):
+                res = defn(*local_fields)
+            if not out_dims_holder:
+                out_dims_holder.append(res.dims)
+            return res.ndarray
+
+        table_specs = tuple(P(ax) for _ in names)
+        field_specs = tuple(P(ax) for _ in blocks)
+        sharded = jax.jit(
+            shard_map(
+                spmd,
+                mesh=self.mesh,
+                in_specs=(table_specs, *field_specs),
+                out_specs=P(ax),
+            )
+        )
+        # Resolve the (static) output dims by tracing once.
+        jax.eval_shape(sharded, tuple(tables), *blocks)
+        return sharded, tables, blocks, out_dims_holder[0]
 
 
 def halo_gather(values, local_table, plan: ShardedGather, axis_name: str):
@@ -192,4 +413,5 @@ def halo_gather(values, local_table, plan: ShardedGather, axis_name: str):
         )
         parts.append(recv)
     ext = jnp.concatenate(parts, axis=0) if len(parts) > 1 else values
-    return jnp.take(ext, local_table, axis=0)
+    safe = jnp.clip(local_table, 0, ext.shape[0] - 1)
+    return jnp.take(ext, safe, axis=0)

@@ -292,3 +292,44 @@ def test_halo_exceeds_shard_width_raises():
             coeff=rng.random(bad),
             out_field=np.zeros(bad),
         )
+
+
+def test_hlo_collective_permute_no_allgather():
+    """Round-5 verdict item 7: the lowered sharded hdiff step moves halos
+    by collective-permute and never all-gathers a field buffer (a GSPMD
+    regression would silently replicate the domain)."""
+    mesh = CartesianMesh()
+    st = gtscript.stencil(backend="jax", definition=defs.horizontal_diffusion)
+    dist = DistributedStencil(st, mesh)
+    shape = (8 * mesh.nx, 8 * mesh.ny, 3)
+    rng = np.random.default_rng(0)
+    hlo = dist.lowered_hlo(
+        in_field=rng.random(shape),
+        coeff=rng.random(shape),
+        out_field=np.zeros(shape),
+    )
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
+
+
+def test_multi_step_chain_stays_sharded():
+    """Feeding one step's sharded output into the next keeps every
+    intermediate sharded over the mesh — no per-step host transfer or
+    silent replication (round-5 verdict item 7)."""
+    mesh = CartesianMesh()
+    st = gtscript.stencil(backend="jax", definition=defs.horizontal_diffusion)
+    dist = DistributedStencil(st, mesh)
+    shape = (8 * mesh.nx, 8 * mesh.ny, 3)
+    rng = np.random.default_rng(1)
+    out = dist.apply(
+        in_field=rng.random(shape),
+        coeff=rng.random(shape),
+        out_field=np.zeros(shape),
+    )
+    coeff_d = out["out_field"]
+    cur = out["out_field"]
+    for _ in range(4):
+        step = dist.apply(in_field=cur, coeff=coeff_d, out_field=np.zeros(shape))
+        cur = step["out_field"]
+        assert hasattr(cur, "sharding") and not cur.sharding.is_fully_replicated
+    assert np.isfinite(np.asarray(cur)).all()
