@@ -30,6 +30,14 @@ Python subset — so the canonical text form IS Python source::
 Round-trip contract: ``parse(pretty(ir)) == normalize(ir)`` for every IR
 the frontend or the FOAST passes produce (property-tested over the test
 operator corpus in ``tests/next_tests/test_foast_pretty.py``).
+
+The same contract extends to PAST programs (reference
+pretty_printer.py program/closure forms): :func:`pretty_program` /
+:func:`parse_program` cover ``@program`` definitions — operator-call
+statements, ``out=`` arguments, ``domain={I: (lo, hi)}`` dict literals,
+kw-only scalar parameters — so program-level passes
+(``past.static_scalar_params``, dead-temporary elimination) get
+hand-authored textual tests like the operator-level ones.
 """
 
 from __future__ import annotations
@@ -60,7 +68,14 @@ from gt4py_tpu.next.foast import (
     UnaryOp,
 )
 
-__all__ = ["pretty", "parse", "normalize"]
+__all__ = [
+    "pretty",
+    "parse",
+    "normalize",
+    "pretty_program",
+    "parse_program",
+    "normalize_program",
+]
 
 
 # --- printer -------------------------------------------------------------------
@@ -80,6 +95,11 @@ def _pp(e: Expr) -> str:
         return f"({inner},)" if len(e.elts) == 1 else f"({inner})"
     if isinstance(e, ListExpr):
         return "[" + ", ".join(_pp(x) for x in e.elts) + "]"
+    if isinstance(e, foast.DictExpr):
+        items = ", ".join(
+            f"{_pp(k)}: {_pp(v)}" for k, v in zip(e.keys, e.values)
+        )
+        return "{" + items + "}"
     if isinstance(e, UnaryOp):
         sep = " " if e.op == "not" else ""
         return f"({e.op}{sep}{_pp(e.operand)})"
@@ -194,6 +214,11 @@ def _normalize_expr(e):
         return TupleExpr(elts=[_normalize_expr(x) for x in e.elts])
     if isinstance(e, ListExpr):
         return ListExpr(elts=[_normalize_expr(x) for x in e.elts])
+    if isinstance(e, foast.DictExpr):
+        return foast.DictExpr(
+            keys=[_normalize_expr(k) for k in e.keys],
+            values=[_normalize_expr(v) for v in e.values],
+        )
     if isinstance(e, SliceExpr):
         return SliceExpr(
             lower=_normalize_expr(e.lower) if e.lower is not None else None,
@@ -253,3 +278,108 @@ def parse(text: str) -> FieldOperatorDefinition:
             f"expected exactly one function definition, found {len(fdefs)}"
         )
     return normalize(foast._Lowerer().lower_function(fdefs[0]))
+
+
+# --- PAST programs ---------------------------------------------------------------
+# Reference analog: the ITIR text form covers programs (closures, domains)
+# as well as expressions (pretty_printer.py Program/SetAt visitors); here
+# the program IR is PAST (next/past.py) and its text form is the same
+# strict-Python-subset source, extended with the program-only constructs:
+# bare operator-call statements and dict literals (domain= arguments).
+
+
+def _pp_program_stmt(s, lines: list, indent: int) -> None:
+    from gt4py_tpu.next.past import CallStmt
+
+    pad = "    " * indent
+    if isinstance(s, CallStmt):
+        lines.append(f"{pad}{_pp(s.call)}")
+    elif isinstance(s, IfStmt):
+        lines.append(f"{pad}if {_pp(s.cond)}:")
+        if s.body:
+            for b in s.body:
+                _pp_program_stmt(b, lines, indent + 1)
+        else:
+            lines.append(f"{pad}    pass")
+        if s.orelse:
+            lines.append(f"{pad}else:")
+            for b in s.orelse:
+                _pp_program_stmt(b, lines, indent + 1)
+    else:
+        _pp_stmt(s, lines, indent)
+
+
+def pretty_program(ir) -> str:
+    """Canonical text form of a PAST :class:`ProgramDefinition` (valid
+    Python source; fixpoint of ``pretty_program ∘ parse_program``)."""
+    ir = normalize_program(ir)
+    sig = list(ir.params)
+    if ir.kwonly_params:
+        sig += ["*", *ir.kwonly_params]
+    lines = [f"def {ir.name}({', '.join(sig)}):"]
+    if not ir.body:
+        lines.append("    pass")
+    for s in ir.body:
+        _pp_program_stmt(s, lines, 1)
+    return "\n".join(lines) + "\n"
+
+
+def _normalize_program_stmt(s):
+    from gt4py_tpu.next.past import CallStmt
+
+    if isinstance(s, CallStmt):
+        return CallStmt(call=_normalize_expr(s.call))
+    if isinstance(s, IfStmt):
+        return IfStmt(
+            cond=_normalize_expr(s.cond),
+            body=[_normalize_program_stmt(b) for b in s.body],
+            orelse=[_normalize_program_stmt(b) for b in s.orelse],
+        )
+    return _normalize_stmt(s)
+
+
+def normalize_program(ir):
+    """Program-level :func:`normalize` (signed-literal folding through
+    call statements and domain dicts). Idempotent."""
+    from gt4py_tpu.next.past import ProgramDefinition
+
+    return ProgramDefinition(
+        name=ir.name,
+        params=list(ir.params),
+        body=[_normalize_program_stmt(s) for s in ir.body],
+        kwonly_params=list(ir.kwonly_params),
+    )
+
+
+def parse_program(text: str):
+    """Parse canonical (or any in-subset Python) source back to PAST.
+
+    Exactly one top-level function definition; lowered through the
+    frontend's ``_ProgramLowerer`` (identical subset rules: bare
+    operator-call statements become :class:`~gt4py_tpu.next.past.CallStmt`,
+    dict literals are accepted for ``domain=``, value returns rejected)
+    and then :func:`normalize_program`\\ d.
+    """
+    from gt4py_tpu.next.past import ProgramDefinition, _ProgramLowerer
+
+    try:
+        mod = ast.parse(text)
+    except SyntaxError as err:
+        raise FoastUnsupported(f"not valid Python source: {err}") from err
+    fdefs = [n for n in mod.body if isinstance(n, ast.FunctionDef)]
+    if len(fdefs) != 1:
+        raise FoastUnsupported(
+            f"expected exactly one function definition, found {len(fdefs)}"
+        )
+    fdef = fdefs[0]
+    a = fdef.args
+    if a.vararg or a.kwarg:
+        raise FoastUnsupported("*args/**kwargs parameters")
+    lowerer = _ProgramLowerer()
+    ir = ProgramDefinition(
+        name=fdef.name,
+        params=[p.arg for p in (*a.posonlyargs, *a.args)],
+        body=lowerer.lower_body(fdef.body),
+        kwonly_params=[p.arg for p in a.kwonlyargs],
+    )
+    return normalize_program(ir)
