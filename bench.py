@@ -1293,6 +1293,113 @@ def main() -> None:
     except Exception as e:
         results["planewalk_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # --- chain-major compute ceiling (round-5 verdict item 4) -------------
+    # Chain-major stepping amortizes HBM over the whole chain (one load +
+    # one store per field per CHAIN), so the plane-walk HBM model no
+    # longer bounds tridiag/vadv (tridiag beat it 1.45x in r04). The
+    # binding resource is the VPU walking K planes. Calibrate it with
+    # VMEM-resident staged probes at the real kernels' part shape
+    # (ni x nj/2, the vadv j_split), fitted exactly like the workloads
+    # (two-point chain fit, so the one-time HBM in/out cancels):
+    #   t_plane : one K-plane step reading 4 VMEM planes + 1 carry fma
+    #   t_fma   : one extra fused multiply-add per point
+    #   t_div   : one extra divide per point
+    # Ceiling(workload) = walks*t_plane*nk + extra_fmas*t_fma*points
+    #                     + divs*t_div*points. Op counts are hand-derived
+    # from the stencil bodies (documented per workload below).
+    try:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def _mk_probe(width: int, m_fma: int, n_div: int):
+            def kern(a, b, c, d, o, carry):
+                x = a[...] + b[...] * c[...] - d[...] + carry[...]
+                for _ in range(m_fma):
+                    x = x * np.float32(1.0000001) + c[...]
+                for _ in range(n_div):
+                    x = x / (c[...] + np.float32(2.0))
+                carry[...] = x
+                o[...] = x
+
+            spec = pl.BlockSpec((1, ni, width), lambda s: (s, 0, 0))
+            call = pl.pallas_call(
+                kern,
+                grid=(nk,),
+                in_specs=[spec] * 4,
+                out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct((nk, ni, width), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((1, ni, width), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)
+                ),
+            )
+            jitted: list = []
+
+            def make(n):
+                if not jitted:
+                    @jax.jit
+                    def f(n, a, b, c, d):
+                        def body(i, dd):
+                            with jax.enable_x64(False):
+                                return call(a, b, c, dd)
+                        return lax.fori_loop(0, n, body, d)
+                    jitted.append(f)
+                f = jitted[0]
+                return lambda *args: f(n, *args)
+
+            return make
+
+        njp = nj // 2  # the vadv chain runs at j_split=2 -> 128-lane parts
+
+        def _inputs(width):
+            return lambda: tuple(
+                device_random((nk, ni, width)) for _ in range(4)
+            )
+
+        t_b128 = timer.measure(_mk_probe(njp, 0, 0), _inputs(njp), label="chainprobe128")
+        t_b256 = timer.measure(_mk_probe(nj, 0, 0), _inputs(nj), label="chainprobe256")
+        t_fma16 = timer.measure(
+            _mk_probe(njp, 16, 0), _inputs(njp), label="chainprobe_fma"
+        )
+        t_div4 = timer.measure(
+            _mk_probe(njp, 0, 4), _inputs(njp), label="chainprobe_div"
+        )
+        pts_part = ni * njp * nk
+        t_fma = max((t_fma16 - t_b128) / 16 / pts_part, 0.0)  # per point
+        t_div = max((t_div4 - t_b128) / 4 / pts_part, 0.0)  # per point
+        results["chainprobe_walk128_us"] = round(t_b128 * 1e6, 2)
+        results["chainprobe_walk256_us"] = round(t_b256 * 1e6, 2)
+        results["chainprobe_fma_ps_per_point"] = round(t_fma * 1e12, 2)
+        results["chainprobe_div_ps_per_point"] = round(t_div * 1e12, 2)
+
+        # Op counts per point (from tests/cartesian_tests/stencil_defs.py):
+        # tridiag (j_split=1, full 256 width): fwd denom 2 fma + c'/m,
+        #   d'-numerator 2 fma + /m -> ~4 fma + 2 div; bwd x=d'-c'*x[+1]
+        #   ~2 fma. walks=2 at width 256; probe base = 3 fma + 4 reads.
+        # vadv (j_split=2): fwd gav/gcv 4, as_/cs/acol/ccol 4, bcol 2,
+        #   correction 6, dcol 4, denom 2 + 1 div, c/d update 4 -> ~26
+        #   fma + 1 div; bwd datacol/utens ~4 fma. walks=2 per part,
+        #   2 parts sequential at width 128.
+        points_full = ni * nj * nk
+        for wname, walk_s, fmas, divs in (
+            ("tridiag", 2 * t_b256, 6, 2),
+            ("vadv", 4 * t_b128, 30, 1),
+        ):
+            extra = max(fmas - 3 * 2, 0)  # probe base: 3 fma per walk x2
+            ceiling_s = (
+                walk_s
+                + extra * t_fma * points_full
+                + divs * t_div * points_full
+            )
+            results[f"{wname}_chain_ceiling_us"] = round(ceiling_s * 1e6, 1)
+            t_w = results.get(f"{wname}_us_per_step")
+            if t_w:
+                results[f"{wname}_vs_chain_ceiling"] = round(
+                    ceiling_s * 1e6 / t_w, 3
+                )
+    except Exception as e:
+        results["chain_ceiling_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # --- copy + Laplacian at 48^3 (reference lap_cartesian_vs_next example
     # config, BASELINE.md configs row). Tiny workload: tracks dispatch +
     # small-domain kernel efficiency rather than HBM bandwidth. -----------

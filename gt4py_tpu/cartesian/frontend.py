@@ -532,6 +532,18 @@ class IRMaker(ast.NodeVisitor):
             for sub in chosen:
                 stmts.extend(self.visit_stmt(sub))
             return stmts
+        # Function calls in if conditions are rejected (reference
+        # gtscript_frontend.py TestFunctionIfError: inlining a subroutine
+        # inside a condition context is unsound).
+        for sub in ast.walk(node.test):
+            if isinstance(sub, ast.Call):
+                ok_f, fval = self._try_eval(sub.func)
+                if ok_f and gtscript.is_gtscript_function(fval):
+                    raise self._error(
+                        "Using function calls in the condition of an if is "
+                        "not allowed",
+                        node,
+                    )
         cond = self.visit_expr(node.test)
         body: list[gtir.Stmt] = []
         for sub in node.body:
@@ -566,9 +578,18 @@ class IRMaker(ast.NodeVisitor):
                 + ("" if ok else self._eval_cause()),
                 node,
             )
-        body: list[gtir.Stmt] = []
-        for sub in node.body:
-            body.extend(self.visit_stmt(sub))
+        if getattr(self, "_in_horizontal", False):
+            raise self._error(
+                "Nested 'with horizontal(...)' regions are not allowed",
+                node,
+            )
+        self._in_horizontal = True
+        try:
+            body: list[gtir.Stmt] = []
+            for sub in node.body:
+                body.extend(self.visit_stmt(sub))
+        finally:
+            self._in_horizontal = False
         return [
             gtir.HorizontalRestriction(
                 mask=_region_mask_to_ir(mask), body=list(body), loc=self._loc(node)
@@ -679,6 +700,27 @@ class IRMaker(ast.NodeVisitor):
             if not isinstance(access, gtir.FieldAccess):
                 raise self._error("Invalid data-dimension subscript", node)
             index = self._parse_index_elements(node.slice)
+            decl = self.fields.get(access.name) or self.temps.get(access.name)
+            ddims = tuple(getattr(decl, "data_dims", ()) or ())
+            if ddims:
+                prior = len(access.data_index)
+                if prior + len(index) > len(ddims):
+                    raise self._error(
+                        f"Field '{access.name}' has {len(ddims)} data "
+                        f"dimensions, got {prior + len(index)} data indices",
+                        node,
+                    )
+                for pos, e in enumerate(index):
+                    if isinstance(e, gtir.Literal):
+                        v = int(e.value)
+                        bound = ddims[prior + pos]
+                        if not (0 <= v < bound):
+                            raise self._error(
+                                f"Data index {v} out of bounds for data "
+                                f"dimension of size {bound} of field "
+                                f"'{access.name}'",
+                                node,
+                            )
             return access.copy(data_index=tuple(index))
         if isinstance(base, ast.Name):
             resolved = None
@@ -846,6 +888,15 @@ class IRMaker(ast.NodeVisitor):
                         f"Missing argument '{pname}' for '{func_obj.__name__}'", node
                     )
 
+        n_returns = sum(
+            isinstance(s, ast.Return) for s in ast.walk(fn_ast)
+        )
+        if n_returns > 1:
+            raise self._error(
+                f"Function '{func_obj.__name__}' should have a single "
+                "return statement",
+                node,
+            )
         self._inline_counter += 1
         prefix = f"_{func_obj.__name__}_{self._inline_counter}_"
         scope = _FunctionScope(subs=subs, prefix=prefix, env=fn_env)
@@ -985,6 +1036,14 @@ def _validate_sections(
                             "BACKWARD.",
                             node,
                         )
+    # Empty / reversed intervals (same-level bounds are statically
+    # comparable; reference TestIntervalSyntax test_reversed_interval):
+    for s in sections:
+        st, en = s.interval.start, s.interval.end
+        if st.level == en.level and en.offset <= st.offset:
+            raise maker._error(
+                "Empty or reversed interval in computation", node
+            )
     # Statically detectable overlaps (same-level bounds):
     ordered = sorted(sections, key=sort_key)
     for a, b in zip(ordered[:-1], ordered[1:]):

@@ -142,6 +142,17 @@ class _FieldDescriptorMaker:
         if isinstance(key, tuple) and len(key) == 2 and self._is_axes_spec(key[0]):
             axes = key[0] if isinstance(key[0], tuple) else (key[0],)
             dtype_spec = key[1]
+            names = [a.name for a in axes]
+            if len(set(names)) != len(names):
+                raise ValueError(
+                    f"Field axes must not repeat (got {''.join(names)}); "
+                    "reference gtscript.py rejects duplicated axes"
+                )
+            order = [n for n in "IJK" if n in names]
+            if names != order:
+                raise ValueError(
+                    f"Field axes must be in I, J, K order (got {''.join(names)})"
+                )
         data_dims: tuple[int, ...] = ()
         if isinstance(dtype_spec, tuple):
             if len(dtype_spec) != 2:

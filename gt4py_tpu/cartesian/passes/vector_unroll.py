@@ -164,7 +164,20 @@ def _unroll_body(body: list[gtir.Stmt], shapes: _DataShapes) -> list[gtir.Stmt]:
             out.append(stmt)
             continue
         target_shape = shapes.of(stmt.target)
-        if not target_shape or int(np.prod(target_shape)) > _MAX_COMPONENTS:
+        if not target_shape:
+            if shapes.of(stmt.value):
+                # scalar target fed a whole-vector value: the data
+                # dimensions were never indexed (reference
+                # TestDataDimensions "forgot to index ddims" rejection)
+                raise GTScriptSyntaxError(
+                    f"Value assigned to '{stmt.target.name}' still has "
+                    f"data dimensions {shapes.of(stmt.value)} — index "
+                    "them (field[0,0,0][c]) or assign to a field with "
+                    "matching data dimensions"
+                )
+            out.append(stmt)
+            continue
+        if int(np.prod(target_shape)) > _MAX_COMPONENTS:
             out.append(stmt)
             continue
         if any(

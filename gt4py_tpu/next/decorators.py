@@ -902,7 +902,15 @@ class Program:
 
     def with_bound_args(self, **bound: Any) -> "Program":
         """Bind keyword arguments ahead of time (reference
-        ProgramWithBoundArgs, decorator.py:431)."""
+        ProgramWithBoundArgs, decorator.py:431). Unknown names are
+        rejected at bind time (reference decorator.py raises for
+        parameters not in the program signature)."""
+        params = set(self._param_order())
+        for name in bound:
+            if name not in params:
+                raise TypeError(
+                    f"Keyword argument {name!r} is not a valid program parameter"
+                )
         merged = {**(self.bound_args or {}), **bound}
         return Program(self.definition, self.backend, merged)
 

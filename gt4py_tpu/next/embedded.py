@@ -871,20 +871,43 @@ class Field:
     def _shift_dynamic(self, dim: Dimension, idx: "Field") -> "Field":
         """Per-point variable shift along ``dim`` (reference experimental
         ``as_offset``, ffront/experimental.py:17): out(p) = self(p + idx(p)
-        along dim). Out-of-range positions clamp to the field boundary."""
+        along dim). The gather reads self's FULL extent along ``dim`` —
+        offsets may reach halo points beyond the output domain (reference
+        test_cartesian_shifts.py test_offset_field reads a at I+1 on the
+        last output row). Out-of-range positions clamp to the field
+        boundary."""
         xp = _xp(self.ndarray)
 
         dims = _promote_dims(self.dims, idx.dims)
-        if dim not in dims:
+        if dim not in dims or dim not in self.domain:
             raise ValueError(f"as_offset dimension {dim} not present")
-        dom, a = self._aligned(dims, idx)
+        dom, _ = self._aligned(dims, idx)
         _, b = idx._aligned(dims, self)
+        # source array: cropped to the output domain on every dim EXCEPT
+        # the shifted one, kept full along it
+        wide_probe = object.__new__(Field)
+        wide_probe.domain = dom.replace(
+            dim, NamedRange(dim, self.domain[dim].unit_range)
+        )
+        wide_probe.ndarray = self.ndarray
+        wide_probe.mask = None
+        _, a_wide = self._aligned(dims, wide_probe)
         axis = dom.dims.index(dim)
-        n = a.shape[axis]
-        base = _iota(xp, a.shape, axis)
+        n = a_wide.shape[axis]
+        # output position i sits at (dom_start - self_start) + i in the
+        # wide source array
+        off0 = (
+            dom[dim].unit_range.start - self.domain[dim].unit_range.start
+        )
+        shape = tuple(
+            1 if not r.unit_range.is_finite else len(r.unit_range)
+            for r in dom.ranges
+        )
+        base = _iota(xp, shape, axis) + off0
         pos = xp.clip(base + b.astype(np.int32), 0, n - 1)
-        pos = xp.broadcast_to(pos, a.shape)
-        return Field(dom, xp.take_along_axis(a, pos, axis=axis))
+        # take_along_axis broadcasts index vs array on non-axis dims
+        out = xp.take_along_axis(a_wide, pos, axis=axis)
+        return Field(dom, out)
 
     def _shift_cartesian(self, dim: Dimension, index: int) -> "Field":
         """out(i) = self(i + index)  ⇔ domain range shifted by -index."""

@@ -200,6 +200,12 @@ def _field_binary(jnp_name: str):
             return x._binary(y, getattr(_xp(x.ndarray), jnp_name))
         if isinstance(y, Field):
             return y._rbinary(x, getattr(_xp(y.ndarray), jnp_name))
+        if isinstance(x, (int, float, np.generic)) and isinstance(
+            y, (int, float, np.generic)
+        ):
+            # plain scalars stay concrete (e.g. ``minimum(1, 2)`` feeding
+            # a program ``domain=`` bound must not become a tracer)
+            return getattr(np, jnp_name)(x, y)
         import jax.numpy as jnp
 
         return getattr(jnp, jnp_name)(x, y)
@@ -299,7 +305,7 @@ class _TypeConstructor:
         self.dtype = _np.dtype(np_type)
 
     def __call__(self, x: Any) -> Any:
-        if isinstance(x, (bool, int, float, str, _np.generic)):
+        if isinstance(x, (bool, int, float, str, np.generic)):
             return self.np_type(x)
         return astype(x, self.np_type)
 

@@ -76,6 +76,14 @@ class TupleExpr(Expr):
 
 
 @datamodel
+class Starred(Expr):
+    """``*name`` inside a tuple assignment target (reference func_to_foast
+    star-unpacking support, tests .../test_tuples.py star-multi cases)."""
+
+    value: Expr  # always a Name
+
+
+@datamodel
 class ListExpr(Expr):
     elts: list
 
@@ -288,10 +296,22 @@ class _Lowerer:
     def _lower_target(self, node: ast.expr) -> Expr:
         if isinstance(node, ast.Name):
             return Name(id=node.id)
-        if isinstance(node, ast.Tuple) and all(
-            isinstance(e, ast.Name) for e in node.elts
-        ):
-            return TupleExpr(elts=[Name(id=e.id) for e in node.elts])
+        if isinstance(node, ast.Tuple):
+            elts = []
+            n_star = 0
+            for e in node.elts:
+                if isinstance(e, ast.Name):
+                    elts.append(Name(id=e.id))
+                elif isinstance(e, ast.Starred) and isinstance(e.value, ast.Name):
+                    n_star += 1
+                    elts.append(Starred(value=Name(id=e.value.id)))
+                else:
+                    raise _unsupported(
+                        node, "assignment target must be a name or name-tuple"
+                    )
+            if n_star > 1:
+                raise _unsupported(node, "multiple starred assignment targets")
+            return TupleExpr(elts=elts)
         raise _unsupported(node, "assignment target must be a name or name-tuple")
 
     def lower_expr(self, node: ast.expr) -> Expr:
@@ -403,6 +423,8 @@ def _emit(e: Expr) -> str:
     if isinstance(e, TupleExpr):
         inner = ", ".join(_emit(x) for x in e.elts)
         return f"({inner},)" if len(e.elts) == 1 else f"({inner})"
+    if isinstance(e, Starred):
+        return f"*{_emit(e.value)}"
     if isinstance(e, ListExpr):
         return "[" + ", ".join(_emit(x) for x in e.elts) + "]"
     if isinstance(e, DictExpr):
@@ -411,8 +433,12 @@ def _emit(e: Expr) -> str:
         )
         return "{" + items + "}"
     if isinstance(e, UnaryOp):
-        sep = " " if e.op == "not" else ""
-        return f"({e.op}{sep}{_emit(e.operand)})"
+        if e.op == "not":
+            # runtime dispatch: plain bools keep Python `not`, traced
+            # scalar bools use logical_not (Python `not` raises on
+            # tracers), Fields are rejected (use ~ / where)
+            return f"__gtx_not__({_emit(e.operand)})"
+        return f"({e.op}{_emit(e.operand)})"
     if isinstance(e, BinOp):
         return f"({_emit(e.left)} {e.op} {_emit(e.right)})"
     if isinstance(e, BoolOp):
@@ -568,6 +594,54 @@ def _gtx_ternary(cond: Any, true_thunk: Callable, false_thunk: Callable) -> Any:
     return where(cond, a, b)
 
 
+def _gtx_not(x: Any) -> Any:
+    """Runtime form of ``not x``: plain bools keep Python semantics,
+    traced scalar bools go through logical_not (Python ``not`` raises
+    TracerBoolConversionError), Fields are rejected (the reference
+    wants ``~``/``where`` for elementwise negation)."""
+    if isinstance(x, (bool, np.bool_)):
+        return not x
+    from gt4py_tpu.next.embedded import Field
+
+    if isinstance(x, Field):
+        raise TypeError(
+            "'not' is not defined on Fields — use '~field' or 'where'"
+        )
+    import jax.numpy as jnp
+
+    return jnp.logical_not(x)
+
+
+def _gtx_scalar_cond(cond: Any) -> Any:
+    """Validate an if-statement condition: must be scalar and boolean
+    (reference type_deduction: "Condition for 'if' must be scalar" /
+    "must be of boolean type"; elementwise selection is spelled
+    ``where``). Returns the condition unchanged when valid."""
+    from gt4py_tpu.next.embedded import Field
+
+    if isinstance(cond, Field):
+        raise TypeError(
+            "Condition for 'if' must be scalar, got a Field — use "
+            "'where(cond, a, b)' for elementwise selection"
+        )
+    if getattr(cond, "ndim", 0) > 0:
+        raise TypeError(
+            "Condition for 'if' must be scalar, got an array of rank "
+            f"{cond.ndim} — use 'where' for elementwise selection"
+        )
+    dt = getattr(cond, "dtype", None)
+    if dt is not None and np.dtype(dt) != np.dtype(bool):
+        raise TypeError(
+            f"Condition for 'if' must be of boolean type, got {dt}"
+        )
+    if isinstance(cond, (int, float)) and not isinstance(cond, bool):
+        raise TypeError(
+            f"Condition for 'if' must be of boolean type, got "
+            f"{type(cond).__name__}"
+        )
+    return cond
+
+
 def _function_from_source(
     src: str, name: str, definition: Callable, inject: Optional[dict]
 ) -> Callable:
@@ -581,6 +655,13 @@ def _function_from_source(
             **(inject or {}),
             "__gtx_is_plain_bool__": _gtx_is_plain_bool,
         }
+    if "__gtx_scalar_cond__(" in src:
+        inject = {
+            **(inject or {}),
+            "__gtx_scalar_cond__": _gtx_scalar_cond,
+        }
+    if "__gtx_not__(" in src:
+        inject = {**(inject or {}), "__gtx_not__": _gtx_not}
     module = compile(src, f"<foast:{name}>", "exec")
     code = next(
         c

@@ -42,6 +42,7 @@ from gt4py_tpu.next.foast import (
     Name,
     Return,
     SliceExpr,
+    Starred,
     Stmt,
     Subscript,
     TransformOptions,
@@ -198,8 +199,13 @@ def _reads_outside(expr: Expr, skip_ids: set) -> set[str]:
 def _target_names(target: Expr) -> list[str]:
     if isinstance(target, Name):
         return [target.id]
+    if isinstance(target, Starred):
+        return _target_names(target.value)
     if isinstance(target, TupleExpr):
-        return [e.id for e in target.elts if isinstance(e, Name)]
+        out: list[str] = []
+        for e in target.elts:
+            out.extend(_target_names(e))
+        return out
     return []
 
 
@@ -725,11 +731,21 @@ def _lower_if_block(body: list, counter: list) -> list:
         h.visit(inner_body)
         h.visit(inner_orelse)
         if h.found:
+            # eliminate_early_returns runs first; a survivor is a bug
             raise FoastUnsupported("return inside a conditional")
         n = counter[0]
         counter[0] += 1
         cvar = f"__if{n}_c"
-        out.append(Assign(targets=[Name(id=cvar)], value=st.cond))
+        # validated at runtime: if-statement conditions must be scalar
+        # booleans (reference "Condition for 'if' must be scalar")
+        out.append(
+            Assign(
+                targets=[Name(id=cvar)],
+                value=Call(
+                    func=Name(id="__gtx_scalar_cond__"), args=[st.cond], kwargs={}
+                ),
+            )
+        )
 
         functional: list = []
         finals: dict[str, list] = {}
@@ -772,7 +788,69 @@ def _lower_if_block(body: list, counter: list) -> list:
     return out
 
 
+_RET_NAME = "__gtx_ret"
+
+
+def _contains_return(stmts: list) -> bool:
+    for st in stmts:
+        if isinstance(st, Return):
+            return True
+        if isinstance(st, IfStmt) and (
+            _contains_return(st.body) or _contains_return(st.orelse)
+        ):
+            return True
+    return False
+
+
+def _elim_block(stmts: list, cont: list) -> list:
+    """Continuation-passing rewrite: every ``return x`` becomes
+    ``__gtx_ret = x`` (dropping unreachable code after it), and
+    statements following a conditional that may return are
+    tail-duplicated into both branches so each path ends by assigning
+    ``__gtx_ret``."""
+    if not stmts:
+        return _elim_block(cont, []) if cont else []
+    st, rest = stmts[0], list(stmts[1:])
+    if isinstance(st, Return):
+        return [Assign(targets=[Name(id=_RET_NAME)], value=st.value)]
+    if isinstance(st, IfStmt) and (
+        _contains_return(st.body) or _contains_return(st.orelse)
+    ):
+        cont2 = rest + cont
+        return [
+            IfStmt(
+                cond=st.cond,
+                body=_elim_block(list(st.body), cont2),
+                orelse=_elim_block(list(st.orelse), cont2),
+            )
+        ]
+    return [st] + _elim_block(rest, cont)
+
+
+def eliminate_early_returns(ir: FieldOperatorDefinition) -> FieldOperatorDefinition:
+    """Rewrite conditional returns into single-exit form (reference
+    func_to_foast ast_passes handle early returns before lowering;
+    here: ``return`` inside an ``if`` becomes a ``__gtx_ret``
+    assignment with the continuation tail-duplicated into both
+    branches, then one trailing ``return __gtx_ret``)."""
+    if not any(
+        isinstance(s, IfStmt)
+        and (_contains_return(s.body) or _contains_return(s.orelse))
+        for s in ir.body
+    ):
+        return ir
+    body = _elim_block(list(ir.body), [])
+    body.append(Return(value=Name(id=_RET_NAME)))
+    return FieldOperatorDefinition(
+        name=ir.name,
+        params=ir.params,
+        body=body,
+        kwonly_params=ir.kwonly_params,
+    )
+
+
 def lower_if_statements(ir: FieldOperatorDefinition) -> FieldOperatorDefinition:
+    ir = eliminate_early_returns(ir)
     counter = [0]
     return FieldOperatorDefinition(
         name=ir.name,

@@ -152,12 +152,13 @@ def _promote_dtype(a: Any, b: Any) -> np.dtype:
     wa, wb = isinstance(a, _WeakScalar), isinstance(b, _WeakScalar)
     if wa and wb:
         return np.result_type(da, db)
+    weak = a if wa else b
     if wa:
-        da, db, wa, wb = db, da, wb, wa  # strong first
+        da, db, wa, wb = db, da, wb, wa  # strong dtype first
     if wb:
         # Weak literal: keep the strong dtype unless the literal's kind is
         # wider (int field * 2.5 -> float).
-        if np.dtype(da).kind in "fc" or b.kind in ("bool", "int"):
+        if np.dtype(da).kind in "fc" or weak.kind in ("bool", "int"):
             return np.dtype(da)
         return np.result_type(da, np.float32 if np.dtype(da).itemsize <= 4 else np.float64)
     return np.result_type(da, db)
@@ -300,18 +301,47 @@ class _Typer(ast.NodeVisitor):
             self.env[target.id] = value
         elif isinstance(target, (ast.Tuple, ast.List)):
             elts = target.elts
+            star_idx = next(
+                (i for i, e in enumerate(elts) if isinstance(e, ast.Starred)),
+                None,
+            )
             if isinstance(value, ts.TupleType):
-                if len(value.types) != len(elts):
-                    self._fail(
-                        target,
-                        f"Cannot unpack a {len(value.types)}-tuple into "
-                        f"{len(elts)} names.",
+                if star_idx is None:
+                    if len(value.types) != len(elts):
+                        self._fail(
+                            target,
+                            f"Cannot unpack a {len(value.types)}-tuple into "
+                            f"{len(elts)} names.",
+                        )
+                    for e, v in zip(elts, value.types):
+                        self._bind(e, v)
+                else:
+                    n_fixed = len(elts) - 1
+                    if len(value.types) < n_fixed:
+                        self._fail(
+                            target,
+                            f"Cannot unpack a {len(value.types)}-tuple into "
+                            f"{n_fixed}+ names (starred target).",
+                        )
+                    n_star = len(value.types) - n_fixed
+                    head, tail = elts[:star_idx], elts[star_idx + 1 :]
+                    for e, v in zip(head, value.types[: len(head)]):
+                        self._bind(e, v)
+                    self._bind(
+                        elts[star_idx].value,
+                        ts.TupleType(
+                            types=tuple(
+                                value.types[star_idx : star_idx + n_star]
+                            )
+                        ),
                     )
-                for e, v in zip(elts, value.types):
-                    self._bind(e, v)
+                    for e, v in zip(tail, value.types[star_idx + n_star :]):
+                        self._bind(e, v)
             else:
                 for e in elts:
-                    self._bind(e, UNKNOWN)
+                    self._bind(
+                        e.value if isinstance(e, ast.Starred) else e, UNKNOWN
+                    )
 
     def _eval_annotation(self, node: ast.expr) -> Any:
         try:
