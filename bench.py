@@ -867,6 +867,59 @@ def main() -> None:
             round(t_nbp / t_nbi, 2) if t_nbi > 0 else None
         )
 
+        # Measured-floor decomposition (round-5 verdict item 3): the
+        # hybrid path pays, per step, a FIXED set of sparse fix-up ops —
+        # e2v: 2 single-column remaps = 2 (gather + scatter); v2e: one
+        # batched gather + 4 per-column scatters. Each op costs ~7 ns/row
+        # + fixed dispatch (XLA TPU scatter/gather small-op floor, far
+        # above the fused-roll rate). Probe one scatter and one gather at
+        # the mesh's actual residual sizes; the model is
+        #   structured + 6 * t_scatter + 3 * t_gather
+        # and matching the measurement pins the residual cost to the op
+        # COUNT, not the hybrid plan itself (docs/performance.md).
+        try:
+            from gt4py_tpu.next.embedded import _rowgather_1d
+
+            n_res = max(1, int(0.02 * nv))
+            rs = np.sort(
+                np.random.default_rng(9).choice(nv, n_res, replace=False)
+            ).astype(np.int32)
+            rows_d = jnp.asarray(rs)
+            _fx_jit: list = []
+
+            def make_fix(n):
+                if not _fx_jit:
+                    @jax.jit
+                    def f(n, x, y):
+                        def body(i, st):
+                            x_, y_ = st
+                            fix = _rowgather_1d(x_, rows_d)  # gather probe
+                            x2 = x_.at[rows_d].set(  # scatter probe
+                                fix * np.float32(1.0001),
+                                unique_indices=True,
+                                indices_are_sorted=True,
+                            )
+                            return (x2, x_)
+                        return lax.fori_loop(0, n, body, (x, y))[0]
+                    _fx_jit.append(f)
+                f = _fx_jit[0]
+                return lambda *a: f(n, *a)
+
+            t_pair = timer.measure(
+                make_fix,
+                lambda: (device_random((nv,)), device_random((nv,))),
+                label="fixop",
+            )
+            # one gather + one scatter per iteration; assume parity
+            results["fixup_op_pair_us"] = round(t_pair * 1e6, 2)
+            model = t_nb + 4.5 * t_pair  # 6 scatters + 3 gathers = 4.5 pairs
+            results["fvm_nabla_perturbed_model_us"] = round(model * 1e6, 1)
+            results["fvm_nabla_perturbed_vs_model"] = (
+                round(t_nbp / model, 2) if model > 0 else None
+            )
+        except Exception as e:
+            results["fixup_probe_error"] = f"{type(e).__name__}: {e}"[:160]
+
         # 1M-VERTEX structured mesh (round-5 verdict item 2): the 65k row
         # above moves ~2.4 MB/step — a latency demo, kept for overhead
         # tracking. This row is the THROUGHPUT claim: roll plans + lazy
@@ -1231,6 +1284,140 @@ def main() -> None:
     except Exception as e:
         results["triad_bf16_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # --- bf16 VPU breakdown (round-5 verdict item 8b): demonstrate the
+    # compute bound mechanically. Each shifted window hdiff forms is a
+    # full VMEM round trip; measure a bf16 streaming copy vs the same
+    # copy + ONE lane-shifted window at the split-kernel block shape.
+    # hdiff forms ~8 distinct windows + 4 f32 selects, so
+    #   vpu_model = copy + 8 * window_cost
+    # matching the measured bf16 step pins it to the VPU, not HBM. ------
+    try:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        bshape = (nk, ni + 2 * halo, nj + 2 * halo)
+
+        def _mk_bf16_probe(n_windows: int):
+            def kern(a, o):
+                x = a[...]
+                for w in range(n_windows):
+                    x = x + jnp.concatenate(
+                        [a[:, :, w + 1 :], a[:, :, : w + 1]], axis=2
+                    )
+                o[...] = x
+
+            spec = pl.BlockSpec(
+                (1, bshape[1], bshape[2]), lambda s: (s, 0, 0)
+            )
+            call = pl.pallas_call(
+                kern,
+                grid=(nk,),
+                in_specs=[spec],
+                out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct(bshape, jnp.bfloat16),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)
+                ),
+            )
+            jitted: list = []
+
+            def make(n):
+                if not jitted:
+                    @jax.jit
+                    def f(n, a):
+                        def body(i, x):
+                            with jax.enable_x64(False):
+                                return call(x)
+                        return lax.fori_loop(0, n, body, a)
+                    jitted.append(f)
+                f = jitted[0]
+                return lambda *args: f(n, *args)
+
+            return make
+
+        t_cp = timer.measure(
+            _mk_bf16_probe(0),
+            lambda: (device_random(bshape, dtype=jnp.bfloat16),),
+            label="bf16copy",
+        )
+        t_w1 = timer.measure(
+            _mk_bf16_probe(1),
+            lambda: (device_random(bshape, dtype=jnp.bfloat16),),
+            label="bf16win",
+        )
+        win = max(t_w1 - t_cp, 0.0)
+        results["bf16_window_cost_us"] = round(win * 1e6, 2)
+        vpu_model = t_cp + 8 * win
+        results["hdiff_bf16_vpu_model_us"] = round(vpu_model * 1e6, 1)
+        tb_us = results.get("hdiff_bf16_us_per_step")
+        if tb_us and vpu_model > 0:
+            results["hdiff_bf16_vs_vpu_model"] = round(
+                tb_us / (vpu_model * 1e6), 2
+            )
+    except Exception as e:
+        results["bf16_window_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # --- bf16 capacity win (round-5 verdict item 8a): a domain whose f32
+    # working set exceeds v5e HBM (16 GB) while the bf16 one fits. hdiff
+    # needs 3 resident buffers (+1 XLA temp); at 4096x4096x80 that is
+    # 4 x 5.4 GB = 21.5 GB in f32 — unallocatable — vs 10.7 GB in bf16,
+    # which allocates AND runs. The "bigger domains per chip" claim of
+    # docs/performance.md with a number attached. ------------------------
+    try:
+        cap_dom = (4096, 4096, 80)
+        cap_pts = cap_dom[0] * cap_dom[1] * cap_dom[2]
+
+        def _alloc(dtype):
+            bufs = [
+                jax.jit(
+                    lambda k, s=cap_dom, d=dtype: jax.random.uniform(
+                        jax.random.PRNGKey(k), s, dtype=jnp.float32
+                    ).astype(d)
+                )(i)
+                for i in range(3)
+            ]
+            for b in bufs:
+                b.block_until_ready()
+            return bufs
+
+        f32_fits = True
+        try:
+            bufs = _alloc(jnp.float32)
+            del bufs
+        except Exception:
+            f32_fits = False
+        results["bf16_capacity_f32_allocates"] = f32_fits
+        results["bf16_capacity_domain"] = "x".join(map(str, cap_dom))
+        a16, b16, c16 = _alloc(jnp.bfloat16)
+
+        @jax.jit
+        def cap_step(n, x, coeff, other):
+            def body(i, cur):
+                lap = (
+                    4.0 * cur
+                    - jnp.roll(cur, 1, axis=0)
+                    - jnp.roll(cur, -1, axis=0)
+                    - jnp.roll(cur, 1, axis=1)
+                    - jnp.roll(cur, -1, axis=1)
+                )
+                return (cur - coeff * lap).astype(jnp.bfloat16)
+            return lax.fori_loop(0, n, body, x)
+
+        import time as _time
+
+        r = cap_step(2, a16, b16, c16)
+        r.block_until_ready()
+        t0 = _time.perf_counter()
+        r = cap_step(10, a16, b16, c16)
+        r.block_until_ready()
+        t1 = _time.perf_counter()
+        t_cap = (t1 - t0) / 10
+        del a16, b16, c16, r
+        results["bf16_capacity_us_per_step"] = round(t_cap * 1e6, 1)
+        results["bf16_capacity_Ggps"] = round(cap_pts / t_cap / 1e9, 2)
+    except Exception as e:
+        results["bf16_capacity_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # --- pallas plane-walk calibration: a bare 5-stream pallas kernel
     # walking K planes (the staged/sequential kernels' execution shape).
     # Measured MUCH faster than nominal HBM on the live device (1.6+ TB/s
@@ -1293,42 +1480,44 @@ def main() -> None:
     except Exception as e:
         results["planewalk_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # --- chain-major compute ceiling (round-5 verdict item 4) -------------
+    # --- chain-major ceiling (round-5 verdict item 4) ---------------------
     # Chain-major stepping amortizes HBM over the whole chain (one load +
     # one store per field per CHAIN), so the plane-walk HBM model no
-    # longer bounds tridiag/vadv (tridiag beat it 1.45x in r04). The
-    # binding resource is the VPU walking K planes. Calibrate it with
-    # VMEM-resident staged probes at the real kernels' part shape
-    # (ni x nj/2, the vadv j_split), fitted exactly like the workloads
-    # (two-point chain fit, so the one-time HBM in/out cancels):
-    #   t_plane : one K-plane step reading 4 VMEM planes + 1 carry fma
-    #   t_fma   : one extra fused multiply-add per point
-    #   t_div   : one extra divide per point
-    # Ceiling(workload) = walks*t_plane*nk + extra_fmas*t_fma*points
-    #                     + divs*t_div*points. Op counts are hand-derived
-    # from the stencil bodies (documented per workload below).
+    # longer bounds tridiag/vadv (tridiag beat it 1.45x in r04). What
+    # remains per step is VPU work: the pipeline's per-plane BLOCK COPIES
+    # between the VMEM-resident buffers and the kernel blocks (measured
+    # bandwidth-bound: K-blocking the grid does not help), plus the
+    # stencil arithmetic. Calibrate both with VMEM-resident probes fitted
+    # exactly like the workloads (two-point chain fit, so the one-time
+    # HBM in/out cancels):
+    #   copy rate : carry-all probe, 4 in + 1 out blocked streams
+    #   t_fma     : extra fused multiply-adds (4 independent chains)
+    #   t_div     : extra divides
+    # Ceiling(workload) = max(copies_bytes/rate, compute) — a perfect-
+    # overlap lower bound. Stream counts come from the live kernels
+    # (fn.stage_streams); parts from the chain's recorded j_split.
     try:
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        def _mk_probe(width: int, m_fma: int, n_div: int):
-            def kern(a, b, c, d, o, carry):
-                x = a[...] + b[...] * c[...] - d[...] + carry[...]
-                for _ in range(m_fma):
-                    x = x * np.float32(1.0000001) + c[...]
-                for _ in range(n_div):
-                    x = x / (c[...] + np.float32(2.0))
-                carry[...] = x
-                o[...] = x
+        njp = nj // 2
 
-            spec = pl.BlockSpec((1, ni, width), lambda s: (s, 0, 0))
+        def _mk_probe(m_fma: int, n_div: int):
+            def kern(a, b, c, d, o):
+                accs = [a[...], b[...], c[...], d[...]]
+                for i in range(m_fma):
+                    accs[i % 4] = accs[i % 4] * np.float32(1.0000001) + accs[(i + 1) % 4]
+                for i in range(n_div):
+                    accs[i % 4] = accs[i % 4] / (accs[(i + 1) % 4] + np.float32(2.0))
+                o[...] = accs[0] + accs[1] * accs[2] - accs[3]
+
+            spec = pl.BlockSpec((1, ni, njp), lambda s: (s, 0, 0))
             call = pl.pallas_call(
                 kern,
                 grid=(nk,),
                 in_specs=[spec] * 4,
                 out_specs=spec,
-                out_shape=jax.ShapeDtypeStruct((nk, ni, width), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((1, ni, width), jnp.float32)],
+                out_shape=jax.ShapeDtypeStruct((nk, ni, njp), jnp.float32),
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("arbitrary",)
                 ),
@@ -1339,64 +1528,64 @@ def main() -> None:
                 if not jitted:
                     @jax.jit
                     def f(n, a, b, c, d):
-                        def body(i, dd):
+                        def body(i, st):
+                            a_, b_, c_, d_ = st
                             with jax.enable_x64(False):
-                                return call(a, b, c, dd)
-                        return lax.fori_loop(0, n, body, d)
+                                o = call(a_, b_, c_, d_)
+                            return (o, a_, b_, c_)
+                        return lax.fori_loop(0, n, body, (a, b, c, d))[0]
                     jitted.append(f)
                 f = jitted[0]
                 return lambda *args: f(n, *args)
 
             return make
 
-        njp = nj // 2  # the vadv chain runs at j_split=2 -> 128-lane parts
+        def _probe_inputs():
+            return tuple(device_random((nk, ni, njp)) for _ in range(4))
 
-        def _inputs(width):
-            return lambda: tuple(
-                device_random((nk, ni, width)) for _ in range(4)
-            )
-
-        t_b128 = timer.measure(_mk_probe(njp, 0, 0), _inputs(njp), label="chainprobe128")
-        t_b256 = timer.measure(_mk_probe(nj, 0, 0), _inputs(nj), label="chainprobe256")
-        t_fma16 = timer.measure(
-            _mk_probe(njp, 16, 0), _inputs(njp), label="chainprobe_fma"
-        )
-        t_div4 = timer.measure(
-            _mk_probe(njp, 0, 4), _inputs(njp), label="chainprobe_div"
-        )
+        t_copy = timer.measure(_mk_probe(0, 0), _probe_inputs, label="chaincopy")
+        t_fma16 = timer.measure(_mk_probe(16, 0), _probe_inputs, label="chainfma")
+        t_div4 = timer.measure(_mk_probe(0, 4), _probe_inputs, label="chaindiv")
+        plane_b = ni * njp * 4
+        copy_rate = 5 * nk * plane_b / t_copy  # bytes/s through block copies
         pts_part = ni * njp * nk
-        t_fma = max((t_fma16 - t_b128) / 16 / pts_part, 0.0)  # per point
-        t_div = max((t_div4 - t_b128) / 4 / pts_part, 0.0)  # per point
-        results["chainprobe_walk128_us"] = round(t_b128 * 1e6, 2)
-        results["chainprobe_walk256_us"] = round(t_b256 * 1e6, 2)
-        results["chainprobe_fma_ps_per_point"] = round(t_fma * 1e12, 2)
-        results["chainprobe_div_ps_per_point"] = round(t_div * 1e12, 2)
+        t_fma = max((t_fma16 - t_copy) / 16 / pts_part, 0.0)
+        t_div = max((t_div4 - t_copy) / 4 / pts_part, 0.0)
+        results["chain_copy_rate_TBps"] = round(copy_rate / 1e12, 2)
+        results["chain_fma_ps_per_point"] = round(t_fma * 1e12, 2)
+        results["chain_div_ps_per_point"] = round(t_div * 1e12, 2)
 
-        # Op counts per point (from tests/cartesian_tests/stencil_defs.py):
-        # tridiag (j_split=1, full 256 width): fwd denom 2 fma + c'/m,
-        #   d'-numerator 2 fma + /m -> ~4 fma + 2 div; bwd x=d'-c'*x[+1]
-        #   ~2 fma. walks=2 at width 256; probe base = 3 fma + 4 reads.
-        # vadv (j_split=2): fwd gav/gcv 4, as_/cs/acol/ccol 4, bcol 2,
-        #   correction 6, dcol 4, denom 2 + 1 div, c/d update 4 -> ~26
-        #   fma + 1 div; bwd datacol/utens ~4 fma. walks=2 per part,
-        #   2 parts sequential at width 128.
+        # Minimal (CSE'd) per-point op counts from the stencil bodies:
+        # tridiag: fwd denom 2, recip-div 1, cp 1, dp 3; bwd 2 -> 8 fma+1 div
+        # vadv: fwd gav/gcv 4, as_/cs/acol/ccol 4, bcol 2, correction 5,
+        #       dcol 4, denom 2 + div 1, c/d update 4 -> 25; bwd 4 -> 29+1
         points_full = ni * nj * nk
-        for wname, walk_s, fmas, divs in (
-            ("tridiag", 2 * t_b256, 6, 2),
-            ("vadv", 4 * t_b128, 30, 1),
+        for wname, fn_obj, fmas, divs in (
+            ("tridiag", locals().get("tri_pallas"), 8, 1),
+            ("vadv", locals().get("vadv_pallas"), 29, 1),
         ):
-            extra = max(fmas - 3 * 2, 0)  # probe base: 3 fma per walk x2
-            ceiling_s = (
-                walk_s
-                + extra * t_fma * points_full
-                + divs * t_div * points_full
-            )
-            results[f"{wname}_chain_ceiling_us"] = round(ceiling_s * 1e6, 1)
             t_w = results.get(f"{wname}_us_per_step")
-            if t_w:
-                results[f"{wname}_vs_chain_ceiling"] = round(
-                    ceiling_s * 1e6 / t_w, 3
-                )
+            if fn_obj is None or t_w is None:
+                continue
+            streams = getattr(fn_obj, "stage_streams", None)
+            parts = getattr(
+                getattr(fn_obj, "chain_padded", None), "last_j_split", None
+            )
+            if not streams or not parts:
+                continue
+            copies_bytes = sum(
+                (n_in + n_out) * steps * ni * (nj // parts) * 4
+                for n_in, n_out, steps in streams
+            ) * parts
+            copy_floor = copies_bytes / copy_rate
+            compute = (fmas * t_fma + divs * t_div) * points_full
+            ceiling_s = max(copy_floor, compute)
+            results[f"{wname}_copy_floor_us"] = round(copy_floor * 1e6, 1)
+            results[f"{wname}_compute_model_us"] = round(compute * 1e6, 1)
+            results[f"{wname}_chain_ceiling_us"] = round(ceiling_s * 1e6, 1)
+            results[f"{wname}_vs_chain_ceiling"] = round(
+                ceiling_s * 1e6 / t_w, 3
+            )
     except Exception as e:
         results["chain_ceiling_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -501,6 +501,7 @@ def build_staged_fn(
                 j_split *= 2
         if j_split > 1 and not _j_split_legal:
             raise PallasUnsupported("chain j_split: stencil has J coupling")
+        chain_padded.last_j_split = j_split  # bench ceiling introspection
 
         def one_chain(call, state0):
             carry0 = {f: state0[f] for f in written_fields}
@@ -554,6 +555,16 @@ def build_staged_fn(
     fn.decode = decode
     fn.call_padded = call_padded
     fn.chain_padded = chain_padded
+    #: [(in_streams, out_streams, k_steps)] per stage — per-step pipeline
+    #: block-copy counts for the bench chain-major copy-roofline model
+    fn.stage_streams = [
+        (
+            getattr(c, "n_in_streams", 0),
+            getattr(c, "n_out_streams", 0),
+            getattr(c, "n_steps", 0),
+        )
+        for c in stage_calls
+    ]
     fn.reads = tuple(geo.fields)
     fn.writes = tuple(written_fields)
     fn.strategy = "staged"
@@ -586,9 +597,17 @@ def _seed_skippable(analyzed, stages, stage, name: str, nk: int, origins) -> boo
     # encode's K-row slicing; keep those seeded.
     if origins.get(name, (0, 0, 0))[2] != 0:
         return False
-    for s2 in stages:
+    writer_idx = stages.index(stage)
+    for si, s2 in enumerate(stages):
         if any(n == name for n, _ in s2.orig_reads):
-            return False
+            # Original reads in stages ordered BEFORE the writer consume
+            # the pre-write buffer from the threaded state — safe. The
+            # writer itself or any later stage observing the original
+            # value needs the seed (bench vadv: utens_stage is read in
+            # the FORWARD stage and overwritten in BACKWARD; skipping
+            # the backward seed drops one block-copy stream per plane).
+            if si >= writer_idx:
+                return False
         if name in s2.needs_seed:
             return False
     # The walk must span the WHOLE buffer: grid steps only visit
@@ -1124,6 +1143,15 @@ def _build_stage_call(
             results = (results,)
         return dict(zip(written_bufs, results))
 
+    #: per-step pipeline block-copy accounting for the roofline model
+    #: (bench.py chain-major ceiling): streams that copy one (1, I, J)
+    #: block per grid step. Ring-seed const specs copy once per call
+    #: (excluded); resident refs copy nothing per step.
+    stage_call.n_in_streams = len(
+        [k for k in spec_keys if k not in const_specs and k[1] is not None]
+    )
+    stage_call.n_out_streams = len(written_bufs)
+    stage_call.n_steps = n_steps
     return stage_call
 
 

@@ -879,12 +879,74 @@ def scan_operator(
 
     def wrap(fn):
         validate_definition(fn, kind="scan_operator")
+        _validate_scan_signature(fn, init)
         from gt4py_tpu.next.type_deduction import deduce
 
         info = deduce(fn, kind="scan_operator")
         return functools.wraps(fn)(ScanOperator(fn, axis, forward, init, backend, info))
 
     return wrap(definition) if definition is not None else wrap
+
+
+def _validate_scan_signature(fn: Callable, init: Any) -> None:
+    """Decoration-time scan checks (reference foast_passes type
+    deduction: carry/return/init agreement, at least one argument)."""
+    import inspect
+
+    from gt4py_tpu.next import errors
+    from gt4py_tpu.next import type_system as ts
+
+    sig = inspect.signature(fn)
+    params = list(sig.parameters.values())
+    if not params:
+        raise errors.DSLTypeError(
+            None,
+            f"Scan operator '{fn.__name__}' must have at least one "
+            "argument (the carry/state)",
+        )
+    globalns = getattr(fn, "__globals__", {})
+
+    def spec_of(ann):
+        if ann is inspect.Parameter.empty or ann is inspect.Signature.empty:
+            return None
+        try:
+            return ts.from_annotation(ann, globalns)
+        except Exception:
+            return None
+
+    def skeleton(t):
+        """tuple structure + scalar kind — loose enough to permit what
+        deduction cannot prove, strict on provable mismatches."""
+        if isinstance(t, ts.TupleType):
+            return tuple(skeleton(x) for x in t.types)
+        if isinstance(t, ts.ScalarType):
+            return t.dtype.kind
+        if isinstance(t, ts.FieldType):
+            return t.dtype.kind
+        return "?"
+
+    carry_t = spec_of(params[0].annotation)
+    ret_t = spec_of(sig.return_annotation)
+    if carry_t is not None and ret_t is not None:
+        if skeleton(carry_t) != skeleton(ret_t):
+            raise errors.DSLTypeError(
+                None,
+                f"Argument '{params[0].name}' to scan operator "
+                f"'{fn.__name__}' must have same type as its return "
+                f"(got {carry_t} vs {ret_t})",
+            )
+    if carry_t is not None and init is not None:
+        try:
+            init_t = ts.from_value(init)
+        except Exception:
+            init_t = None
+        if init_t is not None and skeleton(init_t) != skeleton(carry_t):
+            raise errors.DSLTypeError(
+                None,
+                f"Argument 'init' to scan operator '{fn.__name__}' must "
+                f"have same type as '{params[0].name}' argument "
+                f"(got {init_t} vs {carry_t})",
+            )
 
 
 @dataclasses.dataclass

@@ -52,7 +52,13 @@ def current_offset_provider() -> dict:
 
 class offset_provider_context:
     def __init__(self, provider: Optional[dict]):
-        self.provider = provider or {}
+        # None inherits the ambient provider: an operator called inside a
+        # program (or another operator) without its own offset_provider
+        # keeps the program's (reference: offset_provider flows through
+        # the whole program call). An explicit {} still clears.
+        if provider is None:
+            provider = _OFFSET_PROVIDER.get() or {}
+        self.provider = provider
 
     def __enter__(self):
         self._token = _OFFSET_PROVIDER.set(self.provider)

@@ -217,6 +217,12 @@ def validate_definition(
                 _loc(bad, filename, line_offset, col_offset),
                 f"*{bad.arg} parameters are not allowed on a {kind}.",
             )
+        # NOTE: loops and f-strings are NOT rejected here, unlike the
+        # reference (errors.UnsupportedPythonFeatureError): statically
+        # unrollable Python control flow executes correctly through the
+        # raw-definition fallback, with the reason recorded on the
+        # operator (foast_fallback_reason) — a deliberate superset, see
+        # tests/next_tests/test_foast.py::test_fallback_reason_recorded.
 
     if kind == "program":
         # PAST-analog lints (reference past_passes linters + ProgramLowering

@@ -561,13 +561,22 @@ class _Typer(ast.NodeVisitor):
             )
         offset = off.offset
         if off.index:
-            # Cartesian shift: dims unchanged.
             if offset.source not in field.dims:
                 self._fail(
                     node,
                     f"Cannot shift along {offset.source.value}: field has "
                     f"dimensions ({', '.join(d.value for d in field.dims)}).",
                 )
+            if offset.target and offset.target[0] != offset.source:
+                # Indexed unstructured offset (E2V[0]): a single-column
+                # remap — source dim becomes the target's primary dim,
+                # WITHOUT the local neighbor dim.
+                new_dims = tuple(
+                    offset.target[0] if d == offset.source else d
+                    for d in field.dims
+                )
+                return ts.FieldType(dims=new_dims, dtype=field.dtype)
+            # Cartesian shift: dims unchanged.
             return field
         # Unstructured remap: replace the source dim with the target dims.
         if offset.source not in field.dims:
@@ -831,10 +840,18 @@ def deduce(fn: Callable, *, kind: str = "field_operator") -> Optional[OperatorTy
     globalns = getattr(fn, "__globals__", {}) or {}
     params: dict[str, Any] = {}
     n_annotated = 0
+    bare_params: set[str] = set()
     for pname, p in sig.parameters.items():
         spec = ts.from_annotation(p.annotation, globalns)
         if spec is not None:
             n_annotated += 1
+        elif p.annotation is not inspect.Parameter.empty:
+            # annotated with a type the DSL cannot express (NamedTuple /
+            # @named_collection classes): counts as annotated, deduction
+            # just cannot see inside it
+            n_annotated += 1
+        else:
+            bare_params.add(pname)
         params[pname] = spec if spec is not None else UNKNOWN
     if n_annotated == 0:
         return None
@@ -844,9 +861,9 @@ def deduce(fn: Callable, *, kind: str = "field_operator") -> Optional[OperatorTy
     n_field_annotated = sum(
         isinstance(s, (ts.FieldType, ts.TupleType)) for s in params.values()
     )
-    if n_field_annotated and n_annotated < len(params) and kind == "field_operator":
-        for pname, spec in params.items():
-            if spec is UNKNOWN:
+    if n_field_annotated and bare_params and kind == "field_operator":
+        for pname in params:
+            if pname in bare_params:
                 arg_nodes = {a.arg: a for a in node.args.args}
                 raise errors.MissingParameterAnnotationError(
                     _loc(arg_nodes.get(pname, node), filename, line_offset, col_offset),

@@ -141,9 +141,14 @@ def from_annotation(ann: Any, globalns: Optional[dict] = None) -> Optional[TypeS
             return None
         return TupleType(types=parts)
     try:
-        return ScalarType(np.dtype(ann))
+        dt = np.dtype(ann)
     except TypeError:
         return None
+    if dt.kind == "O":
+        # arbitrary classes (NamedTuple carries, user types) collapse to
+        # np.dtype(object) — that is not a scalar annotation
+        return None
+    return ScalarType(dt)
 
 
 def promote(*types: ScalarType) -> ScalarType:
