@@ -18,6 +18,7 @@ from gt4py_tpu.next.common import (  # noqa: F401
     flip_staggered,
     is_staggered,
     promote_dims,
+    deduce_grid_type,
     Dimension,
     DimensionKind,
     Dims,

@@ -749,6 +749,44 @@ class GridType(enum.Enum):
     UNSTRUCTURED = "unstructured"
 
 
+def deduce_grid_type(
+    requested: Optional["GridType"], offsets_and_dims
+) -> "GridType":
+    """Classify a program's grid from its offsets/dimensions (reference
+    ffront/transform_utils._deduce_grid_type): an offset is cartesian
+    when it shifts within one dimension of the same kind and nothing is
+    LOCAL; any unstructured evidence makes the grid unstructured, and a
+    CARTESIAN request conflicting with that evidence is an error.
+    UNSTRUCTURED may always be requested (cartesian offsets are a
+    special case of unstructured)."""
+
+    def is_cartesian(entry) -> bool:
+        if isinstance(entry, Dimension):
+            return entry.kind != DimensionKind.LOCAL
+        if isinstance(entry, FieldOffset):
+            return (
+                len(entry.target) == 1
+                and entry.source == entry.target[0]
+                and entry.source.kind != DimensionKind.LOCAL
+            )
+        return False
+
+    deduced = (
+        GridType.CARTESIAN
+        if all(is_cartesian(e) for e in offsets_and_dims)
+        else GridType.UNSTRUCTURED
+    )
+    if requested is None:
+        return deduced
+    if requested == GridType.CARTESIAN and deduced == GridType.UNSTRUCTURED:
+        bad = [e for e in offsets_and_dims if not is_cartesian(e)]
+        raise ValueError(
+            f"grid_type == GridType.CARTESIAN, but unstructured "
+            f"FieldOffset or LOCAL dimension found: {bad!r}"
+        )
+    return requested
+
+
 def promote_dims(*dim_lists) -> tuple[Dimension, ...]:
     """Order-preserving union of dimension lists (reference
     common.promote_dims, next/common.py:1367)."""

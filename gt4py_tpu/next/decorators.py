@@ -75,8 +75,17 @@ def _write_out(result: Any, out: Any, domain: Optional[Domain]) -> None:
     if isinstance(result, tuple):
         if not isinstance(out, tuple) or len(out) != len(result):
             raise ValueError("Mismatched tuple outputs")
-        for r, o in zip(result, out):
-            _write_out(r, o, domain)
+        doms = (
+            domain
+            if isinstance(domain, tuple)
+            else (domain,) * len(result)
+        )
+        if len(doms) != len(result):
+            raise ValueError(
+                "domain tuple must match the output tuple structure"
+            )
+        for r, o, d in zip(result, out, doms):
+            _write_out(r, o, d)
         return
     assert isinstance(result, Field) and isinstance(out, Field)
     import jax.numpy as jnp
@@ -125,12 +134,17 @@ def _out_key(out: Any, dom: Optional[Domain]):
             np.dtype(dtype_).str,
         )
 
-    dom_key = None
-    if dom is not None:
-        dom_key = tuple(
-            (nr.dim.value, nr.unit_range.start, nr.unit_range.stop) for nr in dom.ranges
+    def dkey(d):
+        if d is None:
+            return None
+        if isinstance(d, tuple):
+            return tuple(dkey(x) for x in d)
+        return tuple(
+            (nr.dim.value, nr.unit_range.start, nr.unit_range.stop)
+            for nr in d.ranges
         )
-    return ("out", meta_key(_out_meta(out)), dom_key)
+
+    return ("out", meta_key(_out_meta(out)), dkey(dom))
 
 
 def _out_arrays(out: Any):
@@ -185,9 +199,10 @@ def _writeback_traced(result: Any, meta: Any, dom: Optional[Domain], out_arrays:
     import jax.numpy as jnp
 
     if isinstance(result, tuple):
+        doms = dom if isinstance(dom, tuple) else (dom,) * len(result)
         return tuple(
-            _writeback_traced(r, m, dom, oa)
-            for r, m, oa in zip(result, meta, out_arrays)
+            _writeback_traced(r, m, d, oa)
+            for r, m, d, oa in zip(result, meta, doms, out_arrays)
         )
     assert isinstance(result, Field)
     out_domain, out_dtype = meta
@@ -466,7 +481,14 @@ class FieldOperator:
         from gt4py_tpu.instrumentation.metrics import MetricsCollector
         from gt4py_tpu.next.common import domain as make_domain
 
-        dom = make_domain(domain) if domain is not None else None
+        if isinstance(domain, tuple):
+            # per-output domains for tuple outputs (reference
+            # test_multiple_output_domains.py: domain=({J: ...}, {I: ...}))
+            dom = tuple(
+                make_domain(d) if d is not None else None for d in domain
+            )
+        else:
+            dom = make_domain(domain) if domain is not None else None
         name = getattr(self.definition, "__name__", "field_operator")
         # Hook point + leveled metrics around the program call (reference
         # ffront/decorator.py:62-83, instrumentation/metrics.py:240).
@@ -664,7 +686,14 @@ class ScanOperator:
         from gt4py_tpu.next.backend import backend_kind
         from gt4py_tpu.next.common import domain as make_domain
 
-        dom = make_domain(domain) if domain is not None else None
+        if isinstance(domain, tuple):
+            # per-output domains for tuple outputs (reference
+            # test_multiple_output_domains.py: domain=({J: ...}, {I: ...}))
+            dom = tuple(
+                make_domain(d) if d is not None else None for d in domain
+            )
+        else:
+            dom = make_domain(domain) if domain is not None else None
         kind = backend_kind(self.backend)
         if (
             kind == "pallas"
