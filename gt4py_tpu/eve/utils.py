@@ -26,10 +26,32 @@ __all__ = [
 ]
 
 
+def _canonical(value: Any) -> Any:
+    """Insertion-order-insensitive view of nested dicts/sets: equal values
+    must hash equal (dict equality ignores order)."""
+    if isinstance(value, dict):
+        return (
+            "__dict__",
+            tuple(
+                sorted(
+                    ((repr(k), _canonical(v)) for k, v in value.items()),
+                    key=lambda kv: kv[0],
+                )
+            ),
+        )
+    if isinstance(value, (set, frozenset)):
+        return ("__set__", tuple(sorted(repr(_canonical(v)) for v in value)))
+    if isinstance(value, (list, tuple)):
+        marker = "__list__" if isinstance(value, list) else "__tuple__"
+        return (marker, tuple(_canonical(v) for v in value))
+    return value
+
+
 def content_hash(*args: Any, length: int = 16) -> str:
     """Stable hash of (nested) values by pickled content
-    (reference: eve/utils.py:745)."""
-    data = pickle.dumps(args, protocol=4)
+    (reference: eve/utils.py:745). Dict/set entries hash by CONTENT, not
+    insertion order — two equal dicts always fingerprint equal."""
+    data = pickle.dumps(_canonical(args), protocol=4)
     return hashlib.sha256(data).hexdigest()[:length]
 
 
