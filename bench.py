@@ -903,11 +903,19 @@ def main() -> None:
             ]
             _fx_jit: list = []
 
+            flat_rows_v = jnp.asarray(
+                np.concatenate(
+                    [np.asarray(rows_v[c]) + c * nv for c in range(4)]
+                ).astype(np.int32)
+            )
+
             def make_fix(n):
                 """One iteration = EXACTLY the perturbed step's fix-up op
                 set: 2 x (gather r_e<-nv + scatter r_e->ne) for the two
-                e2v columns, then 1 gather 4*r_v<-ne + 4 scatters
-                r_v->nv for the batched v2e fix-up."""
+                indexed e2v columns, then 1 gather 4*r_v<-ne + ONE
+                concat-scatter 4*r_v into the axis-0 concatenation of the
+                v2e parts (embedded._apply_batched_fixup's merged
+                scatter)."""
                 if not _fx_jit:
                     @jax.jit
                     def f(n, xv, xe):
@@ -920,12 +928,17 @@ def main() -> None:
                                     indices_are_sorted=True,
                                 )
                             fx2 = _rowgather_1d(e, idx_v2e)  # batched v2e
-                            for c in range(4):
-                                v = v.at[rows_v[c]].set(
-                                    fx2[c * r_v : (c + 1) * r_v],
-                                    unique_indices=True,
-                                    indices_are_sorted=True,
-                                )
+                            cat = jnp.concatenate(
+                                [v, v + 1, v + 2, v + 3], axis=0
+                            )
+                            cat = cat.at[flat_rows_v].set(
+                                fx2, unique_indices=True,
+                                indices_are_sorted=True,
+                            )
+                            v = (
+                                cat[:nv] + cat[nv : 2 * nv]
+                                + cat[2 * nv : 3 * nv] + cat[3 * nv :]
+                            ) * 0.25
                             return (v, e)
                         return lax.fori_loop(0, n, body, (xv, xe))[0]
                     _fx_jit.append(f)

@@ -457,15 +457,17 @@ def _batched_residual(conn, own_start: int, n: int):
     into one concatenated source-index array, so a multi-column remap
     pays ONE fix gather from the source field instead of one per column
     (an isolated small gather costs ~4-5 us fixed + ~11 ns/element on
-    v5e — far above the large-gather rate). The scatters stay
-    per-column on the 1-D pre-stack parts: their layout is lane-native,
-    while a combined scatter into the stacked ``(n_src, ncols)`` array
-    needs a row-major flatten = full relayout of a 128-lane-padded
-    array (measured 110 -> ~245 us/step on perturbed FVM nabla — do not
-    re-try). Returns ``(src_idx, segments)`` with ``segments`` a list of
-    ``(column, res_rows, start, stop)`` slices into the gather result,
-    or None when no column has residual rows. Cached on the
-    connectivity (tables are immutable)."""
+    v5e — far above the large-gather rate). The SCATTERS merge too: the
+    fixed-up parts concatenate along axis 0 (lane-layout-trivial for
+    1-D parts, unlike an axis-1 stack whose row-major flatten is a full
+    relayout of a 128-lane-padded array — measured 110 -> ~245 us/step
+    on perturbed FVM nabla, do not re-try) and ONE scatter at flattened
+    ``seg*n_src + res_rows`` offsets serves every column, with slices
+    recovering the per-column parts (isolated 4-column fix-up op set:
+    51 -> 45 us on v5e). Returns ``(src_idx, flat_rows, segments)``
+    with ``segments`` a list of ``(column, start, stop)`` slices into
+    the gather result, or None when no column has residual rows.
+    Cached on the connectivity (tables are immutable)."""
     cache = getattr(conn, "_batched_residuals", None)
     if cache is None:
         cache = conn._batched_residuals = {}
@@ -473,7 +475,9 @@ def _batched_residual(conn, own_start: int, n: int):
     if key in cache:
         return cache[key]
     ncols = conn.table.shape[1]
+    n_src = conn.table.shape[0]
     idx_parts = []
+    row_parts = []
     segments = []
     pos = 0
     for c in range(ncols):
@@ -485,12 +489,22 @@ def _batched_residual(conn, own_start: int, n: int):
         if plan is not None and plan.res_rows is not None:
             m = plan.res_rows.shape[0]
             idx_parts.append(plan.res_idx)
-            segments.append((c, plan.res_rows, pos, pos + m))
+            # Offset by the segment's slot in the concatenated parts
+            # array: blocks are disjoint and each column's rows are
+            # sorted/unique (np.nonzero), so the flat indices stay
+            # globally sorted and unique — XLA skips the dedup sort.
+            row_parts.append(
+                plan.res_rows.astype(np.int64) + len(segments) * n_src
+            )
+            segments.append((c, pos, pos + m))
             pos += m
     if not idx_parts:
         cache[key] = None
         return None
-    combined = (np.concatenate(idx_parts), segments)
+    flat_rows = np.concatenate(row_parts)
+    if flat_rows[-1] <= np.iinfo(np.int32).max:
+        flat_rows = flat_rows.astype(np.int32)
+    combined = (np.concatenate(idx_parts), flat_rows, segments)
     cache[key] = combined
     return combined
 
@@ -498,25 +512,35 @@ def _batched_residual(conn, own_start: int, n: int):
 def _apply_batched_fixup(parts, x, conn, own_start: int):
     """Apply the combined residual fix-up to the per-column gather
     parts (each ``(n_src, *rest)``, BEFORE stacking): one concatenated
-    row gather from ``x``, then per-column 1-D scatters of the
-    corresponding slices. Returns the updated parts list."""
+    row gather from ``x``, then ONE scatter into the axis-0
+    concatenation of the fixed-up columns' parts (sliced back apart
+    afterwards — axis-0 concat/slice of lane-contiguous parts is
+    layout-free, and one scatter beats one per column by ~6 us on the
+    v5e 4-column fix-up op set). Returns the updated parts list."""
     import jax.numpy as jnp
 
     combined = _batched_residual(conn, own_start, x.shape[0])
     if combined is None:
         return parts
-    src_idx, segments = combined
+    src_idx, flat_rows, segments = combined
     if x.ndim == 1:
         fix = _rowgather_1d(x, jnp.asarray(src_idx))
     else:
         fix = jnp.take(x, jnp.asarray(src_idx), axis=0)
     parts = list(parts)
-    for c, res_rows, start, stop in segments:
-        # res_rows comes from np.nonzero -> sorted and unique; the hints
-        # let XLA skip the scatter's dedup sort.
-        parts[c] = parts[c].at[jnp.asarray(res_rows)].set(
-            fix[start:stop], unique_indices=True, indices_are_sorted=True
+    if len(segments) == 1:
+        c, start, stop = segments[0]
+        parts[c] = parts[c].at[jnp.asarray(flat_rows)].set(
+            fix, unique_indices=True, indices_are_sorted=True
         )
+        return parts
+    n_src = parts[segments[0][0]].shape[0]
+    cat = jnp.concatenate([parts[c] for c, _, _ in segments], axis=0)
+    cat = cat.at[jnp.asarray(flat_rows)].set(
+        fix, unique_indices=True, indices_are_sorted=True
+    )
+    for k, (c, _, _) in enumerate(segments):
+        parts[c] = cat[k * n_src : (k + 1) * n_src]
     return parts
 
 
