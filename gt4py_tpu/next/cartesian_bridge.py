@@ -705,9 +705,17 @@ def build_variant(
     out,
     providers: Optional[dict],
     backend_name: str,
+    gtir_transform: Optional[Callable] = None,
 ) -> BridgeVariant:
     """Trace the definition on symbolic values and compile it as a
-    cartesian stencil for ``backend_name``."""
+    cartesian stencil for ``backend_name``.
+
+    ``gtir_transform`` (``Stencil -> Stencil``) hooks the lowered GTIR
+    just before analysis — the mid-level test point for bridge output
+    (e.g. the textual double-roundtrip
+    ``lambda s: gtir_pretty.parse(gtir_pretty.pretty(s))``; reference
+    program_processors/runners/double_roundtrip.py role, one level BELOW
+    the FOAST round-trip in next/foast_pretty.py)."""
     from gt4py_tpu.cartesian.backend.base import REGISTRY
     from gt4py_tpu.cartesian.passes.pipeline import analyze_gtir
 
@@ -784,6 +792,8 @@ def build_variant(
         temporaries=[gtir.Temporary(name=t.temp_name) for t in tr.temps]
         + [gtir.Temporary(name=n) for n in tr.scan_out_names],
     )
+    if gtir_transform is not None:
+        stencil = gtir_transform(stencil)
     analyzed = analyze_gtir(stencil, {"backend": backend_name})
     backend = REGISTRY[backend_name](analyzed, {})
     return BridgeVariant(
@@ -802,6 +812,7 @@ def build_scan_variant(
     out,
     providers: Optional[dict],
     backend_name: str,
+    gtir_transform: Optional[Callable] = None,
 ) -> BridgeVariant:
     """Lower a ``scan_operator`` onto the cartesian sequential-K kernels
     (the staged Pallas substrate that serves FORWARD/BACKWARD stencils).
@@ -947,6 +958,8 @@ def build_scan_variant(
         ],
         temporaries=[gtir.Temporary(name=t.temp_name) for t in tr.temps],
     )
+    if gtir_transform is not None:
+        stencil = gtir_transform(stencil)
     analyzed = analyze_gtir(stencil, {"backend": backend_name})
     backend = REGISTRY[backend_name](analyzed, {})
     return BridgeVariant(
